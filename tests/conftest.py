@@ -1,0 +1,9 @@
+import os
+
+# Tests run on CPU with a virtual 8-device mesh so no TPU is needed
+# (SURVEY.md §4: the reference has no tests; jax's CPU backend is our
+# substitute for a fake backend).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
