@@ -1,0 +1,72 @@
+"""Model configurations for the supported decoder families.
+
+Sizes match the HF checkpoints the reference evaluates
+(README.md:10-13: LLaVA-Video-7B/72B, LLaVA-OneVision-7B, Qwen2-VL-7B — all
+Qwen2-architecture decoders).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 152064
+    hidden_size: int = 3584
+    intermediate_size: int = 18944
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    head_dim: int = 128
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+    max_position_embeddings: int = 32768
+    # Linear RoPE scaling (position ids divided by this), the reference's
+    # long-input lever (eval_vidqa_by_feat_llavavideo.py:88-97).
+    rope_scaling_factor: float = 1.0
+    tie_word_embeddings: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    # M-RoPE section sizes (Qwen2-VL only, modeling_qwen2vl.py mrope_section);
+    # empty tuple = standard 1D RoPE.
+    mrope_section: tuple = ()
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+# Qwen2-7B decoder (LLaVA-Video-7B / LLaVA-OneVision-7B backbones)
+QWEN2_7B = DecoderConfig()
+
+# Qwen2-72B decoder (LLaVA-Video-72B backbone)
+QWEN2_72B = DecoderConfig(
+    hidden_size=8192,
+    intermediate_size=29568,
+    num_layers=80,
+    num_heads=64,
+    num_kv_heads=8,
+)
+
+# Qwen2-VL-7B decoder: same trunk as Qwen2-7B plus M-RoPE
+QWEN2VL_7B = DecoderConfig(mrope_section=(16, 24, 24))
+
+# Tiny config for CPU tests
+TINY = DecoderConfig(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=4,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=16,
+    dtype=jnp.float32,
+)
+
+TINY_MROPE = dataclasses.replace(TINY, mrope_section=(4, 6, 6))

@@ -1,0 +1,269 @@
+"""Functional Qwen2-architecture decoder in JAX (GQA + RoPE/M-RoPE + SwiGLU).
+
+Backbone for LLaVA-Video-7B/72B, LLaVA-OneVision-7B and Qwen2-VL-7B (the
+reference's model families, README.md:10-13). Pure functions over a params
+pytree; layer weights are stacked [L, ...] and executed with lax.scan, which
+gives one compiled layer body per group and a natural axis for tensor-parallel
+sharding.
+
+The decoder is split into two scan groups around the token-reduction layer k:
+layers [0, k) run at full sequence length, layers [k, L) at the merged budget
+length — the KV-cache-per-layer-length invariant of the reference
+(llava/model/language_model/llava_qwen.py:258).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import mha
+from .config import DecoderConfig
+
+__all__ = [
+    "init_params",
+    "rope_cos_sin",
+    "rms_norm",
+    "embed_tokens",
+    "lm_head",
+    "prefill_layers",
+    "decode_layers",
+    "KVCache",
+]
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: DecoderConfig, key: jax.Array) -> dict:
+    """Random-init params (HF-checkpoint loading lives in models/weights.py)."""
+    ks = jax.random.split(key, 12)
+    d, f, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    qd, kvd = cfg.q_dim, cfg.kv_dim
+
+    def w(k, shape, scale=None):
+        scale = scale if scale is not None else (shape[-2] ** -0.5 if len(shape) > 2 else 0.02)
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    params = {
+        "embed": w(ks[0], (cfg.vocab_size, d), 0.02),
+        "layers": {
+            "ln1": jnp.ones((l, d), cfg.dtype),
+            "ln2": jnp.ones((l, d), cfg.dtype),
+            "wq": w(ks[1], (l, d, qd)),
+            "bq": jnp.zeros((l, qd), cfg.dtype),
+            "wk": w(ks[2], (l, d, kvd)),
+            "bk": jnp.zeros((l, kvd), cfg.dtype),
+            "wv": w(ks[3], (l, d, kvd)),
+            "bv": jnp.zeros((l, kvd), cfg.dtype),
+            "wo": w(ks[4], (l, qd, d)),
+            "wg": w(ks[5], (l, d, f)),
+            "wu": w(ks[6], (l, d, f)),
+            "wd": w(ks[7], (l, f, d)),
+        },
+        "norm": jnp.ones((d,), cfg.dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(ks[8], (d, cfg.vocab_size), 0.02)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
+
+
+def rope_cos_sin(cfg: DecoderConfig, position_ids: jnp.ndarray):
+    """RoPE tables. position_ids: [S] (1D) or [3, S] (M-RoPE t/h/w rows).
+
+    Linear scaling divides positions by ``rope_scaling_factor`` (the HF
+    "linear" rope_scaling the reference enables for long inputs,
+    eval_vidqa_by_feat_llavavideo.py:88-97). M-RoPE interleaves the three
+    position rows across frequency sections (modeling_qwen2vl.py M-RoPE).
+    Returns (cos, sin): [S, head_dim] fp32.
+    """
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    pos = position_ids.astype(jnp.float32) / cfg.rope_scaling_factor
+    if position_ids.ndim == 1:
+        freqs = pos[:, None] * inv_freq[None, :]  # [S, hd/2]
+    else:
+        f3 = pos[:, :, None] * inv_freq[None, None, :]  # [3, S, hd/2]
+        if not cfg.mrope_section:
+            raise ValueError("3-row position ids require cfg.mrope_section")
+        parts, start = [], 0
+        for axis, sec in enumerate(cfg.mrope_section):
+            parts.append(f3[axis, :, start : start + sec])
+            start += sec
+        freqs = jnp.concatenate(parts, axis=-1)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # rotate-half convention
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, S, H, hd]; cos/sin: [S, hd]."""
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return (x.astype(jnp.float32) * c + rot * s).astype(x.dtype)
+
+
+def embed_tokens(params: dict, ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed"][ids]
+
+
+def lm_head(params: dict, cfg: DecoderConfig, x: jnp.ndarray) -> jnp.ndarray:
+    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return jnp.einsum("bsd,dv->bsv", x, w, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Layer groups
+# ---------------------------------------------------------------------------
+
+
+def _slice_layers(layers: dict, lo: int, hi: int) -> dict:
+    return {k: v[lo:hi] for k, v in layers.items()}
+
+
+def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend):
+    """One decoder layer; ``attend(q, k, v) -> o`` supplied by the caller."""
+    b, s, d = x.shape
+    h = rms_norm(x, lp["ln1"], cfg.rms_eps)
+    q = (h @ lp["wq"] + lp["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = (h @ lp["wk"] + lp["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = (h @ lp["wv"] + lp["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    o = attend(q, k, v)
+    x = x + o.reshape(b, s, cfg.q_dim) @ lp["wo"]
+    h = rms_norm(x, lp["ln2"], cfg.rms_eps)
+    x = x + (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
+    return x, k, v
+
+
+def prefill_layers(
+    layers: dict,
+    lo: int,
+    hi: int,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    valid_len,
+    cfg: DecoderConfig,
+    impl: str,
+    remat: bool = False,
+):
+    """Run layers [lo, hi) at full block width. Returns (x, k_all, v_all)
+    where k_all/v_all: [hi-lo, B, S, KV, hd]."""
+    if hi <= lo:
+        b, s, _ = x.shape
+        empty = jnp.zeros((0, b, s, cfg.num_kv_heads, cfg.head_dim), x.dtype)
+        return x, empty, empty
+
+    def attend(q, k, v):
+        return mha(q, k, v, kv_valid_len=valid_len, causal=True, impl=impl)
+
+    def step(carry, lp):
+        y, k, v = _layer_core(lp, carry, cos, sin, cfg, attend)
+        return y, (k, v)
+
+    if remat:
+        step = jax.checkpoint(step)
+    x, (k_all, v_all) = jax.lax.scan(step, x, _slice_layers(layers, lo, hi))
+    return x, k_all, v_all
+
+
+def decode_layers(
+    layers: dict,
+    lo: int,
+    hi: int,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    write_pos,
+    cfg: DecoderConfig,
+):
+    """One-token decode through layers [lo, hi): append K/V at ``write_pos``
+    and attend over the packed cache prefix. cache_k/v: [hi-lo, B, S_c, KV, hd].
+    """
+    if hi <= lo:
+        return x, cache_k, cache_v
+
+    def attend_factory(ck, cv):
+        def attend(q, k, v):
+            ck2 = jax.lax.dynamic_update_slice(ck, k, (0, write_pos, 0, 0))
+            cv2 = jax.lax.dynamic_update_slice(cv, v, (0, write_pos, 0, 0))
+            o = mha(
+                q,
+                ck2,
+                cv2,
+                kv_valid_len=write_pos + 1,
+                causal=False,
+                impl="xla",
+            )
+            return o, ck2, cv2
+
+        return attend
+
+    def step(carry, xs):
+        lp, ck, cv = xs
+        y = carry
+        b, s, d = y.shape
+        h = rms_norm(y, lp["ln1"], cfg.rms_eps)
+        q = (h @ lp["wq"] + lp["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = (h @ lp["wk"] + lp["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = (h @ lp["wv"] + lp["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        o, ck2, cv2 = attend_factory(ck, cv)(q, k, v)
+        y = y + o.reshape(b, s, cfg.q_dim) @ lp["wo"]
+        h = rms_norm(y, lp["ln2"], cfg.rms_eps)
+        y = y + (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
+        return y, (ck2, cv2)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        step, x, (_slice_layers(layers, lo, hi), cache_k, cache_v)
+    )
+    return x, cache_k, cache_v
+
+
+# ---------------------------------------------------------------------------
+# KV cache (two groups around the reduction layer)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Per-group KV cache. Group A: layers [0, k) at full length; group B:
+    layers [k, L) at merged-budget length (reference invariant,
+    llava_qwen.py:258: layer-0 cache keeps the unmerged length; last layer's
+    the merged length)."""
+
+    ka: jnp.ndarray  # [k, B, S_a, KV, hd]
+    va: jnp.ndarray
+    kb: jnp.ndarray  # [L-k, B, S_b, KV, hd]
+    vb: jnp.ndarray
+    len_a: jnp.ndarray  # packed valid length of group A (scalar int32)
+    len_b: jnp.ndarray
+    pos_base: jnp.ndarray  # decode position base = full (unmerged) valid len
+
+    @property
+    def merged_len(self) -> jnp.ndarray:
+        """Reference's 'merged token count' readout (get_seq_length(-1))."""
+        return self.len_b if self.kb.shape[0] > 0 else self.len_a

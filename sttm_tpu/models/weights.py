@@ -1,0 +1,85 @@
+"""HF checkpoint loading: safetensors -> stacked-layer params pytree.
+
+The reference loads HF ``from_pretrained`` directories
+(llava/model/builder.py:27-315); our equivalent maps Qwen2-family state dicts
+into the stacked [L, ...] layout used by the scan-based decoder.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["params_from_state_dict", "load_safetensors_dir"]
+
+_LAYER_MAP = {
+    "input_layernorm.weight": ("ln1", False),
+    "post_attention_layernorm.weight": ("ln2", False),
+    "self_attn.q_proj.weight": ("wq", True),
+    "self_attn.q_proj.bias": ("bq", False),
+    "self_attn.k_proj.weight": ("wk", True),
+    "self_attn.k_proj.bias": ("bk", False),
+    "self_attn.v_proj.weight": ("wv", True),
+    "self_attn.v_proj.bias": ("bv", False),
+    "self_attn.o_proj.weight": ("wo", True),
+    "mlp.gate_proj.weight": ("wg", True),
+    "mlp.up_proj.weight": ("wu", True),
+    "mlp.down_proj.weight": ("wd", True),
+}
+
+
+def params_from_state_dict(cfg, tensors: dict, prefix: str = "model.") -> dict:
+    """Build the params pytree from a {name: numpy array} state dict.
+
+    ``tensors`` values must be numpy arrays (call ``.numpy()`` on torch
+    tensors first). HF linear weights are [out, in] and get transposed.
+    """
+    l = cfg.num_layers
+    layer_stacks: dict[str, list] = {k: [None] * l for k, _ in _LAYER_MAP.values()}
+    params = {"layers": {}}
+    for name, val in tensors.items():
+        if name == f"{prefix}embed_tokens.weight":
+            params["embed"] = jnp.asarray(val, cfg.dtype)
+        elif name == f"{prefix}norm.weight":
+            params["norm"] = jnp.asarray(val, cfg.dtype)
+        elif name == "lm_head.weight":
+            params["lm_head"] = jnp.asarray(np.asarray(val).T, cfg.dtype)
+        elif name.startswith(f"{prefix}layers."):
+            rest = name[len(f"{prefix}layers.") :]
+            idx_str, sub = rest.split(".", 1)
+            if sub in _LAYER_MAP:
+                key, transpose = _LAYER_MAP[sub]
+                arr = np.asarray(val)
+                layer_stacks[key][int(idx_str)] = arr.T if transpose else arr
+    for key, stack in layer_stacks.items():
+        if any(s is None for s in stack):
+            missing = [i for i, s in enumerate(stack) if s is None]
+            raise ValueError(f"missing layer weights for {key}: layers {missing}")
+        params["layers"][key] = jnp.asarray(np.stack(stack), cfg.dtype)
+    if cfg.tie_word_embeddings:
+        params.pop("lm_head", None)
+    elif "lm_head" not in params:
+        raise ValueError("lm_head.weight not found and embeddings not tied")
+    return params
+
+
+def load_safetensors_dir(cfg, path: str, prefix: str = "model.") -> dict:
+    """Load a HF checkpoint directory (one or more .safetensors shards)."""
+    from safetensors import safe_open
+
+    index_file = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index_file):
+        with open(index_file) as fp:
+            weight_map = json.load(fp)["weight_map"]
+        shards = sorted(set(weight_map.values()))
+    else:
+        shards = [f for f in os.listdir(path) if f.endswith(".safetensors")]
+    tensors = {}
+    for shard in shards:
+        with safe_open(os.path.join(path, shard), framework="np") as f:
+            for name in f.keys():
+                tensors[name] = f.get_tensor(name)
+    return params_from_state_dict(cfg, tensors, prefix)

@@ -1,0 +1,87 @@
+"""Attention dispatch: Pallas flash attention on TPU, XLA einsum fallback.
+
+Layouts: q [B, Sq, Hq, hd]; k/v [B, Skv, Hkv, hd] (GQA: Hq % Hkv == 0).
+``kv_valid_len`` masks padding keys; prefill is causal with q_offset == 0,
+decode passes the absolute query position via ``q_offset``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["mha"]
+
+
+def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale):
+    b, sq, hq, hd = q.shape
+    _, skv, hkv, _ = k.shape
+    g = hq // hkv
+    qf = q.astype(jnp.float32).reshape(b, sq, hkv, g, hd)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf, precision=jax.lax.Precision.HIGHEST)
+    scores = scores * sm_scale
+    kpos = jnp.arange(skv)[None, :]
+    mask = kpos < kv_valid_len
+    if causal:
+        qpos = jnp.arange(sq)[:, None] + q_offset
+        mask = mask & (kpos <= qpos)
+    scores = jnp.where(mask[None, None, None], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", probs, v.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST
+    )
+    return out.reshape(b, sq, hq, hd).astype(q.dtype)
+
+
+@functools.partial(jax.named_call, name="flash_mha")
+def _flash_mha(q, k, v, kv_valid_len, causal, sm_scale):
+    """Pallas TPU flash attention (prefill path: Sq == Skv, q_offset == 0)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, sq, hq, hd = q.shape
+    _, skv, hkv, _ = k.shape
+    if hkv != hq:  # GQA: broadcast KV heads to Q heads for the kernel
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    qt = q.transpose(0, 2, 1, 3)  # [B, H, S, hd]
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    # padding mask via segment ids: valid tokens segment 0, pad segment 1
+    pos = jnp.arange(sq, dtype=jnp.int32)[None, :]
+    seg = (pos >= kv_valid_len).astype(jnp.int32)
+    seg_ids = SegmentIds(q=seg, kv=seg)
+    blk = min(512, sq)
+    block_sizes = BlockSizes(
+        block_q=blk,
+        block_k_major=blk,
+        block_k=blk,
+        block_b=1,
+    )
+    out = flash_attention(
+        qt, kt, vt, segment_ids=seg_ids, causal=causal, sm_scale=sm_scale, block_sizes=block_sizes
+    )
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    kv_valid_len,
+    causal: bool = True,
+    q_offset=0,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    if impl == "flash" and q.shape[1] > 1:
+        return _flash_mha(q, k, v, kv_valid_len, causal, sm_scale)
+    return _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale)

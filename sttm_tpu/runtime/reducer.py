@@ -1,0 +1,142 @@
+"""TokenReducer: first-class mid-layer token-reduction hook.
+
+Replaces the reference's class-level monkey patching
+(token_merging_monkey_patch/quadtree_attn_monkey_patch.py:88-117): the decoder
+invokes ``apply_reducer`` once, during prefill, between layer groups. The
+contract is the one the reference proves sufficient: slice
+``[sys | video | inst]``, merge the video span, re-pack, and report the new
+valid length; position embeddings for the shortened sequence are recomputed by
+the caller (truncate-and-recompute, ref :114-115) or gathered from source
+positions (pos_emb_ver 2, ..._for_abl_pos.py:100-136 / M-RoPE,
+token_merging_qwen2vl_monkey_patch/...:109-113) via the returned ``src_pos``.
+
+Static-shape contract (DESIGN.md §3): the merged sequence lives in a buffer of
+static length ``s_merged = s_full - n_video + video_budget``; tokens are
+packed [sys | merged video | inst] with traced valid length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.dycoke import dycoke_output_len, dycoke_ttm
+from ..ops.sttm import sttm_merge
+from ..ops.tome import tome_merge, tome_schedule
+
+__all__ = ["ReducerSpec", "apply_reducer", "merged_buffer_len"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ReducerSpec:
+    """Static reduction config (hashable; safe as a jit static arg).
+
+    Mirrors the reference's sa_* flag family (llava/train/train.py:130-151).
+    """
+
+    kind: str  # "quadtree" | "tome" | "dycoke" | "none"
+    layer_idx: int
+    t: int
+    h: int
+    w: int
+    video_budget: int = -1  # quadtree merged-video buffer; -1 = no reduction in shape
+    spatial_thresh: float = 0.9
+    temporal_thresh: float = -1.0
+    root_level: int = 0
+    weighted_avg: bool = False
+    sim_head_dim: int | None = None  # per-head similarity (sim_per_head)
+    prune_ratio: float = 0.5  # tome / dycoke
+    tome_per: str = "video"
+    tome_n_head: int = 1
+    pos_emb_ver: int = 0  # 0: truncate+recompute; 2: gather source positions
+
+    @property
+    def n_video(self) -> int:
+        return self.t * self.h * self.w
+
+    def video_out_len(self) -> int:
+        """Static length of the merged-video buffer."""
+        if self.kind == "quadtree":
+            return self.n_video if self.video_budget < 0 else self.video_budget
+        if self.kind == "tome":
+            n = self.n_video if self.tome_per == "video" else self.h * self.w
+            out = n - sum(tome_schedule(n, self.prune_ratio))
+            return out * (1 if self.tome_per == "video" else self.t)
+        if self.kind == "dycoke":
+            return dycoke_output_len(self.t, self.h * self.w, self.prune_ratio)
+        if self.kind == "none":
+            return self.n_video
+        raise ValueError(f"unknown reducer kind {self.kind!r}")
+
+
+def merged_buffer_len(spec: ReducerSpec, s_full: int) -> int:
+    return s_full - spec.n_video + spec.video_out_len()
+
+
+def apply_reducer(spec: ReducerSpec, hidden: jnp.ndarray, video_start, valid_len):
+    """Reduce the video span of ``hidden`` [1, S_full, D].
+
+    Returns (new_hidden [1, S_merged, D], new_valid_len, n_video_kept,
+    src_pos [S_merged] int32) where src_pos maps each packed slot to its
+    source position in the original sequence (for position gathering).
+    """
+    _, s_full, d = hidden.shape
+    nv = spec.n_video
+    video = jax.lax.dynamic_slice(hidden[0], (video_start, 0), (nv, d))
+
+    if spec.kind == "quadtree":
+        grid = video.reshape(spec.t, spec.h, spec.w, d)
+        res = sttm_merge(
+            grid,
+            spec.spatial_thresh,
+            spec.temporal_thresh,
+            spec.root_level,
+            spec.weighted_avg,
+            spec.sim_head_dim,
+        )
+        budget = spec.video_out_len()
+        rank = jnp.cumsum(res.keep.astype(jnp.int32)) - 1
+        slot = jnp.where(res.keep & (rank < budget), rank, budget)
+        vid_feat = jnp.zeros((budget, d), hidden.dtype).at[slot].set(
+            res.feat.astype(hidden.dtype), mode="drop"
+        )
+        vid_src = jnp.zeros((budget,), jnp.int32).at[slot].set(
+            jnp.arange(nv, dtype=jnp.int32), mode="drop"
+        )
+        n_kept = jnp.minimum(res.keep.sum(), budget).astype(jnp.int32)
+    elif spec.kind == "tome":
+        grid = video.reshape(spec.t, spec.h * spec.w, d)
+        vid_feat, vid_src = tome_merge(grid, spec.prune_ratio, spec.tome_n_head, spec.tome_per)
+        vid_feat = vid_feat.astype(hidden.dtype)
+        n_kept = jnp.int32(vid_feat.shape[0])
+    elif spec.kind == "dycoke":
+        vid_feat, vid_src = dycoke_ttm(video, spec.t, spec.prune_ratio)
+        vid_feat = vid_feat.astype(hidden.dtype)
+        n_kept = jnp.int32(vid_feat.shape[0])
+    elif spec.kind == "none":
+        vid_feat, vid_src = video, jnp.arange(nv, dtype=jnp.int32)
+        n_kept = jnp.int32(nv)
+    else:
+        raise ValueError(f"unknown reducer kind {spec.kind!r}")
+
+    budget = vid_feat.shape[0]
+    s_merged = s_full - nv + budget
+    new_valid = valid_len - nv + n_kept
+
+    # Re-pack [sys | merged video | inst] with one scatter per part.
+    src_i = jnp.arange(s_full, dtype=jnp.int32)
+    is_sys = src_i < video_start
+    is_inst = src_i >= video_start + nv
+    tgt = jnp.where(is_sys, src_i, jnp.where(is_inst, src_i - nv + n_kept, s_merged))
+    tgt = jnp.where(tgt < s_merged, tgt, s_merged)
+    new_hidden = jnp.zeros((s_merged, d), hidden.dtype).at[tgt].set(hidden[0], mode="drop")
+    new_src = jnp.zeros((s_merged,), jnp.int32).at[tgt].set(src_i, mode="drop")
+
+    vslot = jnp.arange(budget, dtype=jnp.int32)
+    vtgt = jnp.where(vslot < n_kept, video_start + vslot, s_merged)
+    new_hidden = new_hidden.at[vtgt].set(vid_feat, mode="drop")
+    new_src = new_src.at[vtgt].set(vid_src + video_start, mode="drop")
+
+    return new_hidden[None], new_valid, n_kept, new_src

@@ -1,0 +1,164 @@
+"""Decoder correctness: HF-transformers parity, reducer invariants, KV decode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+# Parity vs torch needs full fp32 matmuls; in production the trunk runs bf16
+# on the MXU (XLA default) by design.
+jax.config.update("jax_default_matmul_precision", "float32")
+
+from sttm_tpu.models import qwen2
+from sttm_tpu.models.config import TINY
+from sttm_tpu.models.weights import params_from_state_dict
+from sttm_tpu.runtime.generate import build_decode_step, build_prefill, generate
+from sttm_tpu.runtime.reducer import ReducerSpec, apply_reducer, merged_buffer_len
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    """A tiny HF Qwen2 model and our params built from its state dict."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    hf_cfg = Qwen2Config(
+        vocab_size=TINY.vocab_size,
+        hidden_size=TINY.hidden_size,
+        intermediate_size=TINY.intermediate_size,
+        num_hidden_layers=TINY.num_layers,
+        num_attention_heads=TINY.num_heads,
+        num_key_value_heads=TINY.num_kv_heads,
+        head_dim=TINY.head_dim,
+        rope_theta=TINY.rope_theta,
+        rms_norm_eps=TINY.rms_eps,
+        max_position_embeddings=TINY.max_position_embeddings,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_state_dict(TINY, sd)
+    return hf, params
+
+
+def test_prefill_matches_transformers(hf_pair):
+    import torch
+
+    hf, params = hf_pair
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, TINY.vocab_size, size=(1, 33))
+    with torch.no_grad():
+        ref_logits = hf(torch.from_numpy(ids)).logits.numpy()
+
+    s_full = 48  # padded
+    embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+    embeds = jnp.pad(embeds, ((0, 0), (0, s_full - 33), (0, 0)))
+    prefill = build_prefill(TINY, None, s_full, "xla")
+    logits, cache = prefill(params, embeds, jnp.int32(33), jnp.int32(0))
+    np.testing.assert_allclose(
+        np.asarray(logits[0]), ref_logits[0, -1], rtol=2e-4, atol=2e-4
+    )
+    assert int(cache.merged_len) == 33
+
+
+def test_decode_matches_transformers(hf_pair):
+    import torch
+
+    hf, params = hf_pair
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, TINY.vocab_size, size=(1, 17))
+    with torch.no_grad():
+        out = hf.generate(
+            torch.from_numpy(prompt), max_new_tokens=8, do_sample=False,
+            pad_token_id=0, eos_token_id=None,
+        )
+    ref_ids = out[0, 17:].tolist()
+
+    embeds = qwen2.embed_tokens(params, jnp.asarray(prompt))
+    embeds = jnp.pad(embeds, ((0, 0), (0, 32 - 17), (0, 0)))
+    from sttm_tpu.runtime.generate import GenerateConfig
+
+    ids, runtime = generate(
+        params, TINY, embeds, 17, 0, None, GenerateConfig(max_new_tokens=8, eos_token_ids=()),
+    )
+    assert ids == ref_ids
+    assert runtime["num_dec_token"] == 8
+    assert runtime["ttft_llm"] > 0
+
+
+def test_none_reducer_is_identity(hf_pair):
+    """Packing through a 'none' reducer must not change logits at all."""
+    _, params = hf_pair
+    rng = np.random.default_rng(2)
+    s_full, valid, video_start, t, h, w = 64, 60, 10, 4, 3, 3
+    embeds = jnp.asarray(rng.normal(size=(1, s_full, TINY.hidden_size)), jnp.float32)
+
+    base = build_prefill(TINY, None, s_full, "xla")
+    ref_logits, ref_cache = base(params, embeds, jnp.int32(valid), jnp.int32(0))
+
+    spec = ReducerSpec(kind="none", layer_idx=2, t=t, h=h, w=w)
+    assert merged_buffer_len(spec, s_full) == s_full
+    fn = build_prefill(TINY, spec, s_full, "xla")
+    logits, cache = fn(params, embeds, jnp.int32(valid), jnp.int32(video_start))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=1e-5, atol=1e-5)
+    assert int(cache.len_a) == valid and int(cache.len_b) == valid
+    # group split: 2 layers full-length cache, 2 layers merged-length cache
+    assert cache.ka.shape[0] == 2 and cache.kb.shape[0] == 2
+
+
+def test_quadtree_reducer_end_to_end(hf_pair):
+    """Merged prefill + decode runs; merged_len < full video length; decode
+    continues from the merged cache without shape errors."""
+    _, params = hf_pair
+    rng = np.random.default_rng(3)
+    t, h, w = 6, 4, 4
+    nv = t * h * w
+    sys_len, inst_len = 8, 12
+    valid = sys_len + nv + inst_len
+    s_full = 128
+    assert valid <= s_full
+    # correlated video embeds so the quadtree actually merges
+    base_tok = rng.normal(size=(1, 1, TINY.hidden_size))
+    video = base_tok + 0.3 * rng.normal(size=(nv, TINY.hidden_size))
+    embeds = np.zeros((1, s_full, TINY.hidden_size), np.float32)
+    embeds[0, :sys_len] = rng.normal(size=(sys_len, TINY.hidden_size))
+    embeds[0, sys_len : sys_len + nv] = video
+    embeds[0, sys_len + nv : valid] = rng.normal(size=(inst_len, TINY.hidden_size))
+
+    spec = ReducerSpec(
+        kind="quadtree", layer_idx=1, t=t, h=h, w=w, video_budget=nv // 2,
+        spatial_thresh=0.5, temporal_thresh=0.4, root_level=0,
+    )
+    from sttm_tpu.runtime.generate import GenerateConfig
+
+    ids, runtime = generate(
+        params, TINY, jnp.asarray(embeds), valid, sys_len, spec,
+        GenerateConfig(max_new_tokens=4, eos_token_ids=()),
+    )
+    assert len(ids) == 4
+    assert runtime["merged_len"] < valid
+    assert runtime["merged_len"] >= sys_len + inst_len + 1
+
+
+def test_reducer_packing_layout():
+    """apply_reducer packs [sys | merged video | inst] and reports src map."""
+    t, h, w, d = 2, 2, 2, 8
+    nv = t * h * w
+    sys_len, inst_len, s_full = 3, 2, 16
+    rng = np.random.default_rng(0)
+    hidden = rng.normal(size=(1, s_full, d)).astype(np.float32)
+    spec = ReducerSpec(kind="none", layer_idx=0, t=t, h=h, w=w)
+    out, new_valid, n_kept, src = apply_reducer(
+        spec, jnp.asarray(hidden), jnp.int32(sys_len), jnp.int32(sys_len + nv + inst_len)
+    )
+    assert int(new_valid) == sys_len + nv + inst_len
+    assert int(n_kept) == nv
+    np.testing.assert_allclose(
+        np.asarray(out[0, : sys_len + nv + inst_len]),
+        hidden[0, : sys_len + nv + inst_len],
+        rtol=1e-6,
+    )
+    assert np.asarray(src)[: sys_len + nv + inst_len].tolist() == list(range(sys_len + nv + inst_len))
