@@ -1,0 +1,185 @@
+"""LLaVA meta-architecture: projector + spatial pooling + newline policy +
+multimodal embedding splice.
+
+Functional port of the reference video feature pipeline
+(llava/model/llava_arch.py): encode/passthrough -> mm_projector MLP
+(llava_arch.py:230-241) -> 2D pool 27x27 -> 14x14 (get_2dPool,
+llava_arch.py:173-198) -> newline-token policy (:383-433) -> splice into text
+embeds at the image-token position (:533-587). The "video_feature" modality
+(pre-extracted SigLIP features, :317-319) skips the vision tower — the main
+eval path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .config import DecoderConfig
+from . import qwen2
+
+__all__ = [
+    "LlavaConfig",
+    "init_multimodal_params",
+    "project_features",
+    "pool_2d",
+    "apply_newline_policy",
+    "build_multimodal_embeds",
+]
+
+IMAGE_TOKEN_INDEX = -200  # reference sentinel (llava/constants.py)
+
+
+@dataclasses.dataclass(frozen=True)
+class LlavaConfig:
+    decoder: DecoderConfig
+    vision_hidden_size: int = 1152  # SigLIP-so400m
+    vision_patches_per_side: int = 27  # 384px / patch 14 -> 27x27 tokens
+    spatial_pool_stride: int = 2
+    spatial_pool_mode: str = "bilinear"  # average | max | bilinear
+    newline_position: str = "no_token"  # grid | frame | one_token | no_token
+
+    @property
+    def pooled_side(self) -> int:
+        return math.ceil(self.vision_patches_per_side / self.spatial_pool_stride)
+
+    def tokens_per_frame(self) -> int:
+        s = self.pooled_side
+        if self.newline_position == "grid":
+            return s * (s + 1)
+        return s * s
+
+
+def init_multimodal_params(cfg: LlavaConfig, key: jax.Array) -> dict:
+    """mm_projector (mlp2x_gelu, multimodal_projector/builder.py:41-48) +
+    image_newline embedding."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    d_in, d = cfg.vision_hidden_size, cfg.decoder.hidden_size
+    dt = cfg.decoder.dtype
+    return {
+        "proj_w1": (jax.random.normal(k1, (d_in, d)) * d_in**-0.5).astype(dt),
+        "proj_b1": jnp.zeros((d,), dt),
+        "proj_w2": (jax.random.normal(k2, (d, d)) * d**-0.5).astype(dt),
+        "proj_b2": jnp.zeros((d,), dt),
+        "image_newline": (jax.random.normal(k3, (d,)) * 0.02).astype(dt),
+    }
+
+
+def project_features(mm_params: dict, feats: jnp.ndarray) -> jnp.ndarray:
+    """mm_projector: Linear -> GELU -> Linear. feats: [T, P, C_vis] -> [T, P, D]."""
+    h = feats @ mm_params["proj_w1"] + mm_params["proj_b1"]
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ mm_params["proj_w2"] + mm_params["proj_b2"]
+
+
+def _bilinear_matrix(in_size: int, out_size: int):
+    """[out, in] interpolation matrix matching torch F.interpolate(bilinear,
+    align_corners=False): half-pixel centers, 2-tap, NO anti-aliasing (torch
+    does not low-pass when downsampling; jax.image.resize does, so we build
+    the exact taps as a static matrix — one MXU matmul per axis)."""
+    import numpy as np
+
+    i = np.arange(out_size, dtype=np.float64)
+    x = (i + 0.5) * (in_size / out_size) - 0.5
+    x0 = np.clip(np.floor(x), 0, in_size - 1).astype(np.int64)
+    x1 = np.clip(x0 + 1, 0, in_size - 1)
+    w1 = np.clip(x - x0, 0.0, 1.0)
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    m[np.arange(out_size), x0] += 1.0 - w1
+    m[np.arange(out_size), x1] += w1
+    return jnp.asarray(m)
+
+
+def pool_2d(feats: jnp.ndarray, side: int, stride: int = 2, mode: str = "bilinear"):
+    """get_2dPool: [T, side*side, D] -> [T, ceil(side/stride)^2, D]
+    (llava_arch.py:173-198; bilinear is the mode the eval configs use)."""
+    if stride == 1:
+        return feats
+    t, p, d = feats.shape
+    out = math.ceil(side / stride)
+    grid = feats.reshape(t, side, side, d)
+    if mode == "bilinear":
+        m = _bilinear_matrix(side, out).astype(jnp.float32)
+        g = grid.astype(jnp.float32)
+        pooled = jnp.einsum(
+            "oh,thwd->towd", m, g, precision=jax.lax.Precision.HIGHEST
+        )
+        pooled = jnp.einsum(
+            "ow,thwd->thod", m, pooled, precision=jax.lax.Precision.HIGHEST
+        ).astype(feats.dtype)
+    elif mode == "average":
+        pooled = grid.reshape(t, out, stride, out, stride, d).mean((2, 4))
+    elif mode == "max":
+        pooled = grid.reshape(t, out, stride, out, stride, d).max((2, 4))
+    else:
+        raise ValueError(f"unknown pool mode {mode!r}")
+    return pooled.reshape(t, out * out, d)
+
+
+def apply_newline_policy(
+    feats: jnp.ndarray, side: int, newline: jnp.ndarray, position: str
+) -> jnp.ndarray:
+    """[T, side*side, D] -> flattened video token sequence [N, D].
+
+    grid: newline after each grid row (add_token_per_grid, llava_arch.py:267);
+    frame: newline after each frame (:290); one_token: single trailing
+    newline; no_token: plain flatten (:427-428). Token merging requires
+    no_token (square per-frame grids)."""
+    t, p, d = feats.shape
+    if position == "no_token":
+        return feats.reshape(t * p, d)
+    if position == "one_token":
+        return jnp.concatenate([feats.reshape(t * p, d), newline[None]], axis=0)
+    if position == "frame":
+        nl = jnp.broadcast_to(newline[None, None], (t, 1, d))
+        return jnp.concatenate([feats, nl], axis=1).reshape(t * (p + 1), d)
+    if position == "grid":
+        grid = feats.reshape(t, side, side, d)
+        nl = jnp.broadcast_to(newline[None, None, None], (t, side, 1, d))
+        return jnp.concatenate([grid, nl], axis=2).reshape(t * side * (side + 1), d)
+    raise ValueError(f"unknown newline position {position!r}")
+
+
+def build_multimodal_embeds(
+    decoder_params: dict,
+    cfg: LlavaConfig,
+    mm_params: dict,
+    input_ids,
+    video_feats: jnp.ndarray,
+    s_full: int,
+):
+    """Assemble [1, s_full, D] embeddings from a tokenized prompt containing
+    one IMAGE_TOKEN_INDEX placeholder and pre-extracted vision features
+    [T, P_vis, C_vis].
+
+    Returns (embeds, valid_len, video_start, n_video) — the layout the
+    TokenReducer consumes (the reference stashes the same three scalars on
+    the model, llava_qwen.py:139-143).
+    """
+    import numpy as np
+
+    ids = np.asarray(input_ids).reshape(-1)
+    img_pos = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
+    if len(img_pos) != 1:
+        raise ValueError(f"expected exactly one image token, got {len(img_pos)}")
+    img_pos = int(img_pos[0])
+    pre, post = ids[:img_pos], ids[img_pos + 1 :]
+
+    feats = project_features(mm_params, video_feats)
+    feats = pool_2d(feats, cfg.vision_patches_per_side, cfg.spatial_pool_stride, cfg.spatial_pool_mode)
+    video = apply_newline_policy(
+        feats, cfg.pooled_side, mm_params["image_newline"], cfg.newline_position
+    ).astype(cfg.decoder.dtype)
+
+    pre_e = qwen2.embed_tokens(decoder_params, jnp.asarray(pre, jnp.int32))
+    post_e = qwen2.embed_tokens(decoder_params, jnp.asarray(post, jnp.int32))
+    n_video = video.shape[0]
+    valid = len(pre) + n_video + len(post)
+    if valid > s_full:
+        raise ValueError(f"sequence {valid} exceeds buffer {s_full}")
+    seq = jnp.concatenate([pre_e, video, post_e], axis=0)
+    seq = jnp.pad(seq, ((0, s_full - valid), (0, 0)))
+    return seq[None], valid, len(pre), n_video
