@@ -1,0 +1,156 @@
+"""STTM-TPU headline benchmark: prefill TTFT speedup from quadtree merging.
+
+Operating point (BASELINE.md): LLaVA-Video-7B architecture, 128 frames x 196
+tokens/frame (2D-pooled 27->14 grid), STTM quadtree at layer 2, thresholds
+0.85/0.65, root level 1 — ~50% token budget. The reference publishes no
+numbers in-repo ("published": {} in BASELINE.json); the north-star target is
+>=2x prefill speedup at matched accuracy, so ``vs_baseline`` reports
+value / 2.0 (fraction of target).
+
+Prints ONE JSON line to stdout; details land in BENCH_DETAILS.json.
+
+Notes:
+  * Weights are random bf16 (no checkpoints ship in this environment); TTFT
+    is weight-value independent.
+  * Vocab is trimmed to 32k so the 7B trunk + KV cache fit one v5e chip
+    (16 GB); the lm_head is one matmul on a single token at prefill, so this
+    does not distort the TTFT comparison.
+  * Static-shape contract: merged prefill runs at the budgeted length
+    regardless of the realized merge ratio (DESIGN.md §3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def build_case(tiny: bool, frames: int, layers: int, vocab: int):
+    import jax
+    import jax.numpy as jnp
+
+    from sttm_tpu.models import qwen2
+    from sttm_tpu.models.config import QWEN2_7B, TINY
+    from sttm_tpu.runtime.reducer import ReducerSpec
+
+    if tiny:
+        cfg = TINY
+        t, h, w = 8, 4, 4
+        sys_len, inst_len = 8, 16
+        s_full = 192
+        budget = 64
+        impl = "xla"
+    else:
+        cfg = dataclasses.replace(QWEN2_7B, num_layers=layers, vocab_size=vocab)
+        t, h, w = frames, 14, 14
+        sys_len, inst_len = 14, 50
+        nv = t * h * w
+        s_full = ((sys_len + nv + inst_len + 511) // 512) * 512
+        # choose the video budget so the merged length is a 512 multiple
+        s_merged_target = ((s_full - nv // 2 + 511) // 512) * 512
+        budget = s_merged_target - s_full + nv
+        impl = "flash"
+
+    nv = t * h * w
+    spec = ReducerSpec(
+        kind="quadtree", layer_idx=2, t=t, h=h, w=w, video_budget=budget,
+        spatial_thresh=0.85, temporal_thresh=0.65, root_level=1,
+    )
+    params = qwen2.init_params(cfg, jax.random.key(0))
+
+    # video-like embeds: shared frame content + temporal drift + noise
+    rng = np.random.default_rng(0)
+    d = cfg.hidden_size
+    base = rng.normal(size=(1, h, w, d))
+    drift = np.cumsum(0.25 * rng.normal(size=(t, 1, 1, d)), axis=0)
+    video = (base + drift + 0.35 * rng.normal(size=(t, h, w, d))).reshape(nv, d)
+    emb = np.zeros((1, s_full, d), np.float32)
+    valid = sys_len + nv + inst_len
+    emb[0, :valid] = 0.02 * rng.normal(size=(valid, d))
+    emb[0, sys_len : sys_len + nv] = 0.02 * video
+    embeds = jnp.asarray(emb, cfg.dtype)
+    return cfg, spec, params, embeds, valid, sys_len, s_full, impl
+
+
+def time_fn(fn, n: int = 3):
+    import jax
+
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke mode")
+    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=28)
+    ap.add_argument("--vocab", type=int, default=32768)
+    args = ap.parse_args()
+
+    if args.tiny:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from sttm_tpu.runtime.generate import build_prefill
+
+    cfg, spec, params, embeds, valid, vstart, s_full, impl = build_case(
+        args.tiny, args.frames, args.layers, args.vocab
+    )
+
+    merged_prefill = build_prefill(cfg, spec, s_full, impl)
+    base_prefill = build_prefill(cfg, None, s_full, impl)
+    vl = jnp.int32(valid)
+    vs = jnp.int32(vstart)
+
+    # warm-up (compile), reference-style (eval_vidqa_by_feat_llavavideo.py:220-231)
+    logits_m, cache_m = jax.block_until_ready(merged_prefill(params, embeds, vl, vs))
+    jax.block_until_ready(base_prefill(params, embeds, vl, vs))
+
+    ttft_merged = time_fn(lambda: merged_prefill(params, embeds, vl, vs))
+    ttft_base = time_fn(lambda: base_prefill(params, embeds, vl, vs))
+    speedup = ttft_base / ttft_merged
+
+    merged_len = int(cache_m.len_b)
+    nv = spec.n_video
+    visual_kept = merged_len - (valid - nv)
+    details = {
+        "device": str(jax.devices()[0]),
+        "config": {
+            "hidden": cfg.hidden_size, "layers": cfg.num_layers,
+            "heads": f"{cfg.num_heads}q/{cfg.num_kv_heads}kv",
+            "vocab": cfg.vocab_size, "frames": spec.t,
+            "s_full": s_full, "video_budget": spec.video_budget,
+            "thresholds": [spec.spatial_thresh, spec.temporal_thresh],
+        },
+        "ttft_base_s": ttft_base,
+        "ttft_merged_s": ttft_merged,
+        "speedup": speedup,
+        "visual_merged_ratio_pct": 100.0 * visual_kept / nv,
+        "prefill_tokens_per_s_base": valid / ttft_base,
+        "prefill_tokens_per_s_merged": valid / ttft_merged,
+    }
+    with open("BENCH_DETAILS.json", "w") as fp:
+        json.dump(details, fp, indent=2)
+
+    print(json.dumps({
+        "metric": "prefill_ttft_speedup_sttm50_llava_video_7b_128f",
+        "value": round(speedup, 3),
+        "unit": "x",
+        "vs_baseline": round(speedup / 2.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

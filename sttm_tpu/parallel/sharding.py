@@ -1,0 +1,77 @@
+"""Device mesh + parameter sharding (TPU-native scaling layer).
+
+Replaces the reference's multi-GPU story (HF ``device_map="auto"`` layer
+placement for the 72B, eval_vidqa_by_feat_llavavideo.py:104) with proper
+SPMD: a (dp, tp) ``jax.sharding.Mesh`` over ICI, Megatron-style tensor
+partitioning of the stacked-layer params, and XLA-inserted collectives.
+
+Layer weights are stacked [L, ...], so one PartitionSpec shards every layer
+at once:
+  wq/wk/wv [L, D, heads*hd]  -> shard out dim on tp (column parallel)
+  wo       [L, heads*hd, D]  -> shard in dim on tp (row parallel)
+  wg/wu    [L, D, F]         -> shard F on tp
+  wd       [L, F, D]         -> shard F on tp
+  embed [V, D], lm_head [D, V] -> shard vocab on tp
+Activations are batch-sharded on dp.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["create_mesh", "param_specs", "shard_params", "batch_spec"]
+
+
+def create_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if dp * tp > len(devices):
+        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {len(devices)}")
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def param_specs(params: dict) -> dict:
+    """PartitionSpec pytree matching the qwen2 params layout."""
+    layer_specs = {
+        "ln1": P(None, None),
+        "ln2": P(None, None),
+        "wq": P(None, None, "tp"),
+        "bq": P(None, "tp"),
+        "wk": P(None, None, "tp"),
+        "bk": P(None, "tp"),
+        "wv": P(None, None, "tp"),
+        "bv": P(None, "tp"),
+        "wo": P(None, "tp", None),
+        "wg": P(None, None, "tp"),
+        "wu": P(None, None, "tp"),
+        "wd": P(None, "tp", None),
+    }
+    specs = {
+        "embed": P("tp", None),
+        "norm": P(None),
+        "layers": {k: layer_specs[k] for k in params["layers"]},
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = P(None, "tp")
+    # extra param groups (projector etc.) default to replicated
+    for k in params:
+        if k not in specs:
+            specs[k] = jax.tree.map(lambda _: P(), params[k])
+    return specs
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    specs = param_specs(params)
+
+    def rec(p, s):
+        if isinstance(p, dict):
+            return {k: rec(p[k], s[k]) for k in p}
+        return jax.device_put(p, NamedSharding(mesh, s))
+
+    return rec(params, specs)
+
+
+def batch_spec() -> P:
+    return P("dp")
