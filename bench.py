@@ -90,8 +90,14 @@ def time_fn(fn, n: int = 3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke mode")
+    # Full 7B bf16 (13.3 GB weights) + 25.6k-token prefill transients exceed
+    # one v5e chip's 16 GB HBM (the reference runs on 80 GB A100s; the TPU
+    # story for full 7B is tp over a mesh, see sttm_tpu/parallel). The
+    # single-chip bench keeps the exact 7B layer geometry (hidden 3584, GQA
+    # 28q/4kv, ffn 18944) at 16 layers; the merged-vs-full ratio is
+    # layer-count invariant above the merge layer.
     ap.add_argument("--frames", type=int, default=128)
-    ap.add_argument("--layers", type=int, default=28)
+    ap.add_argument("--layers", type=int, default=16)
     ap.add_argument("--vocab", type=int, default=32768)
     args = ap.parse_args()
 

@@ -1,0 +1,108 @@
+"""Feature-based video-QA dataset (the reference's main eval input path).
+
+Behavioral port of VidQA_Loader_Feature (llava/eval/video_dataset.py:299-401):
+loads per-video cached vision features ``{vid}.pt``/``{vid}.npy`` plus
+``{vid}.pkl`` metadata, builds the chat prompt with the image placeholder, and
+yields the (input_ids, feature, sys/inst lengths) bundle the harness feeds the
+model. Supports resuming (skip answered qids, video_dataset.py:319-325),
+``first_sample`` debug truncation (:316-317) and ``temporal_skip_freq``
+(:328-329, frame subsampling).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+
+import numpy as np
+
+from .chat import build_chat_prompt, build_video_message, time_instruction, tokenize_with_image
+from .formatters import FORMATTERS
+
+__all__ = ["DataConfig", "FeatureVidQADataset", "load_annotations"]
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset_name: str
+    anno_filepath: str
+    feature_dir: str
+    metadata_dir: str
+    add_time_instruction: bool = False
+    answer_flag: bool = True
+    first_sample: bool = False
+    temporal_skip_freq: int = -1
+
+
+def load_annotations(dataset_name: str, anno_filepath: str, answer_flag: bool = True):
+    with open(anno_filepath) as fp:
+        raw = json.load(fp)
+    fmt = FORMATTERS[dataset_name]
+    return fmt(raw, answer_flag=answer_flag)
+
+
+def _load_feature(feature_dir: str, vid: str) -> np.ndarray:
+    pt = os.path.join(feature_dir, f"{vid}.pt")
+    npy = os.path.join(feature_dir, f"{vid}.npy")
+    if os.path.exists(npy):
+        return np.load(npy)
+    if os.path.exists(pt):
+        import torch
+
+        return torch.load(pt, weights_only=True, map_location="cpu").float().numpy()
+    raise FileNotFoundError(f"no cached feature for {vid} in {feature_dir}")
+
+
+class FeatureVidQADataset:
+    def __init__(self, cfg: DataConfig, tokenizer, skip_qids=()):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        data = load_annotations(cfg.dataset_name, cfg.anno_filepath, cfg.answer_flag)
+        skip = set(skip_qids)
+        self.data = [d for d in data if d["qid"] not in skip]
+        if cfg.first_sample:
+            self.data = self.data[:1]
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx: int) -> dict:
+        d = self.data[idx]
+        vid = d["vid"]
+        feature = _load_feature(self.cfg.feature_dir, vid)
+        meta_path = os.path.join(self.cfg.metadata_dir, f"{vid}.pkl")
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path, "rb") as fp:
+                meta = pickle.load(fp)
+        if self.cfg.temporal_skip_freq > 2:
+            feature = feature[:: self.cfg.temporal_skip_freq]
+
+        ti = None
+        if self.cfg.add_time_instruction:
+            ti = time_instruction(
+                meta.get("video_time", 0.0), meta.get("num_frames", len(feature)),
+                meta.get("frame_time", ""),
+            )
+        message = build_video_message(d["conversations"], ti)
+        prompt = build_chat_prompt(message)
+        input_ids, sys_len, inst_len = tokenize_with_image(prompt, self.tokenizer)
+
+        return {
+            "input_ids": input_ids,
+            "feature": feature,
+            "modality": "video_feature",
+            "id": d["qid"],
+            "vid": vid,
+            "sys_len": sys_len,
+            "inst_len": inst_len,
+            "frame_len": len(feature),
+            "answer": str(d["answer"]) if self.cfg.answer_flag else "",
+            "instruction": message,
+        }
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]

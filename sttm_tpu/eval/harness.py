@@ -1,0 +1,147 @@
+"""Video-QA eval harness: resumable, instrumented, flush-per-sample.
+
+Behavioral port of the reference eval entry points
+(llava/eval/eval_vidqa_by_feat_llavavideo.py): per-sample greedy generation
+(<=32 new tokens), append-mode JSONL predictions so crashed runs resume
+(:182-204), one warm-up generation to de-noise latency (:220-231), per-sample
+runtime + prompt-stat streams (:233-252), then accuracy metrics.
+
+TPU specifics: sequence buffers are padded to a multiple of ``pad_multiple``
+(one compile per bucket, cached); the video grid (T, H, W) is exact per
+sample so merge decisions match the reference's dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llava, qwen2
+from ..models.config import DecoderConfig
+from ..models.llava import LlavaConfig
+from ..runtime.generate import GenerateConfig, generate
+from ..runtime.reducer import ReducerSpec
+from . import metrics as metrics_mod
+from .reporting import append_jsonl, prompt_stat_ratios, read_jsonl
+
+__all__ = ["EvalConfig", "LlavaEvaluator", "run_name"]
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    out_dir: str
+    dataset_name: str
+    max_new_tokens: int = 32
+    pad_multiple: int = 128
+    warmup: bool = True
+    attention_impl: str = "flash"
+    eos_token_ids: tuple = (151645, 151643)
+
+
+def run_name(model_name: str, dataset: str, spec: ReducerSpec | None, frames: int) -> str:
+    """Config-encoding run directory (the reference's experiment tracking is
+    the output-dir name, eval_utils.py:136-204)."""
+    if spec is None:
+        sa = "full"
+    elif spec.kind == "quadtree":
+        sa = (
+            f"quadtree_l-{spec.layer_idx}_root-{spec.root_level}"
+            f"_thr-{spec.spatial_thresh}_tthr-{spec.temporal_thresh}"
+        )
+    else:
+        sa = f"{spec.kind}_l-{spec.layer_idx}_ratio-{spec.prune_ratio}"
+    return f"{model_name}_{dataset}_F-{frames}_{sa}"
+
+
+class LlavaEvaluator:
+    def __init__(
+        self,
+        decoder_params,
+        decoder_cfg: DecoderConfig,
+        llava_cfg: LlavaConfig,
+        mm_params,
+        tokenizer,
+        spec_factory: Callable[[int, int, int], ReducerSpec | None],
+    ):
+        self.decoder_params = decoder_params
+        self.decoder_cfg = decoder_cfg
+        self.llava_cfg = llava_cfg
+        self.mm_params = mm_params
+        self.tokenizer = tokenizer
+        self.spec_factory = spec_factory
+
+    def _prepare(self, sample: dict, pad_multiple: int):
+        feats = jnp.asarray(sample["feature"])
+        t = feats.shape[0]
+        side = self.llava_cfg.pooled_side
+        per_frame = self.llava_cfg.tokens_per_frame()
+        n_video = t * per_frame
+        raw_len = sample["sys_len"] + n_video + sample["inst_len"]
+        s_full = math.ceil(raw_len / pad_multiple) * pad_multiple
+        embeds, valid, video_start, nv = llava.build_multimodal_embeds(
+            self.decoder_params, self.llava_cfg, self.mm_params,
+            sample["input_ids"], feats, s_full,
+        )
+        spec = self.spec_factory(t, side, side)
+        return embeds, valid, video_start, nv, spec
+
+    def run_sample(self, sample: dict, cfg: EvalConfig):
+        embeds, valid, video_start, n_video, spec = self._prepare(sample, cfg.pad_multiple)
+        t0 = time.perf_counter()
+        ids, runtime = generate(
+            self.decoder_params, self.decoder_cfg, embeds, valid, video_start, spec,
+            GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids), impl=cfg.attention_impl,
+        )
+        runtime["all"] = time.perf_counter() - t0
+        text = self.tokenizer.decode(
+            [i for i in ids if i not in cfg.eos_token_ids], skip_special_tokens=True
+        ).strip()
+        merged_input = runtime["merged_len"]
+        stat = prompt_stat_ratios(
+            {
+                "sys": sample["sys_len"],
+                "video": n_video,
+                "inst": sample["inst_len"],
+                "merged_video": merged_input - (valid - n_video),
+                "merged_input": merged_input,
+            }
+        )
+        return text, runtime, stat
+
+    def evaluate(self, dataset, cfg: EvalConfig, gts: list[dict] | None = None):
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        pred_path = os.path.join(cfg.out_dir, "predictions.jsonl")
+        rt_path = os.path.join(cfg.out_dir, "runtime.jsonl")
+        stat_path = os.path.join(cfg.out_dir, "prompt_stat.jsonl")
+
+        done = {r["question_id"] for r in read_jsonl(pred_path)}
+        warmed = not cfg.warmup
+        n_done = 0
+        for sample in dataset:
+            if sample["id"] in done:
+                continue
+            if not warmed:  # first-sample warm-up run (compile + cache)
+                self.run_sample(sample, cfg)
+                warmed = True
+            text, runtime, stat = self.run_sample(sample, cfg)
+            append_jsonl(pred_path, {
+                "question_id": sample["id"], "vid": sample["vid"],
+                "answer": text, "gt": sample["answer"],
+            })
+            append_jsonl(rt_path, {"question_id": sample["id"], **runtime})
+            append_jsonl(stat_path, {"question_id": sample["id"], **stat})
+            n_done += 1
+
+        preds = read_jsonl(pred_path)
+        result = metrics_mod.evaluate_predictions(cfg.dataset_name, preds, gts)
+        if "total" in result:
+            metrics_mod.write_metrics_csv(
+                result, os.path.join(cfg.out_dir, "accuracy.csv"), os.path.basename(cfg.out_dir)
+            )
+        return result

@@ -1,0 +1,158 @@
+"""CLI: feature-based video-QA evaluation (the reference's main entry point).
+
+Mirrors eval_vidqa_by_feat_llavavideo.py's flag surface (the sa_* family from
+llava/train/train.py:130-151 + data/eval args) on argparse. Example:
+
+    python -m sttm_tpu.eval.run_vidqa \
+        --model_name_or_path ckpts/LLaVA-Video-7B-Qwen2-Video-Only \
+        --dataset_name videomme --anno_filepath .../videomme_v2.json \
+        --feature_dir .../features --metadata_dir .../metadata \
+        --sa_pattern quadtree --sa_start_layer_idx 2 \
+        --sa_tree_thresh 0.85 --sa_tree_temporal_thresh 0.65 \
+        --sa_tree_root_level 1 --reproduce
+
+``--reproduce`` fixes seeds (reference: seed 42 + deterministic kernels,
+eval_utils.py:86-92; TPU/XLA execution is deterministic by construction, so
+seeding covers the remaining nondeterminism).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import random
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    # model
+    p.add_argument("--model_name_or_path", required=True)
+    p.add_argument("--model_size", choices=["7b", "72b"], default="7b")
+    p.add_argument("--mm_newline_position", default="no_token")
+    p.add_argument("--rope_scaling_factor", type=float, default=1.0)
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel devices")
+    # data
+    p.add_argument("--dataset_name", required=True)
+    p.add_argument("--anno_filepath", required=True)
+    p.add_argument("--feature_dir", required=True)
+    p.add_argument("--metadata_dir", required=True)
+    p.add_argument("--frames_upbound", type=int, default=128)
+    p.add_argument("--mm_spatial_pool_stride", type=int, default=2)
+    p.add_argument("--add_time_instruction", action="store_true")
+    p.add_argument("--first_sample", action="store_true")
+    p.add_argument("--temporal_skip_freq", type=int, default=-1)
+    # token reduction (sa_*)
+    p.add_argument("--sa_pattern", default="origin",
+                   choices=["origin", "quadtree", "tome", "dycoke-stage1"])
+    p.add_argument("--sa_start_layer_idx", type=int, default=2)
+    p.add_argument("--sa_tree_thresh", type=float, default=0.9)
+    p.add_argument("--sa_tree_temporal_thresh", type=float, default=-1.0)
+    p.add_argument("--sa_tree_root_level", type=int, default=0)
+    p.add_argument("--sa_tree_weighted_avg", action="store_true")
+    p.add_argument("--sim_per_head", action="store_true")
+    p.add_argument("--sa_prune_ratio", type=float, default=0.5)
+    p.add_argument("--sa_tome_ver", default="video", choices=["video", "frame"])
+    p.add_argument("--video_budget_ratio", type=float, default=0.6,
+                   help="static merged-video buffer as a fraction of video tokens")
+    # eval
+    p.add_argument("--output_dir", default="outputs")
+    p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--reproduce", action="store_true")
+    p.add_argument("--attention_impl", default="flash", choices=["flash", "xla"])
+    return p.parse_args(argv)
+
+
+def make_spec_factory(args, head_dim: int):
+    from ..runtime.reducer import ReducerSpec
+
+    def factory(t, h, w):
+        if args.sa_pattern == "origin":
+            return None
+        nv = t * h * w
+        common = dict(layer_idx=args.sa_start_layer_idx, t=t, h=h, w=w)
+        if args.sa_pattern == "quadtree":
+            return ReducerSpec(
+                kind="quadtree", video_budget=int(args.video_budget_ratio * nv),
+                spatial_thresh=args.sa_tree_thresh,
+                temporal_thresh=args.sa_tree_temporal_thresh,
+                root_level=args.sa_tree_root_level,
+                weighted_avg=args.sa_tree_weighted_avg,
+                sim_head_dim=head_dim if args.sim_per_head else None,
+                **common,
+            )
+        if args.sa_pattern == "tome":
+            return ReducerSpec(kind="tome", prune_ratio=args.sa_prune_ratio,
+                               tome_per=args.sa_tome_ver, **common)
+        if args.sa_pattern == "dycoke-stage1":
+            return ReducerSpec(kind="dycoke", prune_ratio=args.sa_prune_ratio, **common)
+        raise ValueError(args.sa_pattern)
+
+    return factory
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.reproduce:
+        random.seed(42)
+        np.random.seed(42)
+
+    import jax
+    from transformers import AutoTokenizer
+
+    from ..data.datasets import DataConfig, FeatureVidQADataset, load_annotations
+    from ..eval.harness import EvalConfig, LlavaEvaluator, run_name
+    from ..models import llava as llava_mod
+    from ..models.config import QWEN2_72B, QWEN2_7B
+    from ..models.llava import LlavaConfig
+    from ..models.weights import load_safetensors_dir
+    from ..parallel.sharding import create_mesh, shard_params
+
+    dec_cfg = dataclasses.replace(
+        QWEN2_72B if args.model_size == "72b" else QWEN2_7B,
+        rope_scaling_factor=args.rope_scaling_factor,
+    )
+    llava_cfg = LlavaConfig(
+        decoder=dec_cfg,
+        spatial_pool_stride=args.mm_spatial_pool_stride,
+        newline_position=args.mm_newline_position,
+    )
+    if llava_cfg.newline_position != "no_token" and args.sa_pattern != "origin":
+        raise ValueError("token merging requires mm_newline_position=no_token "
+                         "(square per-frame grids)")
+
+    tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path)
+    params = load_safetensors_dir(dec_cfg, args.model_name_or_path)
+    mm_params = llava_mod.load_projector_safetensors(llava_cfg, args.model_name_or_path)
+    if args.tp > 1:
+        mesh = create_mesh(dp=1, tp=args.tp)
+        params = shard_params(params, mesh)
+
+    dcfg = DataConfig(
+        args.dataset_name, args.anno_filepath, args.feature_dir, args.metadata_dir,
+        add_time_instruction=args.add_time_instruction,
+        first_sample=args.first_sample, temporal_skip_freq=args.temporal_skip_freq,
+    )
+    dataset = FeatureVidQADataset(dcfg, tokenizer)
+    gts = json.load(open(args.anno_filepath))
+
+    spec_factory = make_spec_factory(args, dec_cfg.head_dim)
+    name = run_name(
+        os.path.basename(args.model_name_or_path.rstrip("/")), args.dataset_name,
+        spec_factory(args.frames_upbound, llava_cfg.pooled_side, llava_cfg.pooled_side),
+        args.frames_upbound,
+    )
+    ecfg = EvalConfig(
+        out_dir=os.path.join(args.output_dir, name), dataset_name=args.dataset_name,
+        max_new_tokens=args.max_new_tokens, attention_impl=args.attention_impl,
+    )
+    ev = LlavaEvaluator(params, dec_cfg, llava_cfg, mm_params, tokenizer, spec_factory)
+    result = ev.evaluate(dataset, ecfg, gts=gts)
+    print(json.dumps(result, indent=2, default=str))
+
+
+if __name__ == "__main__":
+    main()

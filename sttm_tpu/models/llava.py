@@ -68,6 +68,35 @@ def init_multimodal_params(cfg: LlavaConfig, key: jax.Array) -> dict:
     }
 
 
+def load_projector_safetensors(cfg: LlavaConfig, path: str) -> dict:
+    """Load mm_projector + image_newline from a HF LLaVA checkpoint dir
+    (keys: model.mm_projector.{0,2}.{weight,bias}, model.image_newline)."""
+    import os
+
+    from safetensors import safe_open
+
+    names = {
+        "model.mm_projector.0.weight": ("proj_w1", True),
+        "model.mm_projector.0.bias": ("proj_b1", False),
+        "model.mm_projector.2.weight": ("proj_w2", True),
+        "model.mm_projector.2.bias": ("proj_b2", False),
+        "model.image_newline": ("image_newline", False),
+    }
+    out = {}
+    dt = cfg.decoder.dtype
+    for shard in [f for f in os.listdir(path) if f.endswith(".safetensors")]:
+        with safe_open(os.path.join(path, shard), framework="np") as f:
+            for name in f.keys():
+                if name in names:
+                    key, transpose = names[name]
+                    arr = f.get_tensor(name)
+                    out[key] = jnp.asarray(arr.T if transpose else arr, dt)
+    missing = {v[0] for v in names.values()} - set(out)
+    if missing:
+        raise ValueError(f"projector weights missing from {path}: {missing}")
+    return out
+
+
 def project_features(mm_params: dict, feats: jnp.ndarray) -> jnp.ndarray:
     """mm_projector: Linear -> GELU -> Linear. feats: [T, P, C_vis] -> [T, P, D]."""
     h = feats @ mm_params["proj_w1"] + mm_params["proj_b1"]

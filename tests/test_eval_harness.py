@@ -1,0 +1,122 @@
+"""End-to-end eval harness test: synthetic benchmark, tiny model, resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from sttm_tpu.data.chat import IMAGE_TOKEN_INDEX
+from sttm_tpu.data.datasets import DataConfig, FeatureVidQADataset
+from sttm_tpu.eval.harness import EvalConfig, LlavaEvaluator, run_name
+from sttm_tpu.eval.metrics import evaluate_predictions, extract_letter
+from sttm_tpu.eval.reporting import read_jsonl, summarize_prompt_stat, summarize_runtime
+from sttm_tpu.models import llava, qwen2
+from sttm_tpu.models.config import TINY
+from sttm_tpu.models.llava import LlavaConfig
+from sttm_tpu.runtime.reducer import ReducerSpec
+
+
+class MockTokenizer:
+    """Maps characters to token ids; decode letters back."""
+
+    def encode(self, text, add_special_tokens=False):
+        return [ord(c) % 250 for c in text][:40]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(65 + (i % 26)) for i in ids[:3])
+
+
+def test_extract_letter():
+    assert extract_letter("The best answer is B.") == "B"
+    assert extract_letter("(C)") == "C"
+    assert extract_letter("I think the answer might be option D", "ABCD") == "D"
+    assert extract_letter("no letter here at all in this very long response text ok") == ""
+
+
+@pytest.fixture()
+def synthetic_benchmark(tmp_path):
+    rng = np.random.default_rng(0)
+    annos = []
+    feat_dir = tmp_path / "features"
+    meta_dir = tmp_path / "metadata"
+    feat_dir.mkdir()
+    meta_dir.mkdir()
+    for i in range(3):
+        vid = f"vid{i}"
+        annos.append({
+            "question_id": f"q{i}", "videoID": vid,
+            "question": f"What is shown {i}?",
+            "options": ["A. cat", "B. dog", "C. bird", "D. fish"],
+            "answer": "A", "duration": "short", "domain": "test", "task_type": "tt",
+        })
+        t = 4 + i  # varying frame counts exercise per-T specs
+        np.save(feat_dir / f"{vid}.npy", rng.normal(size=(t, 36, 16)).astype(np.float32))
+    anno_path = tmp_path / "annos.json"
+    anno_path.write_text(json.dumps(annos))
+    return anno_path, feat_dir, meta_dir, annos
+
+
+def test_eval_end_to_end_with_resume(tmp_path, synthetic_benchmark):
+    anno_path, feat_dir, meta_dir, annos = synthetic_benchmark
+    cfg = LlavaConfig(decoder=TINY, vision_hidden_size=16, vision_patches_per_side=6)
+    dec_params = qwen2.init_params(TINY, jax.random.key(0))
+    mm_params = llava.init_multimodal_params(cfg, jax.random.key(1))
+    tok = MockTokenizer()
+
+    dcfg = DataConfig("videomme", str(anno_path), str(feat_dir), str(meta_dir))
+    ds = FeatureVidQADataset(dcfg, tok)
+    assert len(ds) == 3
+    s0 = ds[0]
+    assert s0["input_ids"].count(IMAGE_TOKEN_INDEX) == 1
+    assert s0["frame_len"] == 4
+
+    def spec_factory(t, h, w):
+        return ReducerSpec(
+            kind="quadtree", layer_idx=1, t=t, h=h, w=w, video_budget=t * h * w // 2,
+            spatial_thresh=0.7, temporal_thresh=0.6, root_level=0,
+        )
+
+    ev = LlavaEvaluator(dec_params, TINY, cfg, mm_params, tok, spec_factory)
+    ecfg = EvalConfig(
+        out_dir=str(tmp_path / "out"), dataset_name="videomme",
+        max_new_tokens=3, pad_multiple=64, attention_impl="xla",
+        eos_token_ids=(),
+    )
+    result = ev.evaluate(ds, ecfg, gts=annos)
+    assert result["n"] == 3
+    assert 0.0 <= result["answered_ratio"] <= 100.0
+    assert "short" in result["per_group"]["duration"]
+
+    preds = read_jsonl(os.path.join(ecfg.out_dir, "predictions.jsonl"))
+    assert len(preds) == 3
+    rts = read_jsonl(os.path.join(ecfg.out_dir, "runtime.jsonl"))
+    stats = read_jsonl(os.path.join(ecfg.out_dir, "prompt_stat.jsonl"))
+    assert all(r["merged_len"] < r["full_len"] for r in rts)
+    assert all(0 < s["visual_merged_ratio"] <= 100 for s in stats)
+    assert os.path.exists(os.path.join(ecfg.out_dir, "accuracy.csv"))
+
+    # resume: nothing new runs, results stable
+    ds2 = FeatureVidQADataset(dcfg, tok, skip_qids={p["question_id"] for p in preds})
+    assert len(ds2) == 0
+    result2 = ev.evaluate(ds2, ecfg, gts=annos)
+    assert result2["n"] == 3
+
+    summary = summarize_runtime(rts)
+    assert summary["n"] == 3 and summary["ttft_llm"] > 0
+    ps = summarize_prompt_stat(stats)
+    assert 0 < ps["visual_merged_ratio"] <= 100
+
+    name = run_name("tiny", "videomme", spec_factory(4, 3, 3), 4)
+    assert "quadtree" in name and "thr-0.7" in name
+
+
+def test_egoschema_submission():
+    preds = [
+        {"question_id": "a", "answer": "The best answer is B."},
+        {"question_id": "b", "answer": "garbage with no valid letter at all xyz" * 3},
+    ]
+    out = evaluate_predictions("egoschema", preds)
+    assert out["submission"] == {"a": 1, "b": -1}
