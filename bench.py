@@ -29,6 +29,36 @@ import time
 import numpy as np
 
 
+def _box_smooth(x: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Moving-average along axis with edge clamping (numpy-only)."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (k // 2, k // 2)
+    xe = np.pad(x, pad, mode="edge")
+    c = np.cumsum(xe, axis=axis, dtype=np.float64)
+    lo = [slice(None)] * x.ndim
+    hi = [slice(None)] * x.ndim
+    hi[axis] = slice(k, k + x.shape[axis])
+    lo[axis] = slice(0, x.shape[axis])
+    zeros_shape = list(xe.shape)
+    zeros_shape[axis] = 1
+    c = np.concatenate([np.zeros(zeros_shape), c], axis=axis)
+    return ((c[tuple(hi)] - c[tuple(lo)]) / k).astype(x.dtype)
+
+
+def _synthetic_video(rng, t, h, w, d, alpha=0.95, area=0.5):
+    eps = _box_smooth(_box_smooth(rng.normal(size=(t, h, w, d)), 5, 1), 5, 2)
+    vid = np.zeros_like(eps)
+    vid[0] = eps[0]
+    for i in range(1, t):
+        vid[i] = alpha * vid[i - 1] + np.sqrt(1 - alpha**2) * eps[i]
+    oh, ow = max(int(h * area**0.5), 1), max(int(w * area**0.5), 1)
+    for i in range(t):
+        y = (i * 2) % max(h - oh, 1)
+        x = (i * 3) % max(w - ow, 1)
+        vid[i, y : y + oh, x : x + ow] += 3.0 * rng.normal(size=(oh, ow, d))
+    return vid.astype(np.float32)
+
+
 def build_case(tiny: bool, frames: int, layers: int, vocab: int):
     import jax
     import jax.numpy as jnp
@@ -63,11 +93,12 @@ def build_case(tiny: bool, frames: int, layers: int, vocab: int):
     params = qwen2.init_params(cfg, jax.random.key(0))
 
     # video-like embeds: shared frame content + temporal drift + noise
+    # Calibrated so the quadtree keeps ~50% of tokens at the 0.85/0.65
+    # thresholds (the tuned operating point): smooth AR(1) background (merges
+    # spatially + temporally) + a moving high-detail "object" (survives).
     rng = np.random.default_rng(0)
     d = cfg.hidden_size
-    base = rng.normal(size=(1, h, w, d))
-    drift = np.cumsum(0.25 * rng.normal(size=(t, 1, 1, d)), axis=0)
-    video = (base + drift + 0.35 * rng.normal(size=(t, h, w, d))).reshape(nv, d)
+    video = _synthetic_video(rng, t, h, w, d).reshape(nv, d)
     emb = np.zeros((1, s_full, d), np.float32)
     valid = sys_len + nv + inst_len
     emb[0, :valid] = 0.02 * rng.normal(size=(valid, d))
@@ -77,13 +108,20 @@ def build_case(tiny: bool, frames: int, layers: int, vocab: int):
 
 
 def time_fn(fn, n: int = 3):
-    import jax
-
+    """Median wall-clock of fn. Forces a host fetch of the logits: under the
+    remote-TPU tunnel, block_until_ready alone does not synchronize with
+    execution, so timing must include a device->host readback of a small
+    array (128 KB of logits; negligible vs multi-ms prefill)."""
     times = []
+    out = None
     for _ in range(n):
+        out = None  # release the previous call's KV cache before running
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        out = fn()
+        logits = out[0] if isinstance(out, tuple) else out
+        np.asarray(logits)  # device->host sync
         times.append(time.perf_counter() - t0)
+    del out
     return float(np.median(times))
 
 
@@ -121,14 +159,30 @@ def main():
     vs = jnp.int32(vstart)
 
     # warm-up (compile), reference-style (eval_vidqa_by_feat_llavavideo.py:220-231)
-    logits_m, cache_m = jax.block_until_ready(merged_prefill(params, embeds, vl, vs))
-    jax.block_until_ready(base_prefill(params, embeds, vl, vs))
+    # extract scalars and free each cache before the next program runs: two
+    # live KV caches + transients exceed one chip's HBM
+    logits_m, cache_m = merged_prefill(params, embeds, vl, vs)
+    merged_len = int(cache_m.len_b)
+    del logits_m, cache_m
+    # Realized merge ratio on the raw features (what real checkpoint features
+    # produce at these thresholds). The in-model ratio under random weights is
+    # an artifact: attention with random projections homogenizes tokens and
+    # over-merges. Timing is budget-bound (static shapes) either way.
+    from sttm_tpu.ops.sttm import sttm_merge
+
+    raw = sttm_merge(
+        embeds[0, vstart : vstart + spec.n_video].reshape(spec.t, spec.h, spec.w, -1),
+        spec.spatial_thresh, spec.temporal_thresh, spec.root_level,
+    )
+    raw_ratio = 100.0 * float(raw.n_kept) / spec.n_video
+    del raw
+    out = base_prefill(params, embeds, vl, vs)
+    np.asarray(out[0])
+    del out
 
     ttft_merged = time_fn(lambda: merged_prefill(params, embeds, vl, vs))
     ttft_base = time_fn(lambda: base_prefill(params, embeds, vl, vs))
     speedup = ttft_base / ttft_merged
-
-    merged_len = int(cache_m.len_b)
     nv = spec.n_video
     visual_kept = merged_len - (valid - nv)
     details = {
@@ -143,7 +197,8 @@ def main():
         "ttft_base_s": ttft_base,
         "ttft_merged_s": ttft_merged,
         "speedup": speedup,
-        "visual_merged_ratio_pct": 100.0 * visual_kept / nv,
+        "visual_merged_ratio_pct_raw_features": raw_ratio,
+        "visual_merged_ratio_pct_in_model_random_weights": 100.0 * visual_kept / nv,
         "prefill_tokens_per_s_base": valid / ttft_base,
         "prefill_tokens_per_s_merged": valid / ttft_merged,
     }

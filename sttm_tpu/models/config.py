@@ -69,4 +69,5 @@ TINY = DecoderConfig(
     dtype=jnp.float32,
 )
 
-TINY_MROPE = dataclasses.replace(TINY, mrope_section=(4, 6, 6))
+# mrope_section sums to head_dim/2 (Qwen2-VL convention: 16+24+24 == 128/2)
+TINY_MROPE = dataclasses.replace(TINY, mrope_section=(2, 3, 3))

@@ -43,15 +43,25 @@ def _split_idx(cfg: DecoderConfig, spec: ReducerSpec | None) -> int:
 
 @functools.lru_cache(maxsize=16)
 def build_prefill(cfg: DecoderConfig, spec: ReducerSpec | None, s_full: int, impl: str):
-    """Jitted prefill: (params, embeds [1, s_full, D], valid_len, video_start)
-    -> (logits [1, V] fp32, KVCache)."""
+    """Jitted prefill: (params, embeds [1, s_full, D], valid_len, video_start,
+    position_ids=None) -> (logits [1, V] fp32, KVCache).
+
+    position_ids: [s_full] (1D RoPE) or [3, s_full] (M-RoPE, Qwen2-VL);
+    defaults to iota. With M-RoPE, post-merge positions are gathered from the
+    source sequence by surviving-token index — the reference's 3D position
+    remap (token_merging_qwen2vl_monkey_patch/quadtree_attn_monkey_patch.py:
+    109-113). With 1D RoPE the default policy truncates + recomputes
+    (quadtree_attn_monkey_patch.py:114-115); pos_emb_ver=2 gathers instead.
+    """
     k_split = _split_idx(cfg, spec)
     s_merged = merged_buffer_len(spec, s_full) if spec is not None else s_full
+    mrope = bool(cfg.mrope_section)
 
-    def fn(params, embeds, valid_len, video_start):
+    def fn(params, embeds, valid_len, video_start, position_ids=None):
         layers = params["layers"]
-        pos_full = jnp.arange(s_full, dtype=jnp.int32)
-        cos, sin = qwen2.rope_cos_sin(cfg, pos_full)
+        if position_ids is None:
+            position_ids = jnp.arange(s_full, dtype=jnp.int32)
+        cos, sin = qwen2.rope_cos_sin(cfg, position_ids)
         x = embeds
 
         x, ka, va = qwen2.prefill_layers(
@@ -60,8 +70,10 @@ def build_prefill(cfg: DecoderConfig, spec: ReducerSpec | None, s_full: int, imp
 
         if spec is not None and k_split < cfg.num_layers:
             x, new_valid, n_kept, src_pos = apply_reducer(spec, x, video_start, valid_len)
-            if spec.pos_emb_ver == 2:
-                pos_m = src_pos
+            if mrope:
+                pos_m = position_ids[:, src_pos]  # gather 3D source positions
+            elif spec.pos_emb_ver == 2:
+                pos_m = position_ids[src_pos]
             else:  # truncate + recompute (reference default, :114-115)
                 pos_m = jnp.arange(s_merged, dtype=jnp.int32)
             cos_m, sin_m = qwen2.rope_cos_sin(cfg, pos_m)
@@ -86,6 +98,13 @@ def build_prefill(cfg: DecoderConfig, spec: ReducerSpec | None, s_full: int, imp
                 [buf, jnp.zeros((l, b, MAX_DECODE, kv, hd), buf.dtype)], axis=2
             )
 
+        # decode position base: one past the last valid token's position id
+        # (1D iota -> valid_len, the HF default; M-RoPE -> max pos + 1, i.e.
+        # the reference's rope-delta decode positions, modeling_qwen2vl.py:
+        # 1779-1787)
+        last = position_ids[..., valid_len - 1]
+        pos_base = (jnp.max(last) + 1).astype(jnp.int32)
+
         cache = qwen2.KVCache(
             ka=with_tail(ka),
             va=with_tail(va),
@@ -93,11 +112,11 @@ def build_prefill(cfg: DecoderConfig, spec: ReducerSpec | None, s_full: int, imp
             vb=with_tail(vb),
             len_a=jnp.asarray(valid_len, jnp.int32),
             len_b=jnp.asarray(new_valid, jnp.int32),
-            pos_base=jnp.asarray(valid_len, jnp.int32),
+            pos_base=pos_base,
         )
         return logits, cache
 
-    return jax.jit(fn)
+    return jax.jit(fn, static_argnames=())
 
 
 @functools.lru_cache(maxsize=16)
@@ -112,6 +131,8 @@ def build_decode_step(cfg: DecoderConfig, spec: ReducerSpec | None):
         layers = params["layers"]
         x = qwen2.embed_tokens(params, token)[:, None, :]  # [1, 1, D]
         pos = (cache.pos_base + step)[None].astype(jnp.int32)
+        if cfg.mrope_section:  # decode: all three M-RoPE rows advance together
+            pos = jnp.broadcast_to(pos, (3, 1))
         cos, sin = qwen2.rope_cos_sin(cfg, pos)
 
         x, ka, va = qwen2.decode_layers(
@@ -138,6 +159,7 @@ def generate(
     spec: ReducerSpec | None,
     gen: GenerateConfig = GenerateConfig(),
     impl: str = "xla",
+    position_ids=None,
 ):
     """Greedy generation. Returns (token_ids list, runtime dict)."""
     s_full = embeds.shape[1]
@@ -146,7 +168,7 @@ def generate(
 
     t0 = time.perf_counter()
     logits, cache = jax.block_until_ready(
-        prefill(params, embeds, jnp.int32(valid_len), jnp.int32(video_start))
+        prefill(params, embeds, jnp.int32(valid_len), jnp.int32(video_start), position_ids)
     )
     ttft = time.perf_counter() - t0
 
