@@ -42,6 +42,9 @@ class EvalConfig:
     warmup: bool = True
     attention_impl: str = "flash"
     eos_token_ids: tuple = (151645, 151643)
+    # StreamingLLM A-shape attention (0 = off)
+    attn_sinks: int = 0
+    attn_window: int = 0
 
 
 def run_name(model_name: str, dataset: str, spec: ReducerSpec | None, frames: int) -> str:
@@ -49,9 +52,11 @@ def run_name(model_name: str, dataset: str, spec: ReducerSpec | None, frames: in
     the output-dir name, eval_utils.py:136-204)."""
     if spec is None:
         sa = "full"
-    elif spec.kind == "quadtree":
+    elif isinstance(spec, tuple):  # multi-stage (pyrd)
+        sa = "-".join(f"{s.kind}{s.layer_idx}x{s.pyrd_size}" for s in spec)
+    elif spec.kind in ("quadtree", "octree"):
         sa = (
-            f"quadtree_l-{spec.layer_idx}_root-{spec.root_level}"
+            f"{spec.kind}_l-{spec.layer_idx}_root-{spec.root_level}"
             f"_thr-{spec.spatial_thresh}_tthr-{spec.temporal_thresh}"
         )
     else:
@@ -97,6 +102,7 @@ class LlavaEvaluator:
         ids, runtime = generate(
             self.decoder_params, self.decoder_cfg, embeds, valid, video_start, spec,
             GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids), impl=cfg.attention_impl,
+            attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window,
         )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(

@@ -47,7 +47,8 @@ def parse_args(argv=None):
     p.add_argument("--temporal_skip_freq", type=int, default=-1)
     # token reduction (sa_*)
     p.add_argument("--sa_pattern", default="origin",
-                   choices=["origin", "quadtree", "tome", "dycoke-stage1"])
+                   choices=["origin", "quadtree", "tome", "dycoke-stage1",
+                            "fastv", "pyrd", "octree", "streamingllm"])
     p.add_argument("--sa_start_layer_idx", type=int, default=2)
     p.add_argument("--sa_tree_thresh", type=float, default=0.9)
     p.add_argument("--sa_tree_temporal_thresh", type=float, default=-1.0)
@@ -56,6 +57,11 @@ def parse_args(argv=None):
     p.add_argument("--sim_per_head", action="store_true")
     p.add_argument("--sa_prune_ratio", type=float, default=0.5)
     p.add_argument("--sa_tome_ver", default="video", choices=["video", "frame"])
+    p.add_argument("--sa_fastv_evict_ratio", type=float, default=0.5)
+    p.add_argument("--sa_pyrd_loc_list", type=int, nargs="+", default=[2, 8, 16])
+    p.add_argument("--sa_pyrd_size_list", type=int, nargs="+", default=[12, 10, 8])
+    p.add_argument("--sa_sink_tokens", type=int, default=16)
+    p.add_argument("--sa_local_window", type=int, default=4096)
     p.add_argument("--video_budget_ratio", type=float, default=0.6,
                    help="static merged-video buffer as a fraction of video tokens")
     # eval
@@ -89,6 +95,23 @@ def make_spec_factory(args, head_dim: int):
                                tome_per=args.sa_tome_ver, **common)
         if args.sa_pattern == "dycoke-stage1":
             return ReducerSpec(kind="dycoke", prune_ratio=args.sa_prune_ratio, **common)
+        if args.sa_pattern == "fastv":
+            return ReducerSpec(kind="fastv", prune_ratio=args.sa_fastv_evict_ratio, **common)
+        if args.sa_pattern == "octree":
+            return ReducerSpec(
+                kind="octree", video_budget=int(args.video_budget_ratio * nv),
+                spatial_thresh=args.sa_tree_thresh, root_level=args.sa_tree_root_level,
+                **common,
+            )
+        if args.sa_pattern == "pyrd":
+            specs, hh, www = [], h, w
+            for loc, size in zip(args.sa_pyrd_loc_list, args.sa_pyrd_size_list):
+                specs.append(ReducerSpec(kind="pyrd", layer_idx=loc, t=t, h=hh, w=www,
+                                         pyrd_size=size))
+                hh = www = size
+            return tuple(specs)
+        if args.sa_pattern == "streamingllm":
+            return None  # attention-pattern baseline; no token reduction
         raise ValueError(args.sa_pattern)
 
     return factory
@@ -145,9 +168,12 @@ def main(argv=None):
         spec_factory(args.frames_upbound, llava_cfg.pooled_side, llava_cfg.pooled_side),
         args.frames_upbound,
     )
+    streaming = args.sa_pattern == "streamingllm"
     ecfg = EvalConfig(
         out_dir=os.path.join(args.output_dir, name), dataset_name=args.dataset_name,
         max_new_tokens=args.max_new_tokens, attention_impl=args.attention_impl,
+        attn_sinks=args.sa_sink_tokens if streaming else 0,
+        attn_window=args.sa_local_window if streaming else 0,
     )
     ev = LlavaEvaluator(params, dec_cfg, llava_cfg, mm_params, tokenizer, spec_factory)
     result = ev.evaluate(dataset, ecfg, gts=gts)

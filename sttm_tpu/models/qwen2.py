@@ -138,7 +138,7 @@ def _slice_layers(layers: dict, lo: int, hi: int) -> dict:
     return {k: v[lo:hi] for k, v in layers.items()}
 
 
-def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend):
+def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend, return_q: bool = False):
     """One decoder layer; ``attend(q, k, v) -> o`` supplied by the caller."""
     b, s, d = x.shape
     h = rms_norm(x, lp["ln1"], cfg.rms_eps)
@@ -151,6 +151,8 @@ def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend):
     x = x + o.reshape(b, s, cfg.q_dim) @ lp["wo"]
     h = rms_norm(x, lp["ln2"], cfg.rms_eps)
     x = x + (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
+    if return_q:
+        return x, k, v, q
     return x, k, v
 
 
@@ -165,25 +167,49 @@ def prefill_layers(
     cfg: DecoderConfig,
     impl: str,
     remat: bool = False,
+    collect_last_q: bool = False,
+    attn_sinks: int = 0,
+    attn_window: int = 0,
 ):
-    """Run layers [lo, hi) at full block width. Returns (x, k_all, v_all)
-    where k_all/v_all: [hi-lo, B, S, KV, hd]."""
+    """Run layers [lo, hi) at full block width.
+
+    Returns (x, k_all, v_all[, q_last_all]) where k_all/v_all:
+    [hi-lo, B, S, KV, hd] and q_last_all: [hi-lo, B, H, hd] (the roped query
+    of the last valid token per layer; used by FastV's attention ranking).
+    attn_sinks/attn_window > 0 selects the StreamingLLM A-shape mask (keep
+    initial sink tokens + a local window; the reference's streamingllm
+    baseline, framefusion/models/qwen2/modeling_qwen2_baseline.py).
+    """
     if hi <= lo:
         b, s, _ = x.shape
         empty = jnp.zeros((0, b, s, cfg.num_kv_heads, cfg.head_dim), x.dtype)
-        return x, empty, empty
+        out = (x, empty, empty)
+        if collect_last_q:
+            out += (jnp.zeros((0, b, cfg.num_heads, cfg.head_dim), x.dtype),)
+        return out
 
     def attend(q, k, v):
+        if attn_sinks > 0 or attn_window > 0:
+            return mha(
+                q, k, v, kv_valid_len=valid_len, causal=True, impl="xla",
+                attn_sinks=attn_sinks, attn_window=attn_window,
+            )
         return mha(q, k, v, kv_valid_len=valid_len, causal=True, impl=impl)
 
     def step(carry, lp):
-        y, k, v = _layer_core(lp, carry, cos, sin, cfg, attend)
-        return y, (k, v)
+        y, k, v, q = _layer_core(lp, carry, cos, sin, cfg, attend, return_q=True)
+        ys = (k, v)
+        if collect_last_q:
+            q_last = jax.lax.dynamic_slice(
+                q, (0, valid_len - 1, 0, 0), (q.shape[0], 1, cfg.num_heads, cfg.head_dim)
+            )[:, 0]
+            ys += (q_last,)
+        return y, ys
 
     if remat:
         step = jax.checkpoint(step)
-    x, (k_all, v_all) = jax.lax.scan(step, x, _slice_layers(layers, lo, hi))
-    return x, k_all, v_all
+    x, ys = jax.lax.scan(step, x, _slice_layers(layers, lo, hi))
+    return (x,) + tuple(ys)
 
 
 def decode_layers(
@@ -250,20 +276,26 @@ def decode_layers(
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Per-group KV cache. Group A: layers [0, k) at full length; group B:
-    layers [k, L) at merged-budget length (reference invariant,
-    llava_qwen.py:258: layer-0 cache keeps the unmerged length; last layer's
-    the merged length)."""
+    """Per-layer-group KV cache. Token reduction at layer k splits the stack
+    into groups with different sequence lengths; each group's cache keeps its
+    own packed valid length (reference invariant, llava_qwen.py:258: layer-0
+    cache keeps the unmerged length, the last layer's the merged length)."""
 
-    ka: jnp.ndarray  # [k, B, S_a, KV, hd]
-    va: jnp.ndarray
-    kb: jnp.ndarray  # [L-k, B, S_b, KV, hd]
-    vb: jnp.ndarray
-    len_a: jnp.ndarray  # packed valid length of group A (scalar int32)
-    len_b: jnp.ndarray
-    pos_base: jnp.ndarray  # decode position base = full (unmerged) valid len
+    ks: tuple  # per group: [Lg, B, Sg, KV, hd]
+    vs: tuple
+    lens: tuple  # per group: scalar int32 packed valid length
+    pos_base: jnp.ndarray  # decode position base (one past last valid pos id)
 
     @property
     def merged_len(self) -> jnp.ndarray:
         """Reference's 'merged token count' readout (get_seq_length(-1))."""
-        return self.len_b if self.kb.shape[0] > 0 else self.len_a
+        return self.lens[-1]
+
+    # two-group convenience (the common single-reducer case)
+    @property
+    def len_a(self):
+        return self.lens[0]
+
+    @property
+    def len_b(self):
+        return self.lens[-1]

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 __all__ = ["mha"]
 
 
-def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale):
+def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks=0, attn_window=0):
     b, sq, hq, hd = q.shape
     _, skv, hkv, _ = k.shape
     g = hq // hkv
@@ -28,6 +28,10 @@ def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale):
     if causal:
         qpos = jnp.arange(sq)[:, None] + q_offset
         mask = mask & (kpos <= qpos)
+    if attn_sinks > 0 or attn_window > 0:
+        # StreamingLLM A-shape: initial sink tokens + local window
+        qpos = jnp.arange(sq)[:, None] + q_offset
+        mask = mask & ((kpos < attn_sinks) | (qpos - kpos < attn_window))
     scores = jnp.where(mask[None, None, None], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
@@ -80,8 +84,10 @@ def mha(
     causal: bool = True,
     q_offset=0,
     impl: str = "xla",
+    attn_sinks: int = 0,
+    attn_window: int = 0,
 ) -> jnp.ndarray:
     sm_scale = 1.0 / (q.shape[-1] ** 0.5)
-    if impl == "flash" and q.shape[1] > 1:
+    if impl == "flash" and q.shape[1] > 1 and not (attn_sinks or attn_window):
         return _flash_mha(q, k, v, kv_valid_len, causal, sm_scale)
-    return _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale)
+    return _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks, attn_window)

@@ -7,8 +7,11 @@ forwards accumulate ``time_decoding``; the merged token count is read from the
 last layer group's cache length (llava_qwen.py:258). Greedy decoding, ≤
 ``max_new_tokens`` (the harness uses 32, eval_vidqa_by_feat_llavavideo.py:164).
 
-All shapes are static per (config, spec, s_full): functions are built once and
-cached; the host loop only feeds scalars.
+Token reduction splits the layer stack into groups: reducers fire between
+groups at their ``layer_idx`` (one reducer = the STTM/ToMe/DyCoke/FastV case;
+several = pyramid-drop's multi-stage schedule, pyrd_attn_monkey_patch.py).
+All shapes are static per (config, specs, s_full); functions are built once
+and cached; the host loop only feeds scalars.
 """
 
 from __future__ import annotations
@@ -35,59 +38,110 @@ class GenerateConfig:
     eos_token_ids: tuple = (151645, 151643)  # Qwen2 <|im_end|>, <|endoftext|>
 
 
-def _split_idx(cfg: DecoderConfig, spec: ReducerSpec | None) -> int:
+def _normalize_specs(spec) -> tuple:
     if spec is None:
-        return cfg.num_layers
-    return max(0, min(spec.layer_idx, cfg.num_layers))
+        return ()
+    if isinstance(spec, ReducerSpec):
+        return (spec,)
+    return tuple(sorted(spec, key=lambda s: s.layer_idx))
 
 
-@functools.lru_cache(maxsize=16)
-def build_prefill(cfg: DecoderConfig, spec: ReducerSpec | None, s_full: int, impl: str):
+def _group_bounds(cfg: DecoderConfig, specs: tuple) -> list[tuple[int, int]]:
+    """Layer ranges [lo, hi) for each group; len == len(specs) + 1."""
+    cuts = [max(0, min(s.layer_idx, cfg.num_layers)) for s in specs]
+    edges = [0] + cuts + [cfg.num_layers]
+    return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+
+
+def _buffer_lens(specs: tuple, s_full: int) -> list[int]:
+    lens = [s_full]
+    for sp in specs:
+        lens.append(merged_buffer_len(sp, lens[-1]))
+    return lens
+
+
+@functools.lru_cache(maxsize=32)
+def build_prefill(
+    cfg: DecoderConfig,
+    spec,
+    s_full: int,
+    impl: str,
+    attn_sinks: int = 0,
+    attn_window: int = 0,
+):
     """Jitted prefill: (params, embeds [1, s_full, D], valid_len, video_start,
     position_ids=None) -> (logits [1, V] fp32, KVCache).
 
-    position_ids: [s_full] (1D RoPE) or [3, s_full] (M-RoPE, Qwen2-VL);
-    defaults to iota. With M-RoPE, post-merge positions are gathered from the
-    source sequence by surviving-token index — the reference's 3D position
-    remap (token_merging_qwen2vl_monkey_patch/quadtree_attn_monkey_patch.py:
-    109-113). With 1D RoPE the default policy truncates + recomputes
-    (quadtree_attn_monkey_patch.py:114-115); pos_emb_ver=2 gathers instead.
+    ``spec``: None, one ReducerSpec, or a tuple of them (multi-stage).
+    position_ids: [s_full] (1D RoPE) or [3, s_full] (M-RoPE); defaults to
+    iota. Post-merge positions: M-RoPE and FastV gather source positions
+    (token_merging_qwen2vl_monkey_patch/...:109-113,
+    modeling_qwen2_baseline.py:296); the default truncates + recomputes
+    (quadtree_attn_monkey_patch.py:114-115). attn_sinks/attn_window select
+    the StreamingLLM A-shape attention pattern.
     """
-    k_split = _split_idx(cfg, spec)
-    s_merged = merged_buffer_len(spec, s_full) if spec is not None else s_full
+    specs = _normalize_specs(spec)
+    bounds = _group_bounds(cfg, specs)
+    buf_lens = _buffer_lens(specs, s_full)
     mrope = bool(cfg.mrope_section)
 
     def fn(params, embeds, valid_len, video_start, position_ids=None):
         layers = params["layers"]
         if position_ids is None:
             position_ids = jnp.arange(s_full, dtype=jnp.int32)
-        cos, sin = qwen2.rope_cos_sin(cfg, position_ids)
+        pos = position_ids
+        cos, sin = qwen2.rope_cos_sin(cfg, pos)
         x = embeds
+        valid = valid_len
+        vstart = video_start
+        ks, vs, lens = [], [], []
 
-        x, ka, va = qwen2.prefill_layers(
-            layers, 0, k_split, x, cos, sin, valid_len, cfg, impl
-        )
-
-        if spec is not None and k_split < cfg.num_layers:
-            x, new_valid, n_kept, src_pos = apply_reducer(spec, x, video_start, valid_len)
-            if mrope:
-                pos_m = position_ids[:, src_pos]  # gather 3D source positions
-            elif spec.pos_emb_ver == 2:
-                pos_m = position_ids[src_pos]
-            else:  # truncate + recompute (reference default, :114-115)
-                pos_m = jnp.arange(s_merged, dtype=jnp.int32)
-            cos_m, sin_m = qwen2.rope_cos_sin(cfg, pos_m)
-            x, kb, vb = qwen2.prefill_layers(
-                layers, k_split, cfg.num_layers, x, cos_m, sin_m, new_valid, cfg, impl
+        for gi, (lo, hi) in enumerate(bounds):
+            needs_scores = gi < len(specs) and specs[gi].needs_scores
+            out = qwen2.prefill_layers(
+                layers, lo, hi, x, cos, sin, valid, cfg, impl,
+                collect_last_q=needs_scores,
+                attn_sinks=attn_sinks, attn_window=attn_window,
             )
-        else:
-            new_valid = valid_len
-            b = embeds.shape[0]
-            kb = jnp.zeros((0, b, s_merged, cfg.num_kv_heads, cfg.head_dim), embeds.dtype)
-            vb = kb
+            x, k_all, v_all = out[0], out[1], out[2]
+            ks.append(k_all)
+            vs.append(v_all)
+            lens.append(jnp.asarray(valid, jnp.int32))
+
+            if gi < len(specs):
+                sp = specs[gi]
+                scores = None
+                if needs_scores:
+                    # last-token attention over the sequence from the layer
+                    # just below the boundary (fp32, head-mean)
+                    q_last = out[3][-1].astype(jnp.float32)  # [B, H, hd]
+                    k_prev = k_all[-1].astype(jnp.float32)  # [B, S, KV, hd]
+                    b, s, kvh, hd = k_prev.shape
+                    g = cfg.num_heads // kvh
+                    qh = q_last.reshape(b, kvh, g, hd)
+                    att = jnp.einsum(
+                        "bhgd,bshd->bhgs", qh, k_prev,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ) * (hd**-0.5)
+                    att = jnp.where(
+                        (jnp.arange(s) < valid)[None, None, None], att, -1e30
+                    )
+                    probs = jax.nn.softmax(att, axis=-1)
+                    scores = probs.reshape(b, cfg.num_heads, s).mean(1)[0]  # [S]
+                x, valid, n_kept, src_pos = apply_reducer(sp, x, vstart, valid, scores)
+                if mrope:
+                    pos = pos[:, src_pos]
+                elif sp.gathers_positions:
+                    pos = pos[src_pos]
+                else:  # truncate + recompute
+                    pos = jnp.arange(buf_lens[gi + 1], dtype=jnp.int32)
+                cos, sin = qwen2.rope_cos_sin(cfg, pos)
+                # video span start is unchanged (sys prefix untouched); its
+                # length shrinks to n_kept for any subsequent stage
+                # (pyrd updates image_token_length, pyrd_...patch.py:102)
 
         h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
-        last = jax.lax.dynamic_slice(h, (0, new_valid - 1, 0), (1, 1, cfg.hidden_size))
+        last = jax.lax.dynamic_slice(h, (0, valid - 1, 0), (1, 1, cfg.hidden_size))
         logits = qwen2.lm_head(params, cfg, last)[:, 0]
 
         def with_tail(buf):
@@ -99,33 +153,33 @@ def build_prefill(cfg: DecoderConfig, spec: ReducerSpec | None, s_full: int, imp
             )
 
         # decode position base: one past the last valid token's position id
-        # (1D iota -> valid_len, the HF default; M-RoPE -> max pos + 1, i.e.
-        # the reference's rope-delta decode positions, modeling_qwen2vl.py:
-        # 1779-1787)
-        last = position_ids[..., valid_len - 1]
-        pos_base = (jnp.max(last) + 1).astype(jnp.int32)
+        # (1D iota -> valid_len, the HF default; M-RoPE -> max pos + 1, the
+        # reference's rope-delta decode positions, modeling_qwen2vl.py:1779)
+        last_pos = pos[..., valid - 1]
+        pos_base = (jnp.max(last_pos) + 1).astype(jnp.int32)
+        if not mrope and not any(sp.gathers_positions for sp in specs):
+            # HF default: decode positions continue from the UNMERGED length
+            pos_base = jnp.asarray(valid_len, jnp.int32)
 
+        # lens[gi] is the packed valid length group gi ran at (i.e. the
+        # validity BEFORE its following reducer) — exactly its cache length
         cache = qwen2.KVCache(
-            ka=with_tail(ka),
-            va=with_tail(va),
-            kb=with_tail(kb),
-            vb=with_tail(vb),
-            len_a=jnp.asarray(valid_len, jnp.int32),
-            len_b=jnp.asarray(new_valid, jnp.int32),
+            ks=tuple(with_tail(k) for k in ks),
+            vs=tuple(with_tail(v) for v in vs),
+            lens=tuple(lens),
             pos_base=pos_base,
         )
         return logits, cache
 
-    return jax.jit(fn, static_argnames=())
+    return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=16)
-def build_decode_step(cfg: DecoderConfig, spec: ReducerSpec | None):
+@functools.lru_cache(maxsize=32)
+def build_decode_step(cfg: DecoderConfig, spec):
     """Jitted single-token decode: (params, token [1], cache, step) ->
-    (logits [1, V] fp32, cache). Decode positions continue from the full
-    (unmerged) prompt length — HF default the reference relies on
-    (SURVEY.md §3.2)."""
-    k_split = _split_idx(cfg, spec)
+    (logits [1, V] fp32, cache)."""
+    specs = _normalize_specs(spec)
+    bounds = _group_bounds(cfg, specs)
 
     def fn(params, token, cache, step):
         layers = params["layers"]
@@ -135,16 +189,17 @@ def build_decode_step(cfg: DecoderConfig, spec: ReducerSpec | None):
             pos = jnp.broadcast_to(pos, (3, 1))
         cos, sin = qwen2.rope_cos_sin(cfg, pos)
 
-        x, ka, va = qwen2.decode_layers(
-            layers, 0, k_split, x, cos, sin, cache.ka, cache.va, cache.len_a + step, cfg
-        )
-        x, kb, vb = qwen2.decode_layers(
-            layers, k_split, cfg.num_layers, x, cos, sin, cache.kb, cache.vb,
-            cache.len_b + step, cfg,
-        )
+        new_ks, new_vs = [], []
+        for gi, (lo, hi) in enumerate(bounds):
+            x, ck, cv = qwen2.decode_layers(
+                layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
+                cache.lens[gi] + step, cfg,
+            )
+            new_ks.append(ck)
+            new_vs.append(cv)
         h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
         logits = qwen2.lm_head(params, cfg, h)[:, 0]
-        new_cache = dataclasses.replace(cache, ka=ka, va=va, kb=kb, vb=vb)
+        new_cache = dataclasses.replace(cache, ks=tuple(new_ks), vs=tuple(new_vs))
         return logits, new_cache
 
     return jax.jit(fn, donate_argnums=(2,))
@@ -156,20 +211,24 @@ def generate(
     embeds: jnp.ndarray,
     valid_len: int,
     video_start: int,
-    spec: ReducerSpec | None,
+    spec,
     gen: GenerateConfig = GenerateConfig(),
     impl: str = "xla",
     position_ids=None,
+    attn_sinks: int = 0,
+    attn_window: int = 0,
 ):
     """Greedy generation. Returns (token_ids list, runtime dict)."""
     s_full = embeds.shape[1]
-    prefill = build_prefill(cfg, spec, s_full, impl)
-    decode = build_decode_step(cfg, spec)
+    spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
+    prefill = build_prefill(cfg, spec_key, s_full, impl, attn_sinks, attn_window)
+    decode = build_decode_step(cfg, spec_key)
 
     t0 = time.perf_counter()
-    logits, cache = jax.block_until_ready(
-        prefill(params, embeds, jnp.int32(valid_len), jnp.int32(video_start), position_ids)
+    logits, cache = prefill(
+        params, embeds, jnp.int32(valid_len), jnp.int32(video_start), position_ids
     )
+    logits.block_until_ready()
     ttft = time.perf_counter() - t0
 
     token = jnp.argmax(logits, -1).astype(jnp.int32)

@@ -36,7 +36,7 @@ class ReducerSpec:
     Mirrors the reference's sa_* flag family (llava/train/train.py:130-151).
     """
 
-    kind: str  # "quadtree" | "tome" | "dycoke" | "none"
+    kind: str  # "quadtree" | "tome" | "dycoke" | "fastv" | "pyrd" | "none"
     layer_idx: int
     t: int
     h: int
@@ -47,14 +47,26 @@ class ReducerSpec:
     root_level: int = 0
     weighted_avg: bool = False
     sim_head_dim: int | None = None  # per-head similarity (sim_per_head)
-    prune_ratio: float = 0.5  # tome / dycoke
+    prune_ratio: float = 0.5  # tome / dycoke / fastv (FASTV_r eviction ratio)
     tome_per: str = "video"
     tome_n_head: int = 1
+    pyrd_size: int = -1  # pyramid-drop output grid side (sa_pyrd_size_list)
     pos_emb_ver: int = 0  # 0: truncate+recompute; 2: gather source positions
 
     @property
     def n_video(self) -> int:
         return self.t * self.h * self.w
+
+    @property
+    def needs_scores(self) -> bool:
+        """FastV ranks tokens by the previous layer's last-token attention."""
+        return self.kind == "fastv"
+
+    @property
+    def gathers_positions(self) -> bool:
+        """fastv keeps source position ids (modeling_qwen2_baseline.py:296);
+        pos_emb_ver 2 is the explicit gather ablation."""
+        return self.pos_emb_ver == 2 or self.kind == "fastv"
 
     def video_out_len(self) -> int:
         """Static length of the merged-video buffer."""
@@ -66,21 +78,39 @@ class ReducerSpec:
             return out * (1 if self.tome_per == "video" else self.t)
         if self.kind == "dycoke":
             return dycoke_output_len(self.t, self.h * self.w, self.prune_ratio)
+        if self.kind == "octree":
+            return self.n_video if self.video_budget < 0 else self.video_budget
+        if self.kind == "fastv":
+            # round() matches the reference's keep count (:286)
+            return round(self.n_video * (1 - self.prune_ratio))
+        if self.kind == "pyrd":
+            return self.t * self.pyrd_size * self.pyrd_size
         if self.kind == "none":
             return self.n_video
         raise ValueError(f"unknown reducer kind {self.kind!r}")
+
+    def out_grid(self) -> tuple[int, int, int]:
+        """(t, h, w) seen by a subsequent chained reducer (pyrd stages
+        shrink the grid; other kinds break the grid structure)."""
+        if self.kind == "pyrd":
+            return (self.t, self.pyrd_size, self.pyrd_size)
+        if self.kind == "none":
+            return (self.t, self.h, self.w)
+        raise ValueError(f"{self.kind} output is not a regular grid")
 
 
 def merged_buffer_len(spec: ReducerSpec, s_full: int) -> int:
     return s_full - spec.n_video + spec.video_out_len()
 
 
-def apply_reducer(spec: ReducerSpec, hidden: jnp.ndarray, video_start, valid_len):
+def apply_reducer(spec: ReducerSpec, hidden: jnp.ndarray, video_start, valid_len, scores=None):
     """Reduce the video span of ``hidden`` [1, S_full, D].
 
-    Returns (new_hidden [1, S_merged, D], new_valid_len, n_video_kept,
-    src_pos [S_merged] int32) where src_pos maps each packed slot to its
-    source position in the original sequence (for position gathering).
+    ``scores``: [S_full] fp32 last-token attention over the sequence from the
+    layer below the boundary (FastV only). Returns (new_hidden [1, S_merged,
+    D], new_valid_len, n_video_kept, src_pos [S_merged] int32) where src_pos
+    maps each packed slot to its source position in the original sequence
+    (for position gathering).
     """
     _, s_full, d = hidden.shape
     nv = spec.n_video
@@ -114,6 +144,54 @@ def apply_reducer(spec: ReducerSpec, hidden: jnp.ndarray, video_start, valid_len
     elif spec.kind == "dycoke":
         vid_feat, vid_src = dycoke_ttm(video, spec.t, spec.prune_ratio)
         vid_feat = vid_feat.astype(hidden.dtype)
+        n_kept = jnp.int32(vid_feat.shape[0])
+    elif spec.kind == "octree":
+        from ..ops.octree import octree_merge
+
+        grid = video.reshape(spec.t, spec.h, spec.w, d)
+        keep, feat = octree_merge(grid, spec.spatial_thresh, spec.root_level, spec.sim_head_dim)
+        budget = spec.video_out_len()
+        rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        slot = jnp.where(keep & (rank < budget), rank, budget)
+        vid_feat = jnp.zeros((budget, d), hidden.dtype).at[slot].set(
+            feat.astype(hidden.dtype), mode="drop"
+        )
+        vid_src = jnp.zeros((budget,), jnp.int32).at[slot].set(
+            jnp.arange(nv, dtype=jnp.int32), mode="drop"
+        )
+        n_kept = jnp.minimum(keep.sum(), budget).astype(jnp.int32)
+    elif spec.kind == "fastv":
+        # rank image tokens by last-token attention from the layer below
+        # (modeling_qwen2_baseline.py:280-296); keep top (1-r), positional
+        # order preserved by the rank-compaction below
+        if scores is None:
+            raise ValueError("fastv reducer requires attention scores")
+        img_scores = jax.lax.dynamic_slice(scores, (video_start,), (nv,))
+        n_keep = spec.video_out_len()
+        _, top_idx = jax.lax.top_k(img_scores, n_keep)
+        keep = jnp.zeros((nv,), bool).at[top_idx].set(True)
+        rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        slot = jnp.where(keep, rank, n_keep)
+        vid_feat = jnp.zeros((n_keep, d), hidden.dtype).at[slot].set(video, mode="drop")
+        vid_src = jnp.zeros((n_keep,), jnp.int32).at[slot].set(
+            jnp.arange(nv, dtype=jnp.int32), mode="drop"
+        )
+        n_kept = jnp.int32(n_keep)
+    elif spec.kind == "pyrd":
+        # pyramid-drop: nearest-neighbor grid resize (torch F.interpolate
+        # default mode, pyrd_attn_monkey_patch.py:99-100)
+        s_out = spec.pyrd_size
+        iy = (jnp.arange(s_out) * spec.h) // s_out
+        ix = (jnp.arange(s_out) * spec.w) // s_out
+        grid = video.reshape(spec.t, spec.h, spec.w, d)
+        resized = grid[:, iy][:, :, ix]  # [t, s_out, s_out, d]
+        vid_feat = resized.reshape(spec.t * s_out * s_out, d)
+        src_leaf = (
+            jnp.arange(spec.t, dtype=jnp.int32)[:, None, None] * (spec.h * spec.w)
+            + iy.astype(jnp.int32)[None, :, None] * spec.w
+            + ix.astype(jnp.int32)[None, None, :]
+        ).reshape(-1)
+        vid_src = src_leaf
         n_kept = jnp.int32(vid_feat.shape[0])
     elif spec.kind == "none":
         vid_feat, vid_src = video, jnp.arange(nv, dtype=jnp.int32)

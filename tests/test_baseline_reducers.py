@@ -1,0 +1,80 @@
+"""FastV / pyrd / StreamingLLM through the layer-group runtime."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sttm_tpu.models import qwen2
+from sttm_tpu.models.config import TINY
+from sttm_tpu.runtime.generate import GenerateConfig, build_prefill, generate
+from sttm_tpu.runtime.reducer import ReducerSpec, merged_buffer_len
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = qwen2.init_params(TINY, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    t, h, w = 4, 4, 4
+    nv = t * h * w
+    sys_len, inst_len = 6, 10
+    valid = sys_len + nv + inst_len
+    s_full = 128
+    emb = np.zeros((1, s_full, TINY.hidden_size), np.float32)
+    emb[0, :valid] = rng.normal(size=(valid, TINY.hidden_size)) * 0.2
+    return params, jnp.asarray(emb), valid, sys_len, (t, h, w)
+
+
+def test_fastv_reducer(setup):
+    params, embeds, valid, sys_len, (t, h, w) = setup
+    nv = t * h * w
+    spec = ReducerSpec(kind="fastv", layer_idx=2, t=t, h=h, w=w, prune_ratio=0.5)
+    assert spec.video_out_len() == nv // 2
+    ids, rt = generate(
+        params, TINY, embeds, valid, sys_len, spec,
+        GenerateConfig(max_new_tokens=3, eos_token_ids=()),
+    )
+    assert rt["merged_len"] == valid - nv + nv // 2
+    assert len(ids) == 3
+
+
+def test_fastv_keeps_top_attended(setup):
+    """With r=0 FastV keeps everything -> logits equal the none-reducer."""
+    params, embeds, valid, sys_len, (t, h, w) = setup
+    s_full = embeds.shape[1]
+    spec0 = ReducerSpec(kind="fastv", layer_idx=2, t=t, h=h, w=w, prune_ratio=0.0)
+    base = build_prefill(TINY, None, s_full, "xla")
+    ref_logits, _ = base(params, embeds, jnp.int32(valid), jnp.int32(sys_len))
+    fn = build_prefill(TINY, spec0, s_full, "xla")
+    logits, _ = fn(params, embeds, jnp.int32(valid), jnp.int32(sys_len))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=2e-5, atol=2e-5)
+
+
+def test_pyrd_multi_stage(setup):
+    """Two pyramid-drop stages: 4x4 -> 2x2 at layer 1, 2x2 -> 1x1 at layer 3."""
+    params, embeds, valid, sys_len, (t, h, w) = setup
+    nv = t * h * w
+    s1 = ReducerSpec(kind="pyrd", layer_idx=1, t=t, h=h, w=w, pyrd_size=2)
+    s2 = ReducerSpec(kind="pyrd", layer_idx=3, t=t, h=2, w=2, pyrd_size=1)
+    assert s1.out_grid() == (t, 2, 2)
+    s_full = embeds.shape[1]
+    assert merged_buffer_len(s2, merged_buffer_len(s1, s_full)) == s_full - nv + t
+    ids, rt = generate(
+        params, TINY, embeds, valid, sys_len, (s1, s2),
+        GenerateConfig(max_new_tokens=3, eos_token_ids=()),
+    )
+    assert rt["merged_len"] == valid - nv + t
+    assert len(ids) == 3
+
+
+def test_streamingllm_pattern(setup):
+    """A-shape attention runs and differs from full causal."""
+    params, embeds, valid, sys_len, _ = setup
+    s_full = embeds.shape[1]
+    base = build_prefill(TINY, None, s_full, "xla")
+    ref_logits, _ = base(params, embeds, jnp.int32(valid), jnp.int32(sys_len))
+    fn = build_prefill(TINY, None, s_full, "xla", 4, 16)
+    logits, cache = fn(params, embeds, jnp.int32(valid), jnp.int32(sys_len))
+    assert int(cache.merged_len) == valid  # no token reduction
+    assert np.abs(np.asarray(logits) - np.asarray(ref_logits)).max() > 1e-4

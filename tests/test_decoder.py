@@ -106,7 +106,7 @@ def test_none_reducer_is_identity(hf_pair):
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=1e-5, atol=1e-5)
     assert int(cache.len_a) == valid and int(cache.len_b) == valid
     # group split: 2 layers full-length cache, 2 layers merged-length cache
-    assert cache.ka.shape[0] == 2 and cache.kb.shape[0] == 2
+    assert cache.ks[0].shape[0] == 2 and cache.ks[1].shape[0] == 2
 
 
 def test_quadtree_reducer_end_to_end(hf_pair):
