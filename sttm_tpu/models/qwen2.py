@@ -223,12 +223,19 @@ def decode_layers(
     cache_v: jnp.ndarray,
     write_pos,
     cfg: DecoderConfig,
+    kv_mask=None,
 ):
     """One-token decode through layers [lo, hi): append K/V at ``write_pos``
     and attend over the packed cache prefix. cache_k/v: [hi-lo, B, S_c, KV, hd].
+    ``kv_mask`` [S_c] optionally hides cached positions (DyCoke stage-2
+    decode-time KV pruning, dycoke_attn_monkey_patch.py:25-60). Also returns
+    the per-layer roped queries q_all [Lg, B, 1, H, hd] (DyCoke's attention
+    ranking reads the dycoke_l-th one).
     """
     if hi <= lo:
-        return x, cache_k, cache_v
+        b = x.shape[0]
+        empty_q = jnp.zeros((0, b, 1, cfg.num_heads, cfg.head_dim), x.dtype)
+        return x, cache_k, cache_v, empty_q
 
     def attend_factory(ck, cv):
         def attend(q, k, v):
@@ -241,6 +248,7 @@ def decode_layers(
                 kv_valid_len=write_pos + 1,
                 causal=False,
                 impl="xla",
+                kv_mask=kv_mask,
             )
             return o, ck2, cv2
 
@@ -260,12 +268,12 @@ def decode_layers(
         y = y + o.reshape(b, s, cfg.q_dim) @ lp["wo"]
         h = rms_norm(y, lp["ln2"], cfg.rms_eps)
         y = y + (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
-        return y, (ck2, cv2)
+        return y, (ck2, cv2, q)
 
-    x, (cache_k, cache_v) = jax.lax.scan(
+    x, (cache_k, cache_v, q_all) = jax.lax.scan(
         step, x, (_slice_layers(layers, lo, hi), cache_k, cache_v)
     )
-    return x, cache_k, cache_v
+    return x, cache_k, cache_v, q_all
 
 
 # ---------------------------------------------------------------------------

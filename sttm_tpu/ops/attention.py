@@ -15,7 +15,7 @@ import jax.numpy as jnp
 __all__ = ["mha"]
 
 
-def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks=0, attn_window=0):
+def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks=0, attn_window=0, kv_mask=None):
     b, sq, hq, hd = q.shape
     _, skv, hkv, _ = k.shape
     g = hq // hkv
@@ -32,6 +32,8 @@ def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks=0, at
         # StreamingLLM A-shape: initial sink tokens + local window
         qpos = jnp.arange(sq)[:, None] + q_offset
         mask = mask & ((kpos < attn_sinks) | (qpos - kpos < attn_window))
+    if kv_mask is not None:
+        mask = mask & kv_mask[None, :]
     scores = jnp.where(mask[None, None, None], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
@@ -86,8 +88,9 @@ def mha(
     impl: str = "xla",
     attn_sinks: int = 0,
     attn_window: int = 0,
+    kv_mask=None,
 ) -> jnp.ndarray:
     sm_scale = 1.0 / (q.shape[-1] ** 0.5)
-    if impl == "flash" and q.shape[1] > 1 and not (attn_sinks or attn_window):
+    if impl == "flash" and q.shape[1] > 1 and not (attn_sinks or attn_window) and kv_mask is None:
         return _flash_mha(q, k, v, kv_valid_len, causal, sm_scale)
-    return _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks, attn_window)
+    return _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks, attn_window, kv_mask)

@@ -38,6 +38,31 @@ class GenerateConfig:
     eos_token_ids: tuple = (151645, 151643)  # Qwen2 <|im_end|>, <|endoftext|>
 
 
+@dataclasses.dataclass(frozen=True)
+class DycokeDecodeOptions:
+    """DyCoke stage-2 decode-time KV pruning (dycoke_attn_monkey_patch.py:
+    25-100): at decode layer ``layer_idx``, rank cached image tokens by the
+    current token's head-mean attention; when the attention distribution
+    drifts (cosine < drift_thresh vs the previous step), re-select the top
+    (1 - ratio) image tokens; layers above ``layer_idx`` see the new
+    selection immediately, layers below on the next step. TPU-native: a
+    boolean KV mask instead of cache gathering (static shapes). Requires a
+    single layer group (the reference runs stage 1 at layer 0)."""
+
+    layer_idx: int  # dycoke_l
+    ratio: float  # dycoke_p
+    img_len: int  # post-stage-1 image token count (static)
+    drift_thresh: float = 0.9
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DycokeState:
+    keep_mask: jnp.ndarray  # [S_cache] bool
+    attn_score: jnp.ndarray  # [img_len] fp32
+    has_score: jnp.ndarray  # scalar bool
+
+
 def _normalize_specs(spec) -> tuple:
     if spec is None:
         return ()
@@ -128,14 +153,21 @@ def build_prefill(
                     )
                     probs = jax.nn.softmax(att, axis=-1)
                     scores = probs.reshape(b, cfg.num_heads, s).mean(1)[0]  # [S]
-                x, valid, n_kept, src_pos = apply_reducer(sp, x, vstart, valid, scores)
-                if mrope:
-                    pos = pos[:, src_pos]
-                elif sp.gathers_positions:
-                    pos = pos[src_pos]
-                else:  # truncate + recompute
+                rope_maps = (cos, sin) if (sp.pos_emb_ver == 1 and not mrope) else None
+                x, valid, n_kept, src_pos, merged_rope = apply_reducer(
+                    sp, x, vstart, valid, scores, rope_maps
+                )
+                if merged_rope is not None:  # pos_emb_ver 1: pooled rope maps
+                    cos, sin = merged_rope
                     pos = jnp.arange(buf_lens[gi + 1], dtype=jnp.int32)
-                cos, sin = qwen2.rope_cos_sin(cfg, pos)
+                else:
+                    if mrope:
+                        pos = pos[:, src_pos]
+                    elif sp.gathers_positions:
+                        pos = pos[src_pos]
+                    else:  # truncate + recompute
+                        pos = jnp.arange(buf_lens[gi + 1], dtype=jnp.int32)
+                    cos, sin = qwen2.rope_cos_sin(cfg, pos)
                 # video span start is unchanged (sys prefix untouched); its
                 # length shrinks to n_kept for any subsequent stage
                 # (pyrd updates image_token_length, pyrd_...patch.py:102)
@@ -191,7 +223,7 @@ def build_decode_step(cfg: DecoderConfig, spec):
 
         new_ks, new_vs = [], []
         for gi, (lo, hi) in enumerate(bounds):
-            x, ck, cv = qwen2.decode_layers(
+            x, ck, cv, _ = qwen2.decode_layers(
                 layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
                 cache.lens[gi] + step, cfg,
             )
@@ -201,6 +233,80 @@ def build_decode_step(cfg: DecoderConfig, spec):
         logits = qwen2.lm_head(params, cfg, h)[:, 0]
         new_cache = dataclasses.replace(cache, ks=tuple(new_ks), vs=tuple(new_vs))
         return logits, new_cache
+
+    return jax.jit(fn, donate_argnums=(2,))
+
+
+@functools.lru_cache(maxsize=8)
+def build_decode_step_dycoke(cfg: DecoderConfig, spec, dyc: DycokeDecodeOptions):
+    """Decode step with DyCoke stage-2 KV pruning. Single layer group only
+    (the reference prunes at prefill layer 0, run_vidqa.sh dycoke cfgs)."""
+    specs = _normalize_specs(spec)
+    bounds = _group_bounds(cfg, specs)
+    non_empty = [(gi, b) for gi, b in enumerate(bounds) if b[1] > b[0]]
+    if len(non_empty) != 1:
+        raise ValueError(
+            "dycoke stage-2 decode requires a single (non-empty) layer group — "
+            "run stage 1 at layer 0 like the reference (run_vidqa.sh dycoke cfgs)"
+        )
+    g0, (lo, hi) = non_empty[0]
+    l = max(lo, min(dyc.layer_idx, hi - 1))
+
+    def fn(params, token, cache, step, dstate, video_start):
+        layers = params["layers"]
+        x = qwen2.embed_tokens(params, token)[:, None, :]
+        pos = (cache.pos_base + step)[None].astype(jnp.int32)
+        cos, sin = qwen2.rope_cos_sin(cfg, pos)
+        write_pos = cache.lens[g0] + step
+
+        # layers [lo, l] with the carried mask; layer l's q drives the ranking
+        x, ck, cv, q_all = qwen2.decode_layers(
+            layers, lo, l + 1, x, cos, sin, cache.ks[g0][: l + 1 - lo],
+            cache.vs[g0][: l + 1 - lo], write_pos, cfg, kv_mask=dstate.keep_mask,
+        )
+        # head-mean attention of the current token at layer l
+        q = q_all[-1][:, 0].astype(jnp.float32)  # [B, H, hd]
+        kl = ck[-1].astype(jnp.float32)  # [B, S_c, KV, hd]
+        b, s_c, kvh, hd = kl.shape
+        g = cfg.num_heads // kvh
+        att = jnp.einsum(
+            "bhgd,bshd->bhgs", q.reshape(b, kvh, g, hd), kl,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * (hd**-0.5)
+        valid = (jnp.arange(s_c) <= write_pos)[None, None, None] & dstate.keep_mask[None, None, None]
+        att = jnp.where(valid, att, -1e30)
+        probs = jax.nn.softmax(att, axis=-1).reshape(b, cfg.num_heads, s_c).mean(1)[0]
+        img_att = jax.lax.dynamic_slice(probs, (video_start,), (dyc.img_len,))
+
+        # drift check (cosine vs previous step's image attention; first step
+        # always prunes — reference similarity init 0 < 0.9)
+        num = (img_att * dstate.attn_score).sum()
+        den = jnp.linalg.norm(img_att) * jnp.maximum(jnp.linalg.norm(dstate.attn_score), 1e-8)
+        sim = jnp.where(dstate.has_score, num / jnp.maximum(den, 1e-8), 0.0)
+
+        n_keep = int(dyc.img_len * (1 - dyc.ratio))
+        _, top = jax.lax.top_k(img_att, n_keep)
+        img_keep = jnp.zeros((dyc.img_len,), bool).at[top].set(True)
+        new_mask = jnp.ones((s_c,), bool)
+        new_mask = jax.lax.dynamic_update_slice(new_mask, img_keep, (video_start,))
+        keep_mask = jnp.where(sim < dyc.drift_thresh, new_mask, dstate.keep_mask)
+
+        # layers (l, hi) see the (possibly) updated selection immediately
+        x, ck2, cv2, _ = qwen2.decode_layers(
+            layers, l + 1, hi, x, cos, sin, cache.ks[g0][l + 1 - lo :],
+            cache.vs[g0][l + 1 - lo :], write_pos, cfg, kv_mask=keep_mask,
+        )
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
+        logits = qwen2.lm_head(params, cfg, h)[:, 0]
+        merged_k = jnp.concatenate([ck, ck2], axis=0)
+        merged_v = jnp.concatenate([cv, cv2], axis=0)
+        ks = tuple(merged_k if gi == g0 else cache.ks[gi] for gi in range(len(bounds)))
+        vs = tuple(merged_v if gi == g0 else cache.vs[gi] for gi in range(len(bounds)))
+        new_cache = dataclasses.replace(cache, ks=ks, vs=vs)
+        new_state = DycokeState(
+            keep_mask=keep_mask, attn_score=img_att, has_score=jnp.array(True)
+        )
+        return logits, new_cache, new_state
 
     return jax.jit(fn, donate_argnums=(2,))
 
@@ -217,12 +323,16 @@ def generate(
     position_ids=None,
     attn_sinks: int = 0,
     attn_window: int = 0,
+    dycoke: DycokeDecodeOptions | None = None,
 ):
     """Greedy generation. Returns (token_ids list, runtime dict)."""
     s_full = embeds.shape[1]
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     prefill = build_prefill(cfg, spec_key, s_full, impl, attn_sinks, attn_window)
-    decode = build_decode_step(cfg, spec_key)
+    if dycoke is not None:
+        decode = build_decode_step_dycoke(cfg, spec_key, dycoke)
+    else:
+        decode = build_decode_step(cfg, spec_key)
 
     t0 = time.perf_counter()
     logits, cache = prefill(
@@ -235,11 +345,25 @@ def generate(
     ids = [int(token[0])]
     merged_len = int(cache.merged_len)
 
+    dstate = None
+    if dycoke is not None:
+        s_c = cache.ks[-1].shape[2]  # the (single) non-empty group's buffer
+        dstate = DycokeState(
+            keep_mask=jnp.ones((s_c,), bool),
+            attn_score=jnp.zeros((dycoke.img_len,), jnp.float32),
+            has_score=jnp.array(False),
+        )
+
     time_decoding = 0.0
     step = 0
     while len(ids) < gen.max_new_tokens and ids[-1] not in gen.eos_token_ids:
         t0 = time.perf_counter()
-        logits, cache = decode(params, token, cache, jnp.int32(step))
+        if dycoke is not None:
+            logits, cache, dstate = decode(
+                params, token, cache, jnp.int32(step), dstate, jnp.int32(video_start)
+            )
+        else:
+            logits, cache = decode(params, token, cache, jnp.int32(step))
         logits = jax.block_until_ready(logits)
         time_decoding += time.perf_counter() - t0
         token = jnp.argmax(logits, -1).astype(jnp.int32)

@@ -51,7 +51,11 @@ class ReducerSpec:
     tome_per: str = "video"
     tome_n_head: int = 1
     pyrd_size: int = -1  # pyramid-drop output grid side (sa_pyrd_size_list)
-    pos_emb_ver: int = 0  # 0: truncate+recompute; 2: gather source positions
+    # 0: truncate+recompute; 1: pool/merge rope cos/sin maps through the
+    # quadtree itself; 2: gather source position ids
+    # (quadtree_attn_monkey_patch_for_abl_pos.py:100-136)
+    pos_emb_ver: int = 0
+    pos_emb_weighted_avg: bool = False
 
     @property
     def n_video(self) -> int:
@@ -103,21 +107,34 @@ def merged_buffer_len(spec: ReducerSpec, s_full: int) -> int:
     return s_full - spec.n_video + spec.video_out_len()
 
 
-def apply_reducer(spec: ReducerSpec, hidden: jnp.ndarray, video_start, valid_len, scores=None):
+def apply_reducer(
+    spec: ReducerSpec, hidden: jnp.ndarray, video_start, valid_len, scores=None,
+    rope_maps=None,
+):
     """Reduce the video span of ``hidden`` [1, S_full, D].
 
     ``scores``: [S_full] fp32 last-token attention over the sequence from the
-    layer below the boundary (FastV only). Returns (new_hidden [1, S_merged,
-    D], new_valid_len, n_video_kept, src_pos [S_merged] int32) where src_pos
-    maps each packed slot to its source position in the original sequence
-    (for position gathering).
+    layer below the boundary (FastV only). ``rope_maps``: (cos, sin) [S_full,
+    hd] maps to pool/merge alongside the features (pos_emb_ver 1, quadtree
+    only). Returns (new_hidden [1, S_merged, D], new_valid_len, n_video_kept,
+    src_pos [S_merged] int32, merged_rope_maps|None) where src_pos maps each
+    packed slot to its source position in the original sequence.
     """
     _, s_full, d = hidden.shape
     nv = spec.n_video
     video = jax.lax.dynamic_slice(hidden[0], (video_start, 0), (nv, d))
+    vid_rope = None
 
     if spec.kind == "quadtree":
         grid = video.reshape(spec.t, spec.h, spec.w, d)
+        payloads = {}
+        if rope_maps is not None:
+            for name, m in zip(("cos", "sin"), rope_maps):
+                vm = jax.lax.dynamic_slice(m, (video_start, 0), (nv, m.shape[-1]))
+                payloads[name] = (
+                    vm.reshape(spec.t, spec.h, spec.w, -1),
+                    "sum" if spec.pos_emb_weighted_avg else "avg",
+                )
         res = sttm_merge(
             grid,
             spec.spatial_thresh,
@@ -125,6 +142,8 @@ def apply_reducer(spec: ReducerSpec, hidden: jnp.ndarray, video_start, valid_len
             spec.root_level,
             spec.weighted_avg,
             spec.sim_head_dim,
+            payloads=payloads,
+            payload_weighted_avg=spec.pos_emb_weighted_avg,
         )
         budget = spec.video_out_len()
         rank = jnp.cumsum(res.keep.astype(jnp.int32)) - 1
@@ -136,6 +155,13 @@ def apply_reducer(spec: ReducerSpec, hidden: jnp.ndarray, video_start, valid_len
             jnp.arange(nv, dtype=jnp.int32), mode="drop"
         )
         n_kept = jnp.minimum(res.keep.sum(), budget).astype(jnp.int32)
+        if rope_maps is not None:
+            vid_rope = tuple(
+                jnp.zeros((budget, res.payloads[name].shape[-1]), jnp.float32)
+                .at[slot]
+                .set(res.payloads[name], mode="drop")
+                for name in ("cos", "sin")
+            )
     elif spec.kind == "tome":
         grid = video.reshape(spec.t, spec.h * spec.w, d)
         vid_feat, vid_src = tome_merge(grid, spec.prune_ratio, spec.tome_n_head, spec.tome_per)
@@ -217,4 +243,17 @@ def apply_reducer(spec: ReducerSpec, hidden: jnp.ndarray, video_start, valid_len
     new_hidden = new_hidden.at[vtgt].set(vid_feat, mode="drop")
     new_src = new_src.at[vtgt].set(vid_src + video_start, mode="drop")
 
-    return new_hidden[None], new_valid, n_kept, new_src
+    new_rope = None
+    if rope_maps is not None:
+        if vid_rope is None:
+            raise ValueError("pos_emb_ver=1 rope pooling is quadtree-only")
+        new_rope = []
+        for m, vm in zip(rope_maps, vid_rope):
+            packed = jnp.zeros((s_merged, m.shape[-1]), jnp.float32).at[tgt].set(
+                m.astype(jnp.float32), mode="drop"
+            )
+            packed = packed.at[vtgt].set(vm, mode="drop")
+            new_rope.append(packed)
+        new_rope = tuple(new_rope)
+
+    return new_hidden[None], new_valid, n_kept, new_src, new_rope

@@ -78,3 +78,22 @@ def test_streamingllm_pattern(setup):
     logits, cache = fn(params, embeds, jnp.int32(valid), jnp.int32(sys_len))
     assert int(cache.merged_len) == valid  # no token reduction
     assert np.abs(np.asarray(logits) - np.asarray(ref_logits)).max() > 1e-4
+
+
+def test_pos_emb_ver1_pooled_rope(setup):
+    """quadtree with pooled rope maps runs and differs from truncate policy."""
+    import dataclasses as dc
+
+    params, embeds, valid, sys_len, (t, h, w) = setup
+    s_full = embeds.shape[1]
+    base_spec = ReducerSpec(
+        kind="quadtree", layer_idx=2, t=t, h=h, w=w, video_budget=t * h * w // 2,
+        spatial_thresh=0.6, temporal_thresh=0.5,
+    )
+    spec1 = dc.replace(base_spec, pos_emb_ver=1)
+    f0 = build_prefill(TINY, base_spec, s_full, "xla")
+    f1 = build_prefill(TINY, spec1, s_full, "xla")
+    l0, c0 = f0(params, embeds, jnp.int32(valid), jnp.int32(sys_len))
+    l1, c1 = f1(params, embeds, jnp.int32(valid), jnp.int32(sys_len))
+    assert int(c0.merged_len) == int(c1.merged_len)
+    assert np.abs(np.asarray(l0) - np.asarray(l1)).max() > 1e-6
