@@ -1,0 +1,57 @@
+"""FrameFusion: budget behavior, merge invariants, end-to-end prefill."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sttm_tpu.models import qwen2
+from sttm_tpu.models.config import TINY
+from sttm_tpu.runtime.framefusion import FrameFusionSpec, build_prefill_framefusion
+
+
+def _setup(highly_similar: bool):
+    params = qwen2.init_params(TINY, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    t, h, w = 8, 3, 3
+    nv = t * h * w
+    sys_len, inst_len = 5, 7
+    valid = sys_len + nv + inst_len
+    s_full = 96
+    emb = np.zeros((1, s_full, TINY.hidden_size), np.float32)
+    emb[0, :valid] = rng.normal(size=(valid, TINY.hidden_size)) * 0.2
+    if highly_similar:
+        # same-patch tokens nearly identical across frames -> heavy merging
+        frame = rng.normal(size=(1, h * w, TINY.hidden_size)) * 0.2
+        emb[0, sys_len : sys_len + nv] = (
+            frame + 0.001 * rng.normal(size=(t, h * w, TINY.hidden_size))
+        ).reshape(nv, -1)
+    return params, jnp.asarray(emb), valid, sys_len, (t, h, w)
+
+
+def test_framefusion_merges_similar_video():
+    params, emb, valid, sys_len, (t, h, w) = _setup(highly_similar=True)
+    spec = FrameFusionSpec(cost=0.3, t=t, h=h, w=w)
+    fn = build_prefill_framefusion(TINY, spec, emb.shape[1])
+    logits, cache, alive = fn(params, emb, jnp.int32(valid), jnp.int32(sys_len))
+    alive = np.asarray(alive)
+    nv = t * h * w
+    n_alive_video = alive[sys_len : sys_len + nv].sum()
+    assert n_alive_video < nv * 0.6  # merged well below budget-free level
+    # text tokens never touched
+    assert alive[:sys_len].all() and alive[sys_len + nv : valid].all()
+    assert not alive[valid:].any()
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_framefusion_dissimilar_video_prunes_to_budget():
+    params, emb, valid, sys_len, (t, h, w) = _setup(highly_similar=False)
+    spec = FrameFusionSpec(cost=0.3, t=t, h=h, w=w)
+    fn = build_prefill_framefusion(TINY, spec, emb.shape[1])
+    logits, cache, alive = fn(params, emb, jnp.int32(valid), jnp.int32(sys_len))
+    alive = np.asarray(alive)
+    nv = t * h * w
+    n_alive_video = alive[sys_len : sys_len + nv].sum()
+    # random video: few merges, so attention pruning must hit ~cost budget
+    assert n_alive_video <= int(nv * 0.5)
+    assert np.isfinite(np.asarray(logits)).all()
