@@ -55,6 +55,69 @@ def _load_feature(feature_dir: str, vid: str) -> np.ndarray:
     raise FileNotFoundError(f"no cached feature for {vid} in {feature_dir}")
 
 
+class Qwen2VLFeatureDataset:
+    """Feature-based dataset for Qwen2-VL (VidQA_Loader_Feature_Qwen2VL,
+    video_dataset.py:404-496): cached post-merger features [t, gh/2, gw/2, C]
+    + grid metadata; the ``<|video_pad|>`` placeholder expands to
+    grid.prod() / merge_size^2 tokens (:482-496)."""
+
+    VISION_START = 151652
+    VISION_END = 151653
+    VIDEO_PAD = 151656
+
+    def __init__(self, cfg: DataConfig, tokenizer, skip_qids=()):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        data = load_annotations(cfg.dataset_name, cfg.anno_filepath, cfg.answer_flag)
+        skip = set(skip_qids)
+        self.data = [d for d in data if d["qid"] not in skip]
+        if cfg.first_sample:
+            self.data = self.data[:1]
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx: int) -> dict:
+        d = self.data[idx]
+        vid = d["vid"]
+        feature = _load_feature(self.cfg.feature_dir, vid)  # [t, gh/2, gw/2, C]
+        meta_path = os.path.join(self.cfg.metadata_dir, f"{vid}.pkl")
+        with open(meta_path, "rb") as fp:
+            meta = pickle.load(fp)
+        t, gh, gw = meta["video_grid_thw"]
+        n_video = t * (gh // 2) * (gw // 2)
+
+        text = d["conversations"].replace("<image>", "")
+        pre = (
+            "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+            "<|im_start|>user\n"
+        )
+        post = f"{text}<|im_end|>\n<|im_start|>assistant\n"
+        pre_ids = self.tokenizer.encode(pre, add_special_tokens=False)
+        post_ids = self.tokenizer.encode(post, add_special_tokens=False)
+        input_ids = (
+            pre_ids + [self.VISION_START] + [self.VIDEO_PAD] * n_video
+            + [self.VISION_END] + post_ids
+        )
+        return {
+            "input_ids": input_ids,
+            "feature": feature.reshape(n_video, -1),
+            "grid": (t, gh // 2, gw // 2),
+            "modality": "video_feature",
+            "id": d["qid"],
+            "vid": vid,
+            "sys_len": len(pre_ids) + 1,
+            "inst_len": len(post_ids) + 1,
+            "frame_len": t,
+            "answer": str(d["answer"]) if self.cfg.answer_flag else "",
+            "instruction": text,
+        }
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
 class FeatureVidQADataset:
     def __init__(self, cfg: DataConfig, tokenizer, skip_qids=()):
         self.cfg = cfg

@@ -64,6 +64,51 @@ def run_name(model_name: str, dataset: str, spec: ReducerSpec | None, frames: in
     return f"{model_name}_{dataset}_F-{frames}_{sa}"
 
 
+class Qwen2VLEvaluator:
+    """Qwen2-VL feature-based evaluator: embeds assembled by scattering cached
+    features over the video-pad run (eval_vidqa_by_feat_qwen2vl.py:161-176),
+    M-RoPE positions built per sample, 3D position gather after merging."""
+
+    def __init__(self, decoder_params, decoder_cfg: DecoderConfig, tokenizer, spec_factory):
+        self.decoder_params = decoder_params
+        self.decoder_cfg = decoder_cfg
+        self.tokenizer = tokenizer
+        self.spec_factory = spec_factory
+
+    def run_sample(self, sample: dict, cfg: EvalConfig):
+        from ..models.qwen2vl import assemble_video_embeds, build_video_mrope_positions
+
+        t, gh, gw = sample["grid"]
+        raw_len = len(sample["input_ids"])
+        s_full = math.ceil(raw_len / cfg.pad_multiple) * cfg.pad_multiple
+        embeds, valid, video_start, n_video = assemble_video_embeds(
+            self.decoder_params, sample["input_ids"], jnp.asarray(sample["feature"]), s_full
+        )
+        pre_len = video_start
+        post_len = valid - video_start - n_video
+        pos, _ = build_video_mrope_positions(pre_len, t, gh, gw, post_len, s_full)
+        spec = self.spec_factory(t, gh, gw)
+        t0 = time.perf_counter()
+        ids, runtime = generate(
+            self.decoder_params, self.decoder_cfg, embeds, valid, video_start, spec,
+            GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids),
+            impl=cfg.attention_impl, position_ids=pos,
+        )
+        runtime["all"] = time.perf_counter() - t0
+        text = self.tokenizer.decode(
+            [i for i in ids if i not in cfg.eos_token_ids], skip_special_tokens=True
+        ).strip()
+        merged_input = runtime["merged_len"]
+        stat = prompt_stat_ratios({
+            "sys": pre_len, "video": n_video, "inst": post_len,
+            "merged_video": merged_input - (valid - n_video),
+            "merged_input": merged_input,
+        })
+        return text, runtime, stat
+
+    evaluate = None  # assigned below (shares LlavaEvaluator.evaluate)
+
+
 class LlavaEvaluator:
     def __init__(
         self,
@@ -151,3 +196,7 @@ class LlavaEvaluator:
                 result, os.path.join(cfg.out_dir, "accuracy.csv"), os.path.basename(cfg.out_dir)
             )
         return result
+
+
+# Qwen2VLEvaluator shares the resumable-JSONL evaluation loop.
+Qwen2VLEvaluator.evaluate = LlavaEvaluator.evaluate

@@ -1,0 +1,62 @@
+"""DPO training step (capability parity with the reference's vendored
+TRL 0.7.11 DPO trainer + llava/train/train_dpo.py; unused by STTM runs).
+
+Standard sigmoid DPO: loss = -logsigmoid(beta * ((pi_c - pi_r) -
+(ref_c - ref_r))) over per-sequence summed token logprobs with -100 label
+masking.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import qwen2
+from ..models.config import DecoderConfig
+from .sft import IGNORE_INDEX
+
+__all__ = ["sequence_logprobs", "dpo_loss", "make_dpo_train_step"]
+
+
+def sequence_logprobs(params, cfg: DecoderConfig, input_ids, labels):
+    """Summed next-token logprobs per sequence. input_ids/labels: [B, S]."""
+    x = qwen2.embed_tokens(params, input_ids)
+    b, s, _ = x.shape
+    cos, sin = qwen2.rope_cos_sin(cfg, jnp.arange(s, dtype=jnp.int32))
+    x, _, _ = qwen2.prefill_layers(params["layers"], 0, cfg.num_layers, x, cos, sin, s, cfg, "xla")
+    h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
+    logits = qwen2.lm_head(params, cfg, h)
+    tgt = labels[:, 1:]
+    lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    mask = tgt != IGNORE_INDEX
+    tok_lp = jnp.take_along_axis(lp, jnp.where(mask, tgt, 0)[..., None], axis=-1)[..., 0]
+    return jnp.sum(tok_lp * mask, axis=-1)
+
+
+def dpo_loss(params, ref_params, cfg, chosen_ids, chosen_labels, rejected_ids,
+             rejected_labels, beta: float = 0.1):
+    pc = sequence_logprobs(params, cfg, chosen_ids, chosen_labels)
+    pr = sequence_logprobs(params, cfg, rejected_ids, rejected_labels)
+    rc = jax.lax.stop_gradient(sequence_logprobs(ref_params, cfg, chosen_ids, chosen_labels))
+    rr = jax.lax.stop_gradient(sequence_logprobs(ref_params, cfg, rejected_ids, rejected_labels))
+    logits = (pc - pr) - (rc - rr)
+    loss = -jax.nn.log_sigmoid(beta * logits).mean()
+    reward_acc = (logits > 0).mean()
+    return loss, reward_acc
+
+
+def make_dpo_train_step(cfg: DecoderConfig, tx, beta: float = 0.1):
+    def step(params, ref_params, opt_state, batch):
+        def lf(p):
+            return dpo_loss(
+                p, ref_params, cfg, batch["chosen_ids"], batch["chosen_labels"],
+                batch["rejected_ids"], batch["rejected_labels"], beta,
+            )
+
+        (loss, acc), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    return step

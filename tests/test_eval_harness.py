@@ -120,3 +120,54 @@ def test_egoschema_submission():
     ]
     out = evaluate_predictions("egoschema", preds)
     assert out["submission"] == {"a": 1, "b": -1}
+
+
+def test_qwen2vl_eval_end_to_end(tmp_path):
+    import pickle
+
+    from sttm_tpu.data.datasets import Qwen2VLFeatureDataset
+    from sttm_tpu.eval.harness import Qwen2VLEvaluator
+    from sttm_tpu.models.config import TINY_MROPE
+
+    rng = np.random.default_rng(0)
+    feat_dir = tmp_path / "features"
+    meta_dir = tmp_path / "metadata"
+    feat_dir.mkdir(); meta_dir.mkdir()
+    annos = []
+    for i in range(2):
+        vid = f"v{i}"
+        t, gh, gw = 4, 4, 6  # llm grid 4 x 2 x 3
+        np.save(feat_dir / f"{vid}.npy",
+                rng.normal(size=(t, gh // 2, gw // 2, TINY_MROPE.hidden_size)).astype(np.float32))
+        with open(meta_dir / f"{vid}.pkl", "wb") as fp:
+            pickle.dump({"video_grid_thw": [t, gh, gw]}, fp)
+        annos.append({
+            "question_id": f"q{i}", "videoID": vid, "question": "What?",
+            "options": ["A. x", "B. y", "C. z", "D. w"], "answer": "B",
+            "duration": "short", "domain": "d", "task_type": "tt",
+        })
+    anno_path = tmp_path / "a.json"
+    anno_path.write_text(json.dumps(annos))
+
+    dcfg = DataConfig("videomme", str(anno_path), str(feat_dir), str(meta_dir))
+    tok = MockTokenizer()
+    ds = Qwen2VLFeatureDataset(dcfg, tok)
+    s0 = ds[0]
+    assert s0["feature"].shape[0] == 4 * 2 * 3
+    assert s0["input_ids"].count(Qwen2VLFeatureDataset.VIDEO_PAD) == 24
+
+    dec_params = qwen2.init_params(TINY_MROPE, jax.random.key(0))
+
+    def spec_factory(t, h, w):
+        return ReducerSpec(kind="quadtree", layer_idx=1, t=t, h=h, w=w,
+                           video_budget=t * h * w // 2, spatial_thresh=0.6,
+                           temporal_thresh=0.5, root_level=0)
+
+    ev = Qwen2VLEvaluator(dec_params, TINY_MROPE, tok, spec_factory)
+    ecfg = EvalConfig(out_dir=str(tmp_path / "out"), dataset_name="videomme",
+                      max_new_tokens=2, pad_multiple=32, attention_impl="xla",
+                      eos_token_ids=())
+    result = ev.evaluate(ds, ecfg, gts=annos)
+    assert result["n"] == 2
+    rts = read_jsonl(os.path.join(ecfg.out_dir, "runtime.jsonl"))
+    assert all(r["merged_len"] < r["full_len"] for r in rts)

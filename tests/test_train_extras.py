@@ -1,0 +1,68 @@
+"""DPO step, length-grouped samplers, orbax checkpointing."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sttm_tpu.models import qwen2
+from sttm_tpu.models.config import TINY
+from sttm_tpu.train.data import (
+    length_grouped_indices,
+    load_checkpoint,
+    modality_length_grouped_indices,
+    save_checkpoint,
+)
+from sttm_tpu.train.dpo import dpo_loss, make_dpo_train_step
+from sttm_tpu.train.sft import init_train_state
+
+
+def test_dpo_step_improves_margin():
+    params = qwen2.init_params(TINY, jax.random.key(0))
+    ref_params = jax.tree.map(lambda x: x, params)
+    rng = np.random.default_rng(0)
+    b, s = 2, 24
+    batch = {
+        "chosen_ids": jnp.asarray(rng.integers(0, TINY.vocab_size, (b, s)), jnp.int32),
+        "chosen_labels": jnp.asarray(rng.integers(0, TINY.vocab_size, (b, s)), jnp.int32),
+        "rejected_ids": jnp.asarray(rng.integers(0, TINY.vocab_size, (b, s)), jnp.int32),
+        "rejected_labels": jnp.asarray(rng.integers(0, TINY.vocab_size, (b, s)), jnp.int32),
+    }
+    loss0, _ = dpo_loss(params, ref_params, TINY, batch["chosen_ids"],
+                        batch["chosen_labels"], batch["rejected_ids"],
+                        batch["rejected_labels"])
+    assert np.isfinite(float(loss0))
+    tx, opt_state = init_train_state(params, learning_rate=1e-3)
+    step = jax.jit(make_dpo_train_step(TINY, tx))
+    p = params
+    for _ in range(3):
+        p, opt_state, loss, acc = step(p, ref_params, opt_state, batch)
+    assert float(loss) < float(loss0)  # optimizing the DPO objective works
+
+
+def test_length_grouped_indices():
+    lengths = list(np.random.default_rng(0).integers(1, 100, 64))
+    idx = length_grouped_indices(lengths, batch_size=4, world_size=2, rng=np.random.default_rng(1))
+    assert sorted(idx) == list(range(64))
+    # within each megabatch, lengths descend
+    mega = 8
+    for i in range(0, 64, mega):
+        ls = [lengths[j] for j in idx[i : i + mega]]
+        assert ls == sorted(ls, reverse=True)
+
+
+def test_modality_grouped_indices():
+    lengths = [10, -5, 20, -8, 30, -2, 15, -9] * 4
+    idx = modality_length_grouped_indices(lengths, 2, 2, rng=np.random.default_rng(0))
+    assert sorted(idx) == list(range(len(lengths)))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = qwen2.init_params(TINY, jax.random.key(3))
+    save_checkpoint(str(tmp_path / "ckpt"), params, step=7)
+    template = {"params": jax.tree.map(np.zeros_like, params), "step": 0}
+    restored = load_checkpoint(str(tmp_path / "ckpt"), template)
+    assert restored["step"] == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["layers"]["wq"]), np.asarray(params["layers"]["wq"])
+    )
