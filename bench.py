@@ -79,9 +79,9 @@ def build_case(tiny: bool, frames: int, layers: int, vocab: int):
         t, h, w = frames, 14, 14
         sys_len, inst_len = 14, 50
         nv = t * h * w
-        s_full = ((sys_len + nv + inst_len + 511) // 512) * 512
+        s_full = ((sys_len + nv + inst_len + 1023) // 1024) * 1024
         # choose the video budget so the merged length is a 512 multiple
-        s_merged_target = ((s_full - nv // 2 + 511) // 512) * 512
+        s_merged_target = ((s_full - nv // 2 + 1023) // 1024) * 1024
         budget = s_merged_target - s_full + nv
         impl = "flash"
 
