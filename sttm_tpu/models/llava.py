@@ -172,6 +172,46 @@ def apply_newline_policy(
     raise ValueError(f"unknown newline position {position!r}")
 
 
+def build_slowfast_video_tokens(
+    feats: jnp.ndarray,
+    cfg: LlavaConfig,
+    mm_newline: jnp.ndarray,
+    slow_path_stride: int = 10,
+    slow_pool_stride: int = 2,
+) -> jnp.ndarray:
+    """Two-stream slow-fast video tokens (llava_arch.py:386-398, grid-newline
+    mode): every ``slow_path_stride``-th frame contributes high-resolution
+    "slow" tokens (pooled at ``slow_pool_stride``), interleaved ahead of that
+    group's normally-pooled "fast" frame tokens. feats: [T, P_vis, D] already
+    projected. Returns the flattened token sequence [N, D]."""
+    t, p, d = feats.shape
+    side_in = cfg.vision_patches_per_side
+    fast = pool_2d(feats, side_in, cfg.spatial_pool_stride, cfg.spatial_pool_mode)
+    fast_side = cfg.pooled_side
+    fast_tok = apply_newline_policy(fast, fast_side, mm_newline, "grid")
+    tok_pf = fast_side * (fast_side + 1)
+
+    slow_frames = feats[::slow_path_stride]
+    slow = pool_2d(slow_frames, side_in, slow_pool_stride, cfg.spatial_pool_mode)
+    import math as _math
+
+    slow_side = _math.ceil(side_in / slow_pool_stride)
+    slow_tok = apply_newline_policy(slow, slow_side, mm_newline, "grid")
+    n_slow = slow_frames.shape[0]
+    slow_pf = slow_side * (slow_side + 1)
+
+    pad_frames = slow_path_stride * n_slow - t
+    fast_pad = jnp.concatenate(
+        [fast_tok, jnp.zeros((pad_frames * tok_pf, d), fast_tok.dtype)], axis=0
+    )
+    fast_grp = fast_pad.reshape(n_slow, slow_path_stride * tok_pf, d)
+    slow_grp = slow_tok.reshape(n_slow, slow_pf, d)
+    out = jnp.concatenate([slow_grp, fast_grp], axis=1).reshape(-1, d)
+    if pad_frames > 0:
+        out = out[: -(pad_frames * tok_pf)]
+    return out
+
+
 def build_multimodal_embeds(
     decoder_params: dict,
     cfg: LlavaConfig,

@@ -31,6 +31,38 @@ _LAYER_MAP = {
 }
 
 
+def merge_lora_state_dict(tensors: dict, alpha: float | None = None) -> dict:
+    """Fold LoRA adapters into base weights: W + (alpha/r) * B @ A.
+
+    The reference merges LoRA checkpoints at load time
+    (llava/model/builder.py:54-126, peft merge_and_unload). Keys follow the
+    peft convention ``<base>.lora_A.weight`` / ``<base>.lora_B.weight``
+    alongside ``<base>.weight`` (optionally with ``base_model.model.``
+    prefixes, which are stripped).
+    """
+    out = {}
+    loras: dict[str, dict] = {}
+    for name, val in tensors.items():
+        clean = name.replace("base_model.model.", "")
+        if ".lora_A." in clean or ".lora_B." in clean:
+            base, _, rest = clean.partition(".lora_")
+            ab = rest[0]  # 'A' or 'B'
+            loras.setdefault(base, {})[ab] = np.asarray(val)
+        else:
+            out[clean.replace(".base_layer", "")] = val
+    for base, ab in loras.items():
+        if "A" not in ab or "B" not in ab:
+            raise ValueError(f"incomplete LoRA pair for {base}")
+        a, b = ab["A"], ab["B"]  # [r, in], [out, r]
+        r = a.shape[0]
+        scale = (alpha / r) if alpha is not None else 1.0
+        key = f"{base}.weight"
+        if key not in out:
+            raise ValueError(f"LoRA target {key} missing from base weights")
+        out[key] = np.asarray(out[key]) + scale * (b @ a)
+    return out
+
+
 def params_from_state_dict(cfg, tensors: dict, prefix: str = "model.") -> dict:
     """Build the params pytree from a {name: numpy array} state dict.
 
