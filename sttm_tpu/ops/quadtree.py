@@ -60,19 +60,21 @@ def _per_head_cosine(a: jnp.ndarray, b: jnp.ndarray, head_dim: int | None) -> jn
     """fp32 cosine similarity over the channel axis, optionally per-head-mean.
 
     Matches the reference's upcast + optional per-head mean
-    (quadtree_builder.py:57-66).
+    (quadtree_builder.py:57-66). The plain (non-per-head) path runs the
+    blocked Pallas kernel on TPU (ops/kernels.py).
     """
+    if head_dim is None:
+        from .kernels import cosine_rows
+
+        return cosine_rows(a, b)
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    if head_dim is not None:
-        a = a.reshape(*a.shape[:-1], -1, head_dim)
-        b = b.reshape(*b.shape[:-1], -1, head_dim)
+    a = a.reshape(*a.shape[:-1], -1, head_dim)
+    b = b.reshape(*b.shape[:-1], -1, head_dim)
     num = (a * b).sum(-1)
     den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
     sim = num / jnp.maximum(den, 1e-8)
-    if head_dim is not None:
-        sim = sim.mean(-1)
-    return sim
+    return sim.mean(-1)
 
 
 def _gather_level_to_leaf(x: jnp.ndarray, lvl, axes=(1, 2)) -> jnp.ndarray:
