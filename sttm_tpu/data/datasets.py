@@ -55,6 +55,69 @@ def _load_feature(feature_dir: str, vid: str) -> np.ndarray:
     raise FileNotFoundError(f"no cached feature for {vid} in {feature_dir}")
 
 
+class RawVideoVidQADataset:
+    """Raw-video variant (VidQA_Loader_Video, video_dataset.py:147-296):
+    decodes + samples frames per question with the native libav decoder; the
+    evaluator runs the vision tower on the fly. Frames for a video are cached
+    across consecutive questions (the reference keeps an LRU frame cache)."""
+
+    def __init__(self, cfg: DataConfig, tokenizer, video_dir: str, tgt_fps: float,
+                 frames_upbound: int, image_size: int = 384, skip_qids=()):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.video_dir = video_dir
+        self.tgt_fps = tgt_fps
+        self.frames_upbound = frames_upbound
+        self.image_size = image_size
+        data = load_annotations(cfg.dataset_name, cfg.anno_filepath, cfg.answer_flag)
+        skip = set(skip_qids)
+        self.data = [d for d in data if d["qid"] not in skip]
+        if cfg.first_sample:
+            self.data = self.data[:1]
+        self._cache_vid = None
+        self._cache = None
+
+    def __len__(self):
+        return len(self.data)
+
+    def _frames(self, vid: str):
+        if self._cache_vid != vid:
+            from .video import load_video_frames
+
+            path = os.path.join(self.video_dir, f"{vid}.mp4")
+            self._cache = load_video_frames(
+                path, self.tgt_fps, self.frames_upbound, self.image_size, self.image_size
+            )
+            self._cache_vid = vid
+        return self._cache
+
+    def __getitem__(self, idx: int) -> dict:
+        d = self.data[idx]
+        frames, meta = self._frames(d["vid"])
+        ti = None
+        if self.cfg.add_time_instruction:
+            ti = time_instruction(meta["video_time"], meta["num_frames"], meta["frame_time"])
+        message = build_video_message(d["conversations"], ti)
+        prompt = build_chat_prompt(message)
+        input_ids, sys_len, inst_len = tokenize_with_image(prompt, self.tokenizer)
+        return {
+            "input_ids": input_ids,
+            "frames": frames,  # uint8 [T, H, W, 3]
+            "modality": "video",
+            "id": d["qid"],
+            "vid": d["vid"],
+            "sys_len": sys_len,
+            "inst_len": inst_len,
+            "frame_len": len(frames),
+            "answer": str(d["answer"]) if self.cfg.answer_flag else "",
+            "instruction": message,
+        }
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
 class Qwen2VLFeatureDataset:
     """Feature-based dataset for Qwen2-VL (VidQA_Loader_Feature_Qwen2VL,
     video_dataset.py:404-496): cached post-merger features [t, gh/2, gw/2, C]

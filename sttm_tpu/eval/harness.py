@@ -200,3 +200,26 @@ class LlavaEvaluator:
 
 # Qwen2VLEvaluator shares the resumable-JSONL evaluation loop.
 Qwen2VLEvaluator.evaluate = LlavaEvaluator.evaluate
+
+
+class RawVideoLlavaEvaluator(LlavaEvaluator):
+    """Raw-video eval (eval_vidqa_by_video_llavavideo.py): the vision tower
+    runs per sample on decoded frames, then the normal feature pipeline."""
+
+    def __init__(self, *args, tower_params=None, tower_cfg=None, tower_chunk=64, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.tower_params = tower_params
+        self.tower_cfg = tower_cfg
+        self.tower_chunk = tower_chunk
+
+    def _prepare(self, sample: dict, pad_multiple: int):
+        if "feature" not in sample:
+            from ..data.video import siglip_preprocess
+            from ..models.siglip import encode_video_frames
+
+            px = siglip_preprocess(np.asarray(sample["frames"]))
+            sample = dict(sample)
+            sample["feature"] = encode_video_frames(
+                self.tower_params, self.tower_cfg, px, self.tower_chunk
+            )
+        return super()._prepare(sample, pad_multiple)

@@ -122,6 +122,25 @@ def siglip_encode(params: dict, cfg: SiglipConfig, pixels: jnp.ndarray) -> jnp.n
     return _layer_norm(x, params["post_ln_w"], params["post_ln_b"], cfg.layer_norm_eps)
 
 
+def encode_video_frames(params: dict, cfg: SiglipConfig, pixels, chunk: int = 64):
+    """Chunked tower forward over video frames (the reference encodes in
+    <=512-frame chunks, video_feat_llavavideo.py:80-89). pixels: normalized
+    [T, H, W, 3] numpy/array -> features [T, P, D] float32 numpy."""
+    import numpy as np
+
+    encode = jax.jit(lambda px: siglip_encode(params, cfg, px))
+    out = []
+    t = pixels.shape[0]
+    for i in range(0, t, chunk):
+        part = pixels[i : i + chunk]
+        pad = chunk - part.shape[0]
+        if pad:
+            part = jnp.concatenate([jnp.asarray(part), jnp.zeros((pad,) + part.shape[1:], jnp.float32)])
+        f = np.asarray(encode(jnp.asarray(part)), np.float32)
+        out.append(f[: min(chunk, t - i)])
+    return np.concatenate(out)
+
+
 def load_siglip_state_dict(cfg: SiglipConfig, tensors: dict, prefix: str = "vision_model.") -> dict:
     """Map a HF SiglipVisionModel state dict (numpy values) to our layout,
     dropping the last encoder layer and the pooling head (reference surgery,

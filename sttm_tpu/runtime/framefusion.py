@@ -40,6 +40,9 @@ class FrameFusionSpec:
     w: int
     similarity_lower_bound: float = 0.6
     ratio_lower_bound: float = 0.1
+    # False = merge-only variant (the reference's replace_Qwen2_merging mode,
+    # framefusion interface mode="merging")
+    enable_prune: bool = True
 
     @property
     def n_video(self) -> int:
@@ -231,7 +234,7 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
                 keep_vid = vid_alive & (rank < n_keep)
                 return jax.lax.dynamic_update_slice(alive, keep_vid, (video_start,))
 
-            should_prune = fin_m & ~fin_p & (li + 1 < n_layers)
+            should_prune = fin_m & ~fin_p & (li + 1 < n_layers) & spec.enable_prune
             alive = jax.lax.cond(should_prune, do_prune, lambda a: a, alive)
             state = (s_prod, total, fin_m, jnp.where(should_prune, True, fin_p))
 

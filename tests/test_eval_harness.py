@@ -171,3 +171,49 @@ def test_qwen2vl_eval_end_to_end(tmp_path):
     assert result["n"] == 2
     rts = read_jsonl(os.path.join(ecfg.out_dir, "runtime.jsonl"))
     assert all(r["merged_len"] < r["full_len"] for r in rts)
+
+
+def test_raw_video_evaluator(tmp_path):
+    """Raw-video path: native decode -> tower -> pipeline, end to end."""
+    from sttm_tpu import native
+
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    from sttm_tpu.data.datasets import RawVideoVidQADataset
+    from sttm_tpu.eval.harness import RawVideoLlavaEvaluator
+    from sttm_tpu.models import siglip as sig
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    native.encode_test_video(str(vids / "clip.mp4"), n=20, w=64, h=64, fps=8)
+    annos = [{
+        "question_id": "q0", "videoID": "clip", "question": "What?",
+        "options": ["A. x", "B. y", "C. z", "D. w"], "answer": "A",
+        "duration": "short", "domain": "d", "task_type": "t",
+    }]
+    anno_path = tmp_path / "a.json"
+    anno_path.write_text(json.dumps(annos))
+
+    tiny_tower = sig.SiglipConfig(hidden_size=32, intermediate_size=64, num_layers=2,
+                                  num_heads=4, image_size=28, patch_size=14,
+                                  dtype=np.float32)
+    tower_params = sig.init_siglip_params(tiny_tower, jax.random.key(0))
+    cfg = LlavaConfig(decoder=TINY, vision_hidden_size=32, vision_patches_per_side=2,
+                      spatial_pool_stride=1)
+    dec_params = qwen2.init_params(TINY, jax.random.key(1))
+    mm_params = llava.init_multimodal_params(cfg, jax.random.key(2))
+    tok = MockTokenizer()
+
+    dcfg = DataConfig("videomme", str(anno_path), "", "", add_time_instruction=True)
+    ds = RawVideoVidQADataset(dcfg, tok, str(vids), tgt_fps=2, frames_upbound=6,
+                              image_size=tiny_tower.image_size)
+    ev = RawVideoLlavaEvaluator(
+        dec_params, TINY, cfg, mm_params, tok,
+        lambda t, h, w: ReducerSpec(kind="none", layer_idx=1, t=t, h=h, w=w),
+        tower_params=tower_params, tower_cfg=tiny_tower, tower_chunk=4,
+    )
+    ecfg = EvalConfig(out_dir=str(tmp_path / "out"), dataset_name="videomme",
+                      max_new_tokens=2, pad_multiple=32, attention_impl="xla",
+                      eos_token_ids=(), warmup=False)
+    result = ev.evaluate(ds, ecfg, gts=annos)
+    assert result["n"] == 1
