@@ -19,9 +19,14 @@ def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks=0, at
     b, sq, hq, hd = q.shape
     _, skv, hkv, _ = k.shape
     g = hq // hkv
-    qf = q.astype(jnp.float32).reshape(b, sq, hkv, g, hd)
-    kf = k.astype(jnp.float32)
-    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf, precision=jax.lax.Precision.HIGHEST)
+    # fp32 accumulation WITHOUT materializing fp32 copies of K/V: decode reads
+    # the whole cache every token, so upcasting it would double HBM traffic
+    qf = q.reshape(b, sq, hkv, g, hd)
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qf, k,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     scores = scores * sm_scale
     kpos = jnp.arange(skv)[None, :]
     mask = kpos < kv_valid_len
@@ -37,7 +42,9 @@ def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks=0, at
     scores = jnp.where(mask[None, None, None], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bhgqk,bkhd->bqhgd", probs, v.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST
+        "bhgqk,bkhd->bqhgd", probs, v,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
     return out.reshape(b, sq, hq, hd).astype(q.dtype)
 

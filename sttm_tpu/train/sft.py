@@ -49,8 +49,23 @@ def loss_fn(params, cfg: DecoderConfig, input_ids, labels, remat: bool = False):
     return total / count
 
 
-def init_train_state(params, learning_rate: float = 1e-5, weight_decay: float = 0.0):
-    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+def init_train_state(params, learning_rate: float = 1e-5, weight_decay: float = 0.0,
+                     module_lrs: dict | None = None):
+    """adamw; ``module_lrs`` maps top-level param groups to their own LR (the
+    reference trainer's split projector / vision-tower LRs,
+    llava/train/llava_trainer.py:356), e.g. {"mm": 2e-5}."""
+    if not module_lrs:
+        tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+        return tx, tx.init(params)
+
+    def label(p):
+        return {k: jax.tree.map(lambda _: k if k in module_lrs else "default", v)
+                for k, v in p.items()}
+
+    transforms = {"default": optax.adamw(learning_rate, weight_decay=weight_decay)}
+    for name, lr in module_lrs.items():
+        transforms[name] = optax.adamw(lr, weight_decay=weight_decay)
+    tx = optax.multi_transform(transforms, label)
     return tx, tx.init(params)
 
 

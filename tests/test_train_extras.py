@@ -66,3 +66,18 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["params"]["layers"]["wq"]), np.asarray(params["layers"]["wq"])
     )
+
+
+def test_module_lrs():
+    import optax
+    import jax.numpy as jnp
+    from sttm_tpu.train.sft import init_train_state
+
+    params = {"layers": {"w": jnp.ones((4, 4))}, "mm": {"p": jnp.ones((4,))}}
+    tx, state = init_train_state(params, learning_rate=1e-3, module_lrs={"mm": 1e-1})
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    d_default = float(jnp.abs(new["layers"]["w"] - 1).max())
+    d_mm = float(jnp.abs(new["mm"]["p"] - 1).max())
+    assert d_mm > 10 * d_default  # mm group stepped with the larger LR
