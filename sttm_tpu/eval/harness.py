@@ -45,6 +45,8 @@ class EvalConfig:
     # StreamingLLM A-shape attention (0 = off)
     attn_sinks: int = 0
     attn_window: int = 0
+    # DyCoke stage-2 decode pruning (None = off): (dycoke_l, dycoke_p)
+    dycoke_decode: tuple | None = None
 
 
 def run_name(model_name: str, dataset: str, spec: ReducerSpec | None, frames: int) -> str:
@@ -54,6 +56,8 @@ def run_name(model_name: str, dataset: str, spec: ReducerSpec | None, frames: in
         sa = "full"
     elif isinstance(spec, tuple):  # multi-stage (pyrd)
         sa = "-".join(f"{s.kind}{s.layer_idx}x{s.pyrd_size}" for s in spec)
+    elif not isinstance(spec, ReducerSpec):  # FrameFusionSpec
+        sa = f"framefusion_cost-{spec.cost}" + ("" if spec.enable_prune else "_merge-only")
     elif spec.kind in ("quadtree", "octree"):
         sa = (
             f"{spec.kind}_l-{spec.layer_idx}_root-{spec.root_level}"
@@ -143,11 +147,19 @@ class LlavaEvaluator:
 
     def run_sample(self, sample: dict, cfg: EvalConfig):
         embeds, valid, video_start, n_video, spec = self._prepare(sample, cfg.pad_multiple)
+        dyc = None
+        if cfg.dycoke_decode is not None and isinstance(spec, ReducerSpec) and spec.kind == "dycoke":
+            from ..runtime.generate import DycokeDecodeOptions
+
+            dyc = DycokeDecodeOptions(
+                layer_idx=cfg.dycoke_decode[0], ratio=cfg.dycoke_decode[1],
+                img_len=spec.video_out_len(),
+            )
         t0 = time.perf_counter()
         ids, runtime = generate(
             self.decoder_params, self.decoder_cfg, embeds, valid, video_start, spec,
             GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids), impl=cfg.attention_impl,
-            attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window,
+            attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window, dycoke=dyc,
         )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(

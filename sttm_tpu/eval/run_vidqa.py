@@ -47,8 +47,12 @@ def parse_args(argv=None):
     p.add_argument("--temporal_skip_freq", type=int, default=-1)
     # token reduction (sa_*)
     p.add_argument("--sa_pattern", default="origin",
-                   choices=["origin", "quadtree", "tome", "dycoke-stage1",
-                            "fastv", "pyrd", "octree", "streamingllm"])
+                   choices=["origin", "quadtree", "tome", "dycoke-stage1", "dycoke",
+                            "fastv", "pyrd", "octree", "streamingllm",
+                            "framefusion", "merging"])
+    p.add_argument("--dycoke_l", type=int, default=3)
+    p.add_argument("--dycoke_p", type=float, default=0.8)
+    p.add_argument("--sa_framefusion_cost", type=float, default=0.3)
     p.add_argument("--sa_start_layer_idx", type=int, default=2)
     p.add_argument("--sa_tree_thresh", type=float, default=0.9)
     p.add_argument("--sa_tree_temporal_thresh", type=float, default=-1.0)
@@ -73,46 +77,26 @@ def parse_args(argv=None):
 
 
 def make_spec_factory(args, head_dim: int):
-    from ..runtime.reducer import ReducerSpec
+    from ..runtime.generate import spec_from_pattern
 
     def factory(t, h, w):
-        if args.sa_pattern == "origin":
-            return None
         nv = t * h * w
-        common = dict(layer_idx=args.sa_start_layer_idx, t=t, h=h, w=w)
-        if args.sa_pattern == "quadtree":
-            return ReducerSpec(
-                kind="quadtree", video_budget=int(args.video_budget_ratio * nv),
-                spatial_thresh=args.sa_tree_thresh,
-                temporal_thresh=args.sa_tree_temporal_thresh,
-                root_level=args.sa_tree_root_level,
-                weighted_avg=args.sa_tree_weighted_avg,
-                sim_head_dim=head_dim if args.sim_per_head else None,
-                **common,
-            )
-        if args.sa_pattern == "tome":
-            return ReducerSpec(kind="tome", prune_ratio=args.sa_prune_ratio,
-                               tome_per=args.sa_tome_ver, **common)
-        if args.sa_pattern == "dycoke-stage1":
-            return ReducerSpec(kind="dycoke", prune_ratio=args.sa_prune_ratio, **common)
-        if args.sa_pattern == "fastv":
-            return ReducerSpec(kind="fastv", prune_ratio=args.sa_fastv_evict_ratio, **common)
-        if args.sa_pattern == "octree":
-            return ReducerSpec(
-                kind="octree", video_budget=int(args.video_budget_ratio * nv),
-                spatial_thresh=args.sa_tree_thresh, root_level=args.sa_tree_root_level,
-                **common,
-            )
-        if args.sa_pattern == "pyrd":
-            specs, hh, www = [], h, w
-            for loc, size in zip(args.sa_pyrd_loc_list, args.sa_pyrd_size_list):
-                specs.append(ReducerSpec(kind="pyrd", layer_idx=loc, t=t, h=hh, w=www,
-                                         pyrd_size=size))
-                hh = www = size
-            return tuple(specs)
-        if args.sa_pattern == "streamingllm":
-            return None  # attention-pattern baseline; no token reduction
-        raise ValueError(args.sa_pattern)
+        return spec_from_pattern(
+            args.sa_pattern, t, h, w,
+            sa_start_layer_idx=args.sa_start_layer_idx,
+            video_budget=int(args.video_budget_ratio * nv),
+            sa_tree_thresh=args.sa_tree_thresh,
+            sa_tree_temporal_thresh=args.sa_tree_temporal_thresh,
+            sa_tree_root_level=args.sa_tree_root_level,
+            sa_tree_weighted_avg=args.sa_tree_weighted_avg,
+            sim_head_dim=head_dim if args.sim_per_head else None,
+            sa_prune_ratio=args.sa_prune_ratio,
+            sa_tome_ver=args.sa_tome_ver,
+            sa_fastv_evict_ratio=args.sa_fastv_evict_ratio,
+            sa_pyrd_loc_list=args.sa_pyrd_loc_list,
+            sa_pyrd_size_list=args.sa_pyrd_size_list,
+            sa_framefusion_cost=args.sa_framefusion_cost,
+        )
 
     return factory
 
@@ -174,6 +158,7 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens, attention_impl=args.attention_impl,
         attn_sinks=args.sa_sink_tokens if streaming else 0,
         attn_window=args.sa_local_window if streaming else 0,
+        dycoke_decode=(args.dycoke_l, args.dycoke_p) if args.sa_pattern == "dycoke" else None,
     )
     ev = LlavaEvaluator(params, dec_cfg, llava_cfg, mm_params, tokenizer, spec_factory)
     result = ev.evaluate(dataset, ecfg, gts=gts)

@@ -325,7 +325,17 @@ def generate(
     attn_window: int = 0,
     dycoke: DycokeDecodeOptions | None = None,
 ):
-    """Greedy generation. Returns (token_ids list, runtime dict)."""
+    """Greedy generation. Returns (token_ids list, runtime dict).
+
+    ``spec`` may also be a FrameFusionSpec (layerwise budgeted merge-prune,
+    runtime/framefusion.py), which uses its own prefill and a masked decode.
+    """
+    from .framefusion import FrameFusionSpec
+
+    if isinstance(spec, FrameFusionSpec):
+        return _generate_framefusion(
+            params, cfg, embeds, valid_len, video_start, spec, gen
+        )
     s_full = embeds.shape[1]
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     prefill = build_prefill(cfg, spec_key, s_full, impl, attn_sinks, attn_window)
@@ -378,3 +388,117 @@ def generate(
         "full_len": int(valid_len),
     }
     return ids, runtime
+
+
+@functools.lru_cache(maxsize=8)
+def _build_decode_step_masked(cfg: DecoderConfig):
+    """Single-group decode with a fixed KV keep-mask (FrameFusion: dead
+    merged/pruned slots stay masked through decode)."""
+
+    def fn(params, token, cache, step, kv_mask):
+        layers = params["layers"]
+        x = qwen2.embed_tokens(params, token)[:, None, :]
+        pos = (cache.pos_base + step)[None].astype(jnp.int32)
+        cos, sin = qwen2.rope_cos_sin(cfg, pos)
+        x, ck, cv, _ = qwen2.decode_layers(
+            layers, 0, cfg.num_layers, x, cos, sin, cache.ks[0], cache.vs[0],
+            cache.lens[0] + step, cfg, kv_mask=kv_mask,
+        )
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
+        logits = qwen2.lm_head(params, cfg, h)[:, 0]
+        return logits, dataclasses.replace(cache, ks=(ck,), vs=(cv,))
+
+    return jax.jit(fn, donate_argnums=(2,))
+
+
+def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen):
+    from .framefusion import build_prefill_framefusion
+
+    s_full = embeds.shape[1]
+    prefill = build_prefill_framefusion(cfg, spec, s_full)
+    decode = _build_decode_step_masked(cfg)
+
+    t0 = time.perf_counter()
+    logits, cache, alive = prefill(
+        params, embeds, jnp.int32(valid_len), jnp.int32(video_start)
+    )
+    logits.block_until_ready()
+    ttft = time.perf_counter() - t0
+
+    # extend the mask over the decode tail (new tokens are always visible)
+    kv_mask = jnp.concatenate([alive, jnp.ones((MAX_DECODE,), bool)])
+    token = jnp.argmax(logits, -1).astype(jnp.int32)
+    ids = [int(token[0])]
+    merged_len = int(alive.sum())
+
+    time_decoding = 0.0
+    step = 0
+    while len(ids) < gen.max_new_tokens and ids[-1] not in gen.eos_token_ids:
+        t0 = time.perf_counter()
+        logits, cache = decode(params, token, cache, jnp.int32(step), kv_mask)
+        logits = jax.block_until_ready(logits)
+        time_decoding += time.perf_counter() - t0
+        token = jnp.argmax(logits, -1).astype(jnp.int32)
+        ids.append(int(token[0]))
+        step += 1
+
+    runtime = {
+        "ttft_llm": ttft,
+        "time_decoding": time_decoding,
+        "num_dec_token": len(ids),
+        "merged_len": merged_len,
+        "full_len": int(valid_len),
+    }
+    return ids, runtime
+
+
+def spec_from_pattern(pattern: str, t: int, h: int, w: int, **kw):
+    """Library-level dispatcher mirroring the reference's
+    replace_qwen2_by_sparse_attn(sa_pattern, ...) interface
+    (token_merging_utils/monkey_patch_interface.py:17-38). Returns the
+    reducer spec(s) for ``generate`` (None for origin/streamingllm —
+    streaming is an attention-pattern flag, see generate(attn_sinks=...)).
+    """
+    from .framefusion import FrameFusionSpec
+
+    nv = t * h * w
+    layer = kw.get("sa_start_layer_idx", 2)
+    if pattern == "origin" or pattern == "streamingllm":
+        return None
+    if pattern == "quadtree":
+        return ReducerSpec(
+            kind="quadtree", layer_idx=layer, t=t, h=h, w=w,
+            video_budget=kw.get("video_budget", int(0.6 * nv)),
+            spatial_thresh=kw.get("sa_tree_thresh", 0.9),
+            temporal_thresh=kw.get("sa_tree_temporal_thresh", -1.0),
+            root_level=kw.get("sa_tree_root_level", 0),
+            weighted_avg=kw.get("sa_tree_weighted_avg", False),
+            sim_head_dim=kw.get("sim_head_dim"),
+            pos_emb_ver=kw.get("pos_emb_ver", 0),
+        )
+    if pattern == "tome":
+        return ReducerSpec(kind="tome", layer_idx=layer, t=t, h=h, w=w,
+                           prune_ratio=kw.get("sa_prune_ratio", 0.5),
+                           tome_per=kw.get("sa_tome_ver", "video"))
+    if pattern in ("dycoke-stage1", "dycoke"):
+        return ReducerSpec(kind="dycoke", layer_idx=layer, t=t, h=h, w=w,
+                           prune_ratio=kw.get("sa_prune_ratio", 0.7))
+    if pattern == "fastv":
+        return ReducerSpec(kind="fastv", layer_idx=layer, t=t, h=h, w=w,
+                           prune_ratio=kw.get("sa_fastv_evict_ratio", 0.5))
+    if pattern == "octree":
+        return ReducerSpec(kind="octree", layer_idx=layer, t=t, h=h, w=w,
+                           video_budget=kw.get("video_budget", int(0.6 * nv)),
+                           spatial_thresh=kw.get("sa_tree_thresh", 0.9),
+                           root_level=kw.get("sa_tree_root_level", 0))
+    if pattern == "pyrd":
+        specs, hh, ww = [], h, w
+        for loc, size in zip(kw["sa_pyrd_loc_list"], kw["sa_pyrd_size_list"]):
+            specs.append(ReducerSpec(kind="pyrd", layer_idx=loc, t=t, h=hh, w=ww,
+                                     pyrd_size=size))
+            hh = ww = size
+        return tuple(specs)
+    if pattern in ("framefusion", "merging"):
+        return FrameFusionSpec(cost=kw.get("sa_framefusion_cost", 0.3), t=t, h=h, w=w,
+                               enable_prune=pattern == "framefusion")
+    raise ValueError(f"unknown sa_pattern {pattern!r}")

@@ -55,3 +55,21 @@ def test_framefusion_dissimilar_video_prunes_to_budget():
     # random video: few merges, so attention pruning must hit ~cost budget
     assert n_alive_video <= int(nv * 0.5)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_framefusion_generate_and_dispatcher():
+    from sttm_tpu.runtime.generate import GenerateConfig, generate, spec_from_pattern
+
+    params, emb, valid, sys_len, (t, h, w) = _setup(highly_similar=True)
+    spec = spec_from_pattern("framefusion", t, h, w, sa_framefusion_cost=0.3)
+    ids, rt = generate(params, TINY, emb, valid, sys_len, spec,
+                       GenerateConfig(max_new_tokens=3, eos_token_ids=()))
+    assert len(ids) == 3
+    assert rt["merged_len"] < valid
+
+    merge_only = spec_from_pattern("merging", t, h, w)
+    assert merge_only.enable_prune is False
+    qt = spec_from_pattern("quadtree", t, h, w, sa_tree_thresh=0.8)
+    assert qt.kind == "quadtree" and qt.spatial_thresh == 0.8
+    py = spec_from_pattern("pyrd", t, 4, 4, sa_pyrd_loc_list=[1, 2], sa_pyrd_size_list=[2, 1])
+    assert len(py) == 2 and py[1].h == 2
