@@ -21,8 +21,42 @@ __all__ = [
     "load_video_frames",
     "siglip_preprocess",
     "smart_resize",
+    "smart_nframes",
     "qwen2vl_patchify",
 ]
+
+# Qwen2-VL frame-count policy constants (qwen_vl_utils.py:34-37)
+FRAME_FACTOR = 2
+QWEN2VL_FPS = 2.0
+FPS_MIN_FRAMES = 4
+FPS_MAX_FRAMES = 768
+
+
+def smart_nframes(
+    total_frames: int,
+    video_fps: float,
+    fps: float | None = None,
+    nframes: int | None = None,
+    min_frames: int = FPS_MIN_FRAMES,
+    max_frames: int | None = None,
+) -> int:
+    """Qwen2-VL frame-count policy (qwen_vl_utils.py:150-188): fps-based count
+    clamped to [min_frames, min(max_frames, total)] and floored to a multiple
+    of FRAME_FACTOR (2-frame temporal patches)."""
+    if nframes is not None:
+        n = round(nframes / FRAME_FACTOR) * FRAME_FACTOR
+    else:
+        fps = QWEN2VL_FPS if fps is None else fps
+        if max_frames is None:
+            max_frames = min(FPS_MAX_FRAMES, total_frames)
+        min_f = math.ceil(min_frames / FRAME_FACTOR) * FRAME_FACTOR
+        max_f = math.floor(max_frames / FRAME_FACTOR) * FRAME_FACTOR
+        n = total_frames / video_fps * fps
+        n = min(min(max(n, min_f), max_f), total_frames)
+        n = math.floor(n / FRAME_FACTOR) * FRAME_FACTOR
+    if not (FRAME_FACTOR <= n <= total_frames):
+        raise ValueError(f"nframes should be in [{FRAME_FACTOR}, {total_frames}], got {n}")
+    return int(n)
 
 
 def sample_frame_times(duration: float, tgt_fps: float, frames_upbound: int):

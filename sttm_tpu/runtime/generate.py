@@ -22,6 +22,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models import qwen2
 from ..models.config import DecoderConfig
@@ -502,3 +503,104 @@ def spec_from_pattern(pattern: str, t: int, h: int, w: int, **kw):
         return FrameFusionSpec(cost=kw.get("sa_framefusion_cost", 0.3), t=t, h=h, w=w,
                                enable_prune=pattern == "framefusion")
     raise ValueError(f"unknown sa_pattern {pattern!r}")
+
+
+def generate_batch(
+    params,
+    cfg: DecoderConfig,
+    embeds: jnp.ndarray,
+    valid_lens,
+    video_starts,
+    spec,
+    gen: GenerateConfig = GenerateConfig(),
+    impl: str = "xla",
+    position_ids=None,
+):
+    """Batched greedy generation — beyond the reference's strict batch=1
+    (eval_vidqa_by_feat_llavavideo.py:208). Samples share (s_full, spec);
+    per-sample valid lengths/video starts vary. embeds: [B, s_full, D];
+    valid_lens/video_starts: [B]. position_ids: optional [B, ...] per-sample.
+
+    Implementation (the standard serving split): prefills run SEQUENTIALLY
+    (a 25k-token prefill's activations are per-sample and large), caches are
+    stacked, and decode runs vmapped — one weight read serves the whole batch
+    (decode is weight-bandwidth-bound). The reducer, KV cache, and attention
+    all batch through jax's batching rules. Returns (ids list-of-lists,
+    runtime dict).
+    """
+    b, s_full, _ = embeds.shape
+    spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
+    prefill = build_prefill(cfg, spec_key, s_full, impl)
+    decode = build_decode_step(cfg, spec_key)
+
+    vl = jnp.asarray(valid_lens, jnp.int32)
+    vs = jnp.asarray(video_starts, jnp.int32)
+
+    t0 = time.perf_counter()
+    per_sample = []
+    for i in range(b):
+        p = None if position_ids is None else jnp.asarray(position_ids)[i]
+        out = prefill(params, embeds[i : i + 1], vl[i], vs[i], p)
+        jax.block_until_ready(out[0])
+        per_sample.append(out)
+    logits = jnp.stack([o[0] for o in per_sample])  # [B, 1, V]
+    cache = jax.tree.map(lambda *xs: jnp.stack(xs), *[o[1] for o in per_sample])
+    logits.block_until_ready()
+    ttft = time.perf_counter() - t0
+
+    # chunked multi-token decode: one dispatch generates up to `chunk` tokens
+    # (amortizes host-loop roundtrips; the while_loop stops early inside the
+    # device once every sequence hit EOS, preserving greedy+EOS semantics)
+    chunk = min(8, gen.max_new_tokens)
+    eos_arr = jnp.asarray(list(gen.eos_token_ids) or [-1], jnp.int32)
+    bdecode = jax.vmap(lambda tok, c, st: decode(params, tok, c, st), in_axes=(0, 0, None))
+
+    @jax.jit
+    def decode_chunk(token, cache, start_step, done0):
+        def cond(state):
+            i, _, _, done, _ = state
+            return (i < chunk) & ~jnp.all(done)
+
+        def body(state):
+            i, tok, c, done, buf = state
+            lg, c2 = bdecode(tok, c, start_step + i)
+            nxt = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
+            nxt = jnp.where(done, tok[:, 0], nxt)  # freeze finished rows
+            buf = buf.at[:, i].set(jnp.where(done, -1, nxt))
+            done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
+            return i + 1, nxt[:, None], c2, done, buf
+
+        buf0 = jnp.full((b, chunk), -1, jnp.int32)
+        n, tok, c, done, buf = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), token, cache, done0, buf0)
+        )
+        return tok, c, done, buf, n
+
+    token = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)[:, None]  # [B, 1]
+    ids = [[int(t)] for t in token[:, 0]]
+    merged_lens = [int(m) for m in cache.merged_len]
+
+    eos = set(gen.eos_token_ids)
+    done = jnp.asarray([ids[i][-1] in eos for i in range(b)])
+    time_decoding = 0.0
+    step = 0
+    while step < gen.max_new_tokens - 1 and not bool(jnp.all(done)):
+        n_this = min(chunk, gen.max_new_tokens - 1 - step)
+        t0 = time.perf_counter()
+        token, cache, done, buf, n = decode_chunk(token, cache, jnp.int32(step), done)
+        buf = np.asarray(buf)  # host sync
+        time_decoding += time.perf_counter() - t0
+        for i in range(b):
+            for j in range(min(int(n), n_this)):
+                if buf[i, j] >= 0 and len(ids[i]) < gen.max_new_tokens:
+                    ids[i].append(int(buf[i, j]))
+        step += int(n)
+
+    runtime = {
+        "ttft_llm": ttft,
+        "time_decoding": time_decoding,
+        "num_dec_token": [len(x) for x in ids],
+        "merged_len": merged_lens,
+        "full_len": [int(v) for v in vl],
+    }
+    return ids, runtime

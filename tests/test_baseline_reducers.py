@@ -97,3 +97,28 @@ def test_pos_emb_ver1_pooled_rope(setup):
     l1, c1 = f1(params, embeds, jnp.int32(valid), jnp.int32(sys_len))
     assert int(c0.merged_len) == int(c1.merged_len)
     assert np.abs(np.asarray(l0) - np.asarray(l1)).max() > 1e-6
+
+
+def test_generate_batch_matches_single(setup):
+    """Batched generation token-exactly matches per-sample generation."""
+    from sttm_tpu.runtime.generate import GenerateConfig, generate, generate_batch
+
+    params, embeds, valid, sys_len, (t, h, w) = setup
+    rng = np.random.default_rng(9)
+    s_full = embeds.shape[1]
+    b = 3
+    embs = np.asarray(jnp.broadcast_to(embeds, (b,) + embeds.shape[1:])).copy()
+    embs += 0.01 * rng.normal(size=embs.shape).astype(np.float32)
+    valids = [valid, valid - 2, valid - 5]
+    spec = ReducerSpec(kind="quadtree", layer_idx=2, t=t, h=h, w=w,
+                       video_budget=t * h * w // 2, spatial_thresh=0.6,
+                       temporal_thresh=0.5)
+    gcfg = GenerateConfig(max_new_tokens=4, eos_token_ids=())
+    batch_ids, brt = generate_batch(
+        params, TINY, jnp.asarray(embs), valids, [sys_len] * b, spec, gcfg,
+    )
+    for i in range(b):
+        one_ids, _ = generate(params, TINY, jnp.asarray(embs[i : i + 1]), valids[i],
+                              sys_len, spec, gcfg)
+        assert batch_ids[i] == one_ids, f"sample {i} diverged"
+    assert brt["merged_len"][0] >= brt["merged_len"][2] - t * h * w

@@ -92,3 +92,16 @@ def test_extract_features_cli_llava(tmp_path, monkeypatch):
         "--video_dir", str(vids), "--out_dir", str(out),
         "--frames_upbound", "8", "--tgt_video_fps", "2", "--chunk", "4",
     ])
+
+
+def test_smart_nframes():
+    from sttm_tpu.data.video import smart_nframes
+
+    # 60s @ 30fps video, 2fps target -> 120 frames
+    assert smart_nframes(1800, 30.0) == 120
+    # long video capped at 768
+    assert smart_nframes(30000, 30.0) == 768
+    # short video clamped up to min 4
+    assert smart_nframes(30, 30.0) == 4
+    # explicit nframes rounded to the 2-frame factor
+    assert smart_nframes(1000, 30.0, nframes=33) == 32
