@@ -208,9 +208,12 @@ def build_prefill(
 
 
 @functools.lru_cache(maxsize=32)
-def build_decode_step(cfg: DecoderConfig, spec):
-    """Jitted single-token decode: (params, token [1], cache, step) ->
-    (logits [1, V] fp32, cache)."""
+def build_decode_step(cfg: DecoderConfig, spec, jit: bool = True):
+    """Single-token decode: (params, token [1], cache, step) ->
+    (logits [1, V] fp32, cache). jit=False returns the raw traceable body
+    (for composition inside other jitted programs, e.g. the batched
+    chunked-decode loop — nesting jit there makes tracing pathological).
+    """
     specs = _normalize_specs(spec)
     bounds = _group_bounds(cfg, specs)
 
@@ -235,7 +238,7 @@ def build_decode_step(cfg: DecoderConfig, spec):
         new_cache = dataclasses.replace(cache, ks=tuple(new_ks), vs=tuple(new_vs))
         return logits, new_cache
 
-    return jax.jit(fn, donate_argnums=(2,))
+    return jax.jit(fn, donate_argnums=(2,)) if jit else fn
 
 
 @functools.lru_cache(maxsize=8)
@@ -531,7 +534,7 @@ def generate_batch(
     b, s_full, _ = embeds.shape
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     prefill = build_prefill(cfg, spec_key, s_full, impl)
-    decode = build_decode_step(cfg, spec_key)
+    decode = build_decode_step(cfg, spec_key, jit=False)
 
     vl = jnp.asarray(valid_lens, jnp.int32)
     vs = jnp.asarray(video_starts, jnp.int32)

@@ -122,3 +122,32 @@ def test_generate_batch_matches_single(setup):
                               sys_len, spec, gcfg)
         assert batch_ids[i] == one_ids, f"sample {i} diverged"
     assert brt["merged_len"][0] >= brt["merged_len"][2] - t * h * w
+
+
+def test_reducer_option_combinations(setup):
+    """Spec-option matrix: weighted avg, per-head sim, gathered positions,
+    octree — all through the full prefill+decode path."""
+    import dataclasses as dc
+
+    from sttm_tpu.runtime.generate import GenerateConfig, generate
+
+    params, embeds, valid, sys_len, (t, h, w) = setup
+    nv = t * h * w
+    base = ReducerSpec(kind="quadtree", layer_idx=2, t=t, h=h, w=w,
+                       video_budget=nv // 2, spatial_thresh=0.6, temporal_thresh=0.5)
+    variants = [
+        dc.replace(base, weighted_avg=True),
+        dc.replace(base, sim_head_dim=TINY.head_dim),
+        dc.replace(base, pos_emb_ver=2),
+        dc.replace(base, pos_emb_ver=1, pos_emb_weighted_avg=True),
+        ReducerSpec(kind="octree", layer_idx=2, t=t, h=h, w=w,
+                    video_budget=nv // 2, spatial_thresh=0.5),
+    ]
+    gcfg = GenerateConfig(max_new_tokens=2, eos_token_ids=())
+    outs = []
+    for sp in variants:
+        ids, rt = generate(params, TINY, embeds, valid, sys_len, sp, gcfg)
+        assert len(ids) == 2 and rt["merged_len"] <= valid
+        outs.append((sp.kind, sp.pos_emb_ver, rt["merged_len"]))
+    # octree on a t==h==w==4 grid forms cubes; merged length sane
+    assert outs[-1][2] >= sys_len + (valid - sys_len - nv) + 1
