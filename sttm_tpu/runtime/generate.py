@@ -518,6 +518,7 @@ def generate_batch(
     gen: GenerateConfig = GenerateConfig(),
     impl: str = "xla",
     position_ids=None,
+    decode_chunk_size: int = 1,
 ):
     """Batched greedy generation — beyond the reference's strict batch=1
     (eval_vidqa_by_feat_llavavideo.py:208). Samples share (s_full, spec);
@@ -553,31 +554,46 @@ def generate_batch(
 
     # chunked multi-token decode: one dispatch generates up to `chunk` tokens
     # (amortizes host-loop roundtrips; the while_loop stops early inside the
-    # device once every sequence hit EOS, preserving greedy+EOS semantics)
-    chunk = min(8, gen.max_new_tokens)
+    # device once every sequence hit EOS, preserving greedy+EOS semantics).
+    # decode_chunk_size=1 keeps the plain per-step dispatch (the chunked
+    # device loop compiles slowly through remote-compile tunnels, GAPS.md).
+    chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
     eos_arr = jnp.asarray(list(gen.eos_token_ids) or [-1], jnp.int32)
     bdecode = jax.vmap(lambda tok, c, st: decode(params, tok, c, st), in_axes=(0, 0, None))
 
-    @jax.jit
-    def decode_chunk(token, cache, start_step, done0):
-        def cond(state):
-            i, _, _, done, _ = state
-            return (i < chunk) & ~jnp.all(done)
+    if chunk == 1:
 
-        def body(state):
-            i, tok, c, done, buf = state
-            lg, c2 = bdecode(tok, c, start_step + i)
+        @jax.jit
+        def decode_chunk(token, cache, start_step, done0):
+            lg, c2 = bdecode(token, cache, start_step)
             nxt = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
-            nxt = jnp.where(done, tok[:, 0], nxt)  # freeze finished rows
-            buf = buf.at[:, i].set(jnp.where(done, -1, nxt))
-            done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
-            return i + 1, nxt[:, None], c2, done, buf
+            nxt = jnp.where(done0, token[:, 0], nxt)
+            buf = jnp.where(done0, -1, nxt)[:, None]
+            done = done0 | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
+            return nxt[:, None], c2, done, buf, jnp.int32(1)
 
-        buf0 = jnp.full((b, chunk), -1, jnp.int32)
-        n, tok, c, done, buf = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), token, cache, done0, buf0)
-        )
-        return tok, c, done, buf, n
+    else:
+
+        @jax.jit
+        def decode_chunk(token, cache, start_step, done0):
+            def cond(state):
+                i, _, _, done, _ = state
+                return (i < chunk) & ~jnp.all(done)
+
+            def body(state):
+                i, tok, c, done, buf = state
+                lg, c2 = bdecode(tok, c, start_step + i)
+                nxt = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
+                nxt = jnp.where(done, tok[:, 0], nxt)  # freeze finished rows
+                buf = buf.at[:, i].set(jnp.where(done, -1, nxt))
+                done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
+                return i + 1, nxt[:, None], c2, done, buf
+
+            buf0 = jnp.full((b, chunk), -1, jnp.int32)
+            n, tok, c, done, buf = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), token, cache, done0, buf0)
+            )
+            return tok, c, done, buf, n
 
     token = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)[:, None]  # [B, 1]
     ids = [[int(t)] for t in token[:, 0]]

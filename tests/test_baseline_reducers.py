@@ -151,3 +151,20 @@ def test_reducer_option_combinations(setup):
         outs.append((sp.kind, sp.pos_emb_ver, rt["merged_len"]))
     # octree on a t==h==w==4 grid forms cubes; merged length sane
     assert outs[-1][2] >= sys_len + (valid - sys_len - nv) + 1
+
+
+def test_generate_batch_chunked_matches_unchunked(setup):
+    from sttm_tpu.runtime.generate import GenerateConfig, generate_batch
+
+    params, embeds, valid, sys_len, (t, h, w) = setup
+    b = 2
+    embs = jnp.broadcast_to(embeds, (b,) + embeds.shape[1:])
+    spec = ReducerSpec(kind="quadtree", layer_idx=2, t=t, h=h, w=w,
+                       video_budget=t * h * w // 2, spatial_thresh=0.6,
+                       temporal_thresh=0.5)
+    gcfg = GenerateConfig(max_new_tokens=5, eos_token_ids=())
+    ids1, _ = generate_batch(params, TINY, embs, [valid] * b, [sys_len] * b,
+                             spec, gcfg, decode_chunk_size=1)
+    ids4, _ = generate_batch(params, TINY, embs, [valid] * b, [sys_len] * b,
+                             spec, gcfg, decode_chunk_size=4)
+    assert ids1 == ids4
