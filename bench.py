@@ -59,7 +59,7 @@ def _synthetic_video(rng, t, h, w, d, alpha=0.95, area=0.5):
     return vid.astype(np.float32)
 
 
-def build_case(tiny: bool, frames: int, layers: int, vocab: int):
+def build_case(tiny: bool, frames: int, layers: int, vocab: int, quant: str = "none"):
     import jax
     import jax.numpy as jnp
 
@@ -90,7 +90,12 @@ def build_case(tiny: bool, frames: int, layers: int, vocab: int):
         kind="quadtree", layer_idx=2, t=t, h=h, w=w, video_budget=budget,
         spatial_thresh=0.85, temporal_thresh=0.65, root_level=1,
     )
-    params = qwen2.init_params(cfg, jax.random.key(0))
+    if quant == "int8":
+        from sttm_tpu.models.quant import random_quantized_init
+
+        params = random_quantized_init(cfg, jax.random.key(0))
+    else:
+        params = qwen2.init_params(cfg, jax.random.key(0))
 
     # video-like embeds: shared frame content + temporal drift + noise
     # Calibrated so the quadtree keeps ~50% of tokens at the 0.85/0.65
@@ -128,15 +133,16 @@ def time_fn(fn, n: int = 3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke mode")
-    # Full 7B bf16 (13.3 GB weights) + 25.6k-token prefill transients exceed
-    # one v5e chip's 16 GB HBM (the reference runs on 80 GB A100s; the TPU
-    # story for full 7B is tp over a mesh, see sttm_tpu/parallel). The
-    # single-chip bench keeps the exact 7B layer geometry (hidden 3584, GQA
-    # 28q/4kv, ffn 18944) at 16 layers; the merged-vs-full ratio is
-    # layer-count invariant above the merge layer.
+    # Default: the FULL 28-layer 7B with int8 weight-only quantization
+    # (weights 6.7 GB; bf16 would be 13.3 GB and, with 25.6k-token prefill
+    # transients, exceed one v5e chip's 16 GB HBM — the reference runs on
+    # 80 GB A100s). bf16 at 16 layers remains available via flags.
     ap.add_argument("--frames", type=int, default=128)
-    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--layers", type=int, default=28)
     ap.add_argument("--vocab", type=int, default=32768)
+    ap.add_argument("--quant", choices=["none", "int8"], default="int8",
+                    help="int8 weight-only quant fits the FULL 28-layer 7B on one "
+                         "chip (default); --quant none --layers 16 for the bf16 run")
     args = ap.parse_args()
 
     if args.tiny:
@@ -150,7 +156,7 @@ def main():
     from sttm_tpu.runtime.generate import build_prefill
 
     cfg, spec, params, embeds, valid, vstart, s_full, impl = build_case(
-        args.tiny, args.frames, args.layers, args.vocab
+        args.tiny, args.frames, args.layers, args.vocab, args.quant
     )
 
     merged_prefill = build_prefill(cfg, spec, s_full, impl)
@@ -190,7 +196,7 @@ def main():
         "config": {
             "hidden": cfg.hidden_size, "layers": cfg.num_layers,
             "heads": f"{cfg.num_heads}q/{cfg.num_kv_heads}kv",
-            "vocab": cfg.vocab_size, "frames": spec.t,
+            "vocab": cfg.vocab_size, "frames": spec.t, "quant": args.quant,
             "s_full": s_full, "video_budget": spec.video_budget,
             "thresholds": [spec.spatial_thresh, spec.temporal_thresh],
         },

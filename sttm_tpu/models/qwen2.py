@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import mha
 from .config import DecoderConfig
+from .quant import dequantize
 
 __all__ = [
     "init_params",
@@ -135,22 +136,27 @@ def lm_head(params: dict, cfg: DecoderConfig, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _slice_layers(layers: dict, lo: int, hi: int) -> dict:
-    return {k: v[lo:hi] for k, v in layers.items()}
+    def sl(v):
+        if isinstance(v, dict):  # quantized {"q", "s"}
+            return {kk: vv[lo:hi] for kk, vv in v.items()}
+        return v[lo:hi]
+
+    return {k: sl(v) for k, v in layers.items()}
 
 
 def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend, return_q: bool = False):
     """One decoder layer; ``attend(q, k, v) -> o`` supplied by the caller."""
     b, s, d = x.shape
     h = rms_norm(x, lp["ln1"], cfg.rms_eps)
-    q = (h @ lp["wq"] + lp["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = (h @ lp["wk"] + lp["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = (h @ lp["wv"] + lp["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = (_mat(h, lp["wq"]) + lp["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = (_mat(h, lp["wk"]) + lp["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = (_mat(h, lp["wv"]) + lp["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     o = attend(q, k, v)
-    x = x + o.reshape(b, s, cfg.q_dim) @ lp["wo"]
+    x = x + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"])
     h = rms_norm(x, lp["ln2"], cfg.rms_eps)
-    x = x + (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
+    x = x + _mat(jax.nn.silu(_mat(h, lp["wg"])) * _mat(h, lp["wu"]), lp["wd"])
     if return_q:
         return x, k, v, q
     return x, k, v
@@ -259,15 +265,15 @@ def decode_layers(
         y = carry
         b, s, d = y.shape
         h = rms_norm(y, lp["ln1"], cfg.rms_eps)
-        q = (h @ lp["wq"] + lp["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = (h @ lp["wk"] + lp["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = (h @ lp["wv"] + lp["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = (_mat(h, lp["wq"]) + lp["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = (_mat(h, lp["wk"]) + lp["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = (_mat(h, lp["wv"]) + lp["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         o, ck2, cv2 = attend_factory(ck, cv)(q, k, v)
-        y = y + o.reshape(b, s, cfg.q_dim) @ lp["wo"]
+        y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"])
         h = rms_norm(y, lp["ln2"], cfg.rms_eps)
-        y = y + (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
+        y = y + _mat(jax.nn.silu(_mat(h, lp["wg"])) * _mat(h, lp["wu"]), lp["wd"])
         return y, (ck2, cv2, q)
 
     x, (cache_k, cache_v, q_all) = jax.lax.scan(
@@ -307,3 +313,8 @@ class KVCache:
     @property
     def len_b(self):
         return self.lens[-1]
+
+
+def _mat(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x @ w, transparently dequantizing int8 weight dicts (models/quant.py)."""
+    return x @ dequantize(w, x.dtype)

@@ -48,10 +48,16 @@ def param_specs(params: dict) -> dict:
         "wu": P(None, None, "tp"),
         "wd": P(None, "tp", None),
     }
+    def lspec(k, v):
+        base = layer_specs[k]
+        if isinstance(v, dict):  # int8-quantized {"q", "s"}: same partitioning
+            return {"q": base, "s": base}
+        return base
+
     specs = {
         "embed": P("tp", None),
         "norm": P(None),
-        "layers": {k: layer_specs[k] for k in params["layers"]},
+        "layers": {k: lspec(k, v) for k, v in params["layers"].items()},
     }
     if "lm_head" in params:
         specs["lm_head"] = P(None, "tp")

@@ -162,3 +162,30 @@ def test_reducer_packing_layout():
         rtol=1e-6,
     )
     assert np.asarray(src)[: sys_len + nv + inst_len].tolist() == list(range(sys_len + nv + inst_len))
+
+
+def test_int8_quantized_matches_bf16(hf_pair):
+    """Weight-only int8 params produce near-identical logits end-to-end."""
+    from sttm_tpu.models.quant import quantize_params
+
+    _, params = hf_pair
+    qparams = quantize_params(params)
+    assert qparams["layers"]["wq"]["q"].dtype.name == "int8"
+    rng = np.random.default_rng(5)
+    s_full = 48
+    ids = rng.integers(0, TINY.vocab_size, size=(1, 33))
+    embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+    embeds = jnp.pad(embeds, ((0, 0), (0, s_full - 33), (0, 0)))
+    prefill = build_prefill(TINY, None, s_full, "xla")
+    ref, _ = prefill(params, embeds, jnp.int32(33), jnp.int32(0))
+    got, cache = prefill(qparams, embeds, jnp.int32(33), jnp.int32(0))
+    # int8 weight error is ~0.4%; logits track closely
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    rel = err / (np.abs(np.asarray(ref)).max() + 1e-6)
+    assert rel < 0.05, rel
+    # decode also runs with quantized weights
+    from sttm_tpu.runtime.generate import GenerateConfig, generate
+
+    out, _ = generate(qparams, TINY, embeds, 33, 0, None,
+                      GenerateConfig(max_new_tokens=3, eos_token_ids=()))
+    assert len(out) == 3
