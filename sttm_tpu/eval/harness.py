@@ -47,6 +47,13 @@ class EvalConfig:
     attn_window: int = 0
     # DyCoke stage-2 decode pruning (None = off): (dycoke_l, dycoke_p)
     dycoke_decode: tuple | None = None
+    # Bucket frame counts to multiples of this (0 = off) by repeating the
+    # last frame: bounds jit recompiles across mixed-length videos. Repeated
+    # frames temporally merge into their source nodes, so the merged token
+    # set/features are unchanged; EXACT when the merge layer is 0 (72B
+    # config), approximate for k>0 (pad tokens participate in pre-merge
+    # attention). Requires temporal merging (quadtree temporal_thresh > 0).
+    frame_bucket: int = 0
 
 
 def run_name(model_name: str, dataset: str, spec: ReducerSpec | None, frames: int) -> str:
@@ -130,9 +137,15 @@ class LlavaEvaluator:
         self.tokenizer = tokenizer
         self.spec_factory = spec_factory
 
-    def _prepare(self, sample: dict, pad_multiple: int):
+    def _prepare(self, sample: dict, pad_multiple: int, frame_bucket: int = 0):
         feats = jnp.asarray(sample["feature"])
         t = feats.shape[0]
+        t_real = t
+        if frame_bucket > 0 and t % frame_bucket:
+            t_b = math.ceil(t / frame_bucket) * frame_bucket
+            reps = jnp.repeat(feats[-1:], t_b - t, axis=0)
+            feats = jnp.concatenate([feats, reps], axis=0)
+            t = t_b
         side = self.llava_cfg.pooled_side
         per_frame = self.llava_cfg.tokens_per_frame()
         n_video = t * per_frame
@@ -143,10 +156,16 @@ class LlavaEvaluator:
             sample["input_ids"], feats, s_full,
         )
         spec = self.spec_factory(t, side, side)
-        return embeds, valid, video_start, nv, spec
+        # decode positions continue from the REAL (unbucketed) prompt length;
+        # t_valid tells the merger which frames are real
+        pos_base = sample["sys_len"] + t_real * per_frame + sample["inst_len"]
+        t_valid = t_real if t_real != t else None
+        return embeds, valid, video_start, nv, spec, pos_base, t_valid
 
     def run_sample(self, sample: dict, cfg: EvalConfig):
-        embeds, valid, video_start, n_video, spec = self._prepare(sample, cfg.pad_multiple)
+        embeds, valid, video_start, n_video, spec, pos_base, t_valid = self._prepare(
+            sample, cfg.pad_multiple, cfg.frame_bucket
+        )
         dyc = None
         if cfg.dycoke_decode is not None and isinstance(spec, ReducerSpec) and spec.kind == "dycoke":
             from ..runtime.generate import DycokeDecodeOptions
@@ -160,6 +179,7 @@ class LlavaEvaluator:
             self.decoder_params, self.decoder_cfg, embeds, valid, video_start, spec,
             GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids), impl=cfg.attention_impl,
             attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window, dycoke=dyc,
+            pos_base=pos_base, t_valid=t_valid,
         )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(
@@ -224,7 +244,7 @@ class RawVideoLlavaEvaluator(LlavaEvaluator):
         self.tower_cfg = tower_cfg
         self.tower_chunk = tower_chunk
 
-    def _prepare(self, sample: dict, pad_multiple: int):
+    def _prepare(self, sample: dict, pad_multiple: int, frame_bucket: int = 0):
         if "feature" not in sample:
             from ..data.video import siglip_preprocess
             from ..models.siglip import encode_video_frames
@@ -234,4 +254,4 @@ class RawVideoLlavaEvaluator(LlavaEvaluator):
             sample["feature"] = encode_video_frames(
                 self.tower_params, self.tower_cfg, px, self.tower_chunk
             )
-        return super()._prepare(sample, pad_multiple)
+        return super()._prepare(sample, pad_multiple, frame_bucket)

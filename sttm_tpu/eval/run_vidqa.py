@@ -72,6 +72,9 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", default="outputs")
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--reproduce", action="store_true")
+    p.add_argument("--frame_bucket", type=int, default=0,
+                   help="bucket frame counts to multiples of N (bounds jit "
+                        "recompiles); exact for sa_start_layer_idx 0")
     p.add_argument("--attention_impl", default="flash", choices=["flash", "xla"])
     return p.parse_args(argv)
 
@@ -159,6 +162,7 @@ def main(argv=None):
         attn_sinks=args.sa_sink_tokens if streaming else 0,
         attn_window=args.sa_local_window if streaming else 0,
         dycoke_decode=(args.dycoke_l, args.dycoke_p) if args.sa_pattern == "dycoke" else None,
+        frame_bucket=args.frame_bucket,
     )
     ev = LlavaEvaluator(params, dec_cfg, llava_cfg, mm_params, tokenizer, spec_factory)
     result = ev.evaluate(dataset, ecfg, gts=gts)

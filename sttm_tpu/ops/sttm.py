@@ -52,8 +52,13 @@ def sttm_merge(
     head_dim: int | None = None,
     payloads: Mapping[str, tuple[jnp.ndarray, str]] | None = None,
     payload_weighted_avg: bool = False,
+    t_valid=None,
 ) -> MergeResult:
     """Merge video tokens. ``video_feat``: [T, H, W, C].
+
+    ``t_valid`` (traced scalar, optional): only the first t_valid frames are
+    real — trailing pad frames are fully excluded from pairing, aggregation
+    and the keep set, making bucketed runs exactly equal to unbucketed ones.
 
     ``payloads``: name -> ([T, H, W, D] tensor, pool_mode) pooled through the
     quadtree and aggregated across frames alongside features (the reference's
@@ -71,6 +76,8 @@ def sttm_merge(
     flat_tlbr = jnp.concatenate([tid[:, None], qt.tlbr.reshape(n, 4)], axis=-1)
     flat_payload = {k: v.reshape(n, -1).astype(jnp.float32) for k, v in qt.payload_nodes.items()}
     is_node = qt.is_rep.reshape(n)
+    if t_valid is not None:
+        is_node = is_node & (tid < t_valid)
 
     if temporal_thresh <= 0:
         # Spatial only: every rep node survives.
@@ -89,7 +96,7 @@ def sttm_merge(
             payloads=pay,
         )
 
-    keep, final_rep, count = temporal_merge_dense(qt, temporal_thresh, head_dim)
+    keep, final_rep, count = temporal_merge_dense(qt, temporal_thresh, head_dim, t_valid)
 
     # Aggregate features/metadata over merge groups (reference
     # agg_feature_and_metadata, quadtree_temporal_merger.py:123-171).

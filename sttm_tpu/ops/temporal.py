@@ -56,6 +56,7 @@ def temporal_merge_dense(
     qt: DenseQuadtree,
     temporal_thresh: float,
     head_dim: int | None = None,
+    t_valid=None,
 ):
     """Merge same-layout, high-similarity nodes across consecutive frames.
 
@@ -80,12 +81,19 @@ def temporal_merge_dense(
 
     sim = _per_head_cosine(qt.node_feat[:-1], qt.node_feat[1:], head_dim)  # [T-1, H, W]
     valid = contain & (sim >= temporal_thresh)
+    if t_valid is not None:
+        # frame bucketing: edges must stay within the real frames
+        fidx = jnp.arange(t - 1)[:, None, None]
+        valid = valid & (fidx + 1 < t_valid)
 
     final_rep = union_find_reference(cur.reshape(-1), nxt.reshape(-1), valid.reshape(-1), n)
 
     # A node survives iff it is some node's final representative. Count the
     # merge-group size per representative (only rep leaves are real nodes).
     is_node = qt.is_rep.reshape(-1)
+    if t_valid is not None:
+        tid = jnp.repeat(jnp.arange(t, dtype=jnp.int32), h * w)
+        is_node = is_node & (tid < t_valid)
     node_ids = jnp.arange(n, dtype=jnp.int32)
     tgt = jnp.where(is_node, final_rep[node_ids], n)  # park non-nodes out of range
     count = jnp.zeros((n,), jnp.int32).at[tgt].add(1, mode="drop")

@@ -111,7 +111,7 @@ def build_prefill(
     buf_lens = _buffer_lens(specs, s_full)
     mrope = bool(cfg.mrope_section)
 
-    def fn(params, embeds, valid_len, video_start, position_ids=None):
+    def fn(params, embeds, valid_len, video_start, position_ids=None, pos_base_override=None, t_valid=None):
         layers = params["layers"]
         if position_ids is None:
             position_ids = jnp.arange(s_full, dtype=jnp.int32)
@@ -156,7 +156,8 @@ def build_prefill(
                     scores = probs.reshape(b, cfg.num_heads, s).mean(1)[0]  # [S]
                 rope_maps = (cos, sin) if (sp.pos_emb_ver == 1 and not mrope) else None
                 x, valid, n_kept, src_pos, merged_rope = apply_reducer(
-                    sp, x, vstart, valid, scores, rope_maps
+                    sp, x, vstart, valid, scores, rope_maps,
+                    t_valid if gi == 0 else None,
                 )
                 if merged_rope is not None:  # pos_emb_ver 1: pooled rope maps
                     cos, sin = merged_rope
@@ -193,6 +194,10 @@ def build_prefill(
         if not mrope and not any(sp.gathers_positions for sp in specs):
             # HF default: decode positions continue from the UNMERGED length
             pos_base = jnp.asarray(valid_len, jnp.int32)
+        if pos_base_override is not None:
+            # caller-supplied base (e.g. frame bucketing: pad frames inflate
+            # valid_len; decode must continue from the REAL prompt length)
+            pos_base = jnp.asarray(pos_base_override, jnp.int32)
 
         # lens[gi] is the packed valid length group gi ran at (i.e. the
         # validity BEFORE its following reducer) — exactly its cache length
@@ -328,6 +333,8 @@ def generate(
     attn_sinks: int = 0,
     attn_window: int = 0,
     dycoke: DycokeDecodeOptions | None = None,
+    pos_base=None,
+    t_valid=None,
 ):
     """Greedy generation. Returns (token_ids list, runtime dict).
 
@@ -350,7 +357,9 @@ def generate(
 
     t0 = time.perf_counter()
     logits, cache = prefill(
-        params, embeds, jnp.int32(valid_len), jnp.int32(video_start), position_ids
+        params, embeds, jnp.int32(valid_len), jnp.int32(video_start), position_ids,
+        None if pos_base is None else jnp.int32(pos_base),
+        None if t_valid is None else jnp.int32(t_valid),
     )
     logits.block_until_ready()
     ttft = time.perf_counter() - t0

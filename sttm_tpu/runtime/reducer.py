@@ -109,7 +109,7 @@ def merged_buffer_len(spec: ReducerSpec, s_full: int) -> int:
 
 def apply_reducer(
     spec: ReducerSpec, hidden: jnp.ndarray, video_start, valid_len, scores=None,
-    rope_maps=None,
+    rope_maps=None, t_valid=None,
 ):
     """Reduce the video span of ``hidden`` [1, S_full, D].
 
@@ -144,6 +144,7 @@ def apply_reducer(
             spec.sim_head_dim,
             payloads=payloads,
             payload_weighted_avg=spec.pos_emb_weighted_avg,
+            t_valid=t_valid,
         )
         budget = spec.video_out_len()
         rank = jnp.cumsum(res.keep.astype(jnp.int32)) - 1

@@ -217,3 +217,50 @@ def test_raw_video_evaluator(tmp_path):
                       eos_token_ids=(), warmup=False)
     result = ev.evaluate(ds, ecfg, gts=annos)
     assert result["n"] == 1
+
+
+def test_frame_bucketing_exact_at_k0(tmp_path, synthetic_benchmark):
+    """Repeat-padded frames merge into their source nodes: with merge layer 0,
+    bucketed and unbucketed runs give identical merged lengths and tokens."""
+    anno_path, feat_dir, meta_dir, annos = synthetic_benchmark
+    cfg = LlavaConfig(decoder=TINY, vision_hidden_size=16, vision_patches_per_side=6)
+    dec_params = qwen2.init_params(TINY, jax.random.key(0))
+    mm_params = llava.init_multimodal_params(cfg, jax.random.key(1))
+    tok = MockTokenizer()
+    dcfg = DataConfig("videomme", str(anno_path), str(feat_dir), str(meta_dir))
+    ds = FeatureVidQADataset(dcfg, tok)
+
+    def spec_factory(t, h, w):
+        return ReducerSpec(kind="quadtree", layer_idx=0, t=t, h=h, w=w,
+                           video_budget=t * h * w, spatial_thresh=0.7,
+                           temporal_thresh=0.6, root_level=0)
+
+    ev = LlavaEvaluator(dec_params, TINY, cfg, mm_params, tok, spec_factory)
+    base_cfg = EvalConfig(out_dir=str(tmp_path / "a"), dataset_name="videomme",
+                          max_new_tokens=3, pad_multiple=64, attention_impl="xla",
+                          eos_token_ids=(), warmup=False)
+    bucket_cfg = EvalConfig(out_dir=str(tmp_path / "b"), dataset_name="videomme",
+                            max_new_tokens=3, pad_multiple=64, attention_impl="xla",
+                            eos_token_ids=(), warmup=False, frame_bucket=8)
+    import jax.numpy as jnp2
+
+    from sttm_tpu.runtime.generate import build_prefill
+
+    for i in range(len(ds)):
+        s = ds[i]
+        outs = []
+        for c in (base_cfg, bucket_cfg):
+            embeds, valid, vstart, nv, spec, pos_base, t_valid = ev._prepare(
+                s, c.pad_multiple, c.frame_bucket
+            )
+            fn = build_prefill(TINY, spec, embeds.shape[1], "xla")
+            logits, cache = fn(
+                ev.decoder_params, embeds, jnp2.int32(valid), jnp2.int32(vstart),
+                None, None if pos_base is None else jnp2.int32(pos_base),
+                None if t_valid is None else jnp2.int32(t_valid),
+            )
+            outs.append((np.asarray(logits), int(cache.merged_len)))
+        (l0, m0), (l1, m1) = outs
+        assert m0 == m1, s["id"]
+        # t_valid fully excludes pad frames from the merge: exact at k=0
+        np.testing.assert_allclose(l0, l1, rtol=1e-5, atol=1e-5)
