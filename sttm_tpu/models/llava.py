@@ -41,6 +41,20 @@ class LlavaConfig:
     spatial_pool_stride: int = 2
     spatial_pool_mode: str = "bilinear"  # average | max | bilinear
     newline_position: str = "no_token"  # grid | frame | one_token | no_token
+    # mm_projector type: "mlp{N}x_gelu" (multimodal_projector/builder.py:32-48)
+    # or "linear"
+    projector_type: str = "mlp2x_gelu"
+
+    @property
+    def projector_depth(self) -> int:
+        import re
+
+        if self.projector_type == "linear":
+            return 1
+        m = re.match(r"^mlp(\d+)x_gelu$", self.projector_type)
+        if not m:
+            raise ValueError(f"unknown projector type {self.projector_type!r}")
+        return int(m.group(1))
 
     @property
     def pooled_side(self) -> int:
@@ -54,18 +68,18 @@ class LlavaConfig:
 
 
 def init_multimodal_params(cfg: LlavaConfig, key: jax.Array) -> dict:
-    """mm_projector (mlp2x_gelu, multimodal_projector/builder.py:41-48) +
+    """mm_projector (mlp{N}x_gelu, multimodal_projector/builder.py:32-48) +
     image_newline embedding."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    depth = cfg.projector_depth
+    ks = jax.random.split(key, depth + 1)
     d_in, d = cfg.vision_hidden_size, cfg.decoder.hidden_size
     dt = cfg.decoder.dtype
-    return {
-        "proj_w1": (jax.random.normal(k1, (d_in, d)) * d_in**-0.5).astype(dt),
-        "proj_b1": jnp.zeros((d,), dt),
-        "proj_w2": (jax.random.normal(k2, (d, d)) * d**-0.5).astype(dt),
-        "proj_b2": jnp.zeros((d,), dt),
-        "image_newline": (jax.random.normal(k3, (d,)) * 0.02).astype(dt),
-    }
+    params = {"image_newline": (jax.random.normal(ks[-1], (d,)) * 0.02).astype(dt)}
+    for i in range(depth):
+        din = d_in if i == 0 else d
+        params[f"proj_w{i + 1}"] = (jax.random.normal(ks[i], (din, d)) * din**-0.5).astype(dt)
+        params[f"proj_b{i + 1}"] = jnp.zeros((d,), dt)
+    return params
 
 
 def load_projector_safetensors(cfg: LlavaConfig, path: str) -> dict:
@@ -75,13 +89,11 @@ def load_projector_safetensors(cfg: LlavaConfig, path: str) -> dict:
 
     from safetensors import safe_open
 
-    names = {
-        "model.mm_projector.0.weight": ("proj_w1", True),
-        "model.mm_projector.0.bias": ("proj_b1", False),
-        "model.mm_projector.2.weight": ("proj_w2", True),
-        "model.mm_projector.2.bias": ("proj_b2", False),
-        "model.image_newline": ("image_newline", False),
-    }
+    # Sequential indices: linear layers at 0, 2, 4, ... (GELUs between)
+    names = {"model.image_newline": ("image_newline", False)}
+    for i in range(cfg.projector_depth):
+        names[f"model.mm_projector.{2 * i}.weight"] = (f"proj_w{i + 1}", True)
+        names[f"model.mm_projector.{2 * i}.bias"] = (f"proj_b{i + 1}", False)
     out = {}
     dt = cfg.decoder.dtype
     for shard in [f for f in os.listdir(path) if f.endswith(".safetensors")]:
@@ -98,10 +110,14 @@ def load_projector_safetensors(cfg: LlavaConfig, path: str) -> dict:
 
 
 def project_features(mm_params: dict, feats: jnp.ndarray) -> jnp.ndarray:
-    """mm_projector: Linear -> GELU -> Linear. feats: [T, P, C_vis] -> [T, P, D]."""
-    h = feats @ mm_params["proj_w1"] + mm_params["proj_b1"]
-    h = jax.nn.gelu(h, approximate=False)
-    return h @ mm_params["proj_w2"] + mm_params["proj_b2"]
+    """mm_projector: Linear (-> GELU -> Linear)*. [T, P, C_vis] -> [T, P, D]."""
+    depth = sum(1 for k in mm_params if k.startswith("proj_w"))
+    h = feats
+    for i in range(1, depth + 1):
+        if i > 1:
+            h = jax.nn.gelu(h, approximate=False)
+        h = h @ mm_params[f"proj_w{i}"] + mm_params[f"proj_b{i}"]
+    return h
 
 
 def _bilinear_matrix(in_size: int, out_size: int):

@@ -72,3 +72,18 @@ def test_build_multimodal_embeds_layout():
     )
     # padding zeroed
     assert np.abs(np.asarray(embeds[0, valid:])).max() == 0
+
+
+def test_projector_depths():
+    import jax
+
+    from sttm_tpu.models.llava import LlavaConfig
+
+    for ptype, depth in [("mlp2x_gelu", 2), ("mlp3x_gelu", 3), ("linear", 1)]:
+        cfg = LlavaConfig(decoder=TINY, vision_hidden_size=16, projector_type=ptype)
+        assert cfg.projector_depth == depth
+        mm = llava.init_multimodal_params(cfg, jax.random.key(0))
+        assert sum(1 for k in mm if k.startswith("proj_w")) == depth
+        x = jnp.ones((2, 4, 16), jnp.float32)
+        out = llava.project_features(mm, x)
+        assert out.shape == (2, 4, TINY.hidden_size)
