@@ -141,7 +141,30 @@ def quadtree_spatial(
         parent_at_child = jnp.take(jnp.take(feats[lvl], jnp.asarray(up_y), axis=1), jnp.asarray(up_x), axis=2)
         sim = _per_head_cosine(parent_at_child, child, head_dim)  # [T, h_c, w_c]
         min_sim = pool_leaf_sim_min(sim)  # [T, h_p, w_p]
-        stops.append(min_sim >= threshold)
+        stop = min_sim >= threshold
+
+        # Reference quirk replicated for exact parity: the stop decision is
+        # ``(sim >= t).all(-1)`` over ALL FOUR child slots — stripe parents'
+        # unused slots keep their zero-initialized coords and contribute
+        # cos(parent, child_grid[t, 0, 0]) (quadtree_builder.py:61-68 with
+        # pool_to_even_side_index_video's zero-initialized child_yx_coords,
+        # quadtree_spatial_merger.py:190). Fires whenever a level has odd
+        # side(s) — including the main 14x14 config's 7->4 level.
+        rows_odd, cols_odd = cg.h % 2 == 1, cg.w % 2 == 1
+        if rows_odd or cols_odd:
+            nc_y = np.full(pg.h, 2, np.int32)
+            if rows_odd:
+                nc_y[0] = 1
+            nc_x = np.full(pg.w, 2, np.int32)
+            if cols_odd:
+                nc_x[0] = 1
+            has_garbage = jnp.asarray((nc_y[:, None] * nc_x[None, :]) < 4)
+            child00 = jnp.broadcast_to(child[:, :1, :1], feats[lvl].shape)
+            garbage_sim = _per_head_cosine(
+                feats[lvl], child00, head_dim
+            )  # [T, h_p, w_p] vs child cell (t, 0, 0)
+            stop = stop & jnp.where(has_garbage[None], garbage_sim >= threshold, True)
+        stops.append(stop)
 
     # ---- live/assigned propagation ----
     assigned_leaf: list[jnp.ndarray] = []

@@ -122,10 +122,11 @@ def quadtree_spatial_oracle(feat, thresh, root_level=0, weighted_avg=False, head
         if lvl < n_level - 1:
             kids = child_map[lvl][(i, j)]
             sims = [cosine(feats[lvl][ti, i, j], feats[lvl + 1][ti, ci, cj], head_dim) for ci, cj in kids]
-            if all(s >= thresh for s in sims):
-                stop = True
-            else:
-                stop = False
+            # reference quirk: unused child slots (stripe parents) default to
+            # coords (0, 0) and still enter the all() stop decision
+            for _ in range(4 - len(kids)):
+                sims.append(cosine(feats[lvl][ti, i, j], feats[lvl + 1][ti, 0, 0], head_dim))
+            stop = all(s >= thresh for s in sims)
         else:
             stop = True
         if stop:
