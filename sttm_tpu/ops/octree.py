@@ -87,7 +87,21 @@ def octree_merge(video: jnp.ndarray, threshold: float, root_level: int = 0, head
         pc = jnp.take(jnp.take(jnp.take(parent, up, axis=1), up, axis=2), up, axis=3)
         sim = _per_head_cosine(pc, feats[lvl + 1], head_dim)  # [B, tc, hc, wc]
         min_sim = _pool3d(sim[..., None], "min")[..., 0]
-        stops.append(min_sim >= threshold)
+        stop = min_sim >= threshold
+        # Reference quirk (same as the 2D quadtree, see ops/quadtree.py):
+        # the stop decision spans all EIGHT child slots; stripe parents'
+        # unused slots keep zero-initialized (t, y, x) coords and contribute
+        # cos(parent, child[b, 0, 0, 0]) (octree_utils.py
+        # avgpool_to_even_side_index_tyx odd branch).
+        if cg.h % 2 == 1:
+            nc = np.full(pg.h, 2, np.int32)
+            nc[0] = 1
+            n_child = nc[:, None, None] * nc[None, :, None] * nc[None, None, :]
+            has_garbage = jnp.asarray(n_child < 8)
+            child000 = jnp.broadcast_to(feats[lvl + 1][:, :1, :1, :1], parent.shape)
+            gsim = _per_head_cosine(parent, child000, head_dim)
+            stop = stop & jnp.where(has_garbage[None], gsim >= threshold, True)
+        stops.append(stop)
 
     # live/assigned propagation, gathered to the leaf cube
     leaf_map = [jnp.asarray(g.leaf_to_cell_y) for g in geom.levels]

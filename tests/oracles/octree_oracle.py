@@ -73,6 +73,9 @@ def octree_oracle(video, threshold, root_level=0):
                 for ck in child_map[lvl][xi]
             ]
             sims = [cosine(pyr[lvl][b, ti, yi, xi], pyr[lvl + 1][b, ci, cj, ck]) for ci, cj, ck in kids]
+            # reference quirk: unused child slots default to (0, 0, 0)
+            for _ in range(8 - len(kids)):
+                sims.append(cosine(pyr[lvl][b, ti, yi, xi], pyr[lvl + 1][b, 0, 0, 0]))
             stop = all(sv >= threshold for sv in sims)
         else:
             stop = True
