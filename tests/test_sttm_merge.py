@@ -86,3 +86,25 @@ def test_compact_tokens():
     n_kept, src_idx, packed = compact_tokens(keep, 3, x)
     assert int(n_kept) == 3
     assert np.asarray(src_idx).tolist() == [0, 2, 3]
+
+
+def test_t_valid_equals_truncated_run():
+    """Padding frames + t_valid must give exactly the truncated video's merge."""
+    rng = np.random.default_rng(3)
+    t_real, t_pad, h, w, c = 6, 8, 8, 8, 8
+    base = rng.normal(size=(1, 1, 1, c))
+    vid = (base + 0.8 * rng.normal(size=(t_real, h, w, c))).astype(np.float32)
+    padded = np.concatenate([vid, np.repeat(vid[-1:], t_pad - t_real, 0)], 0)
+
+    ref = sttm_merge(jnp.asarray(vid), 0.4, 0.3, root_level=0)
+    got = sttm_merge(jnp.asarray(padded), 0.4, 0.3, root_level=0, t_valid=jnp.int32(t_real))
+
+    ref_ids = np.nonzero(np.asarray(ref.keep))[0]
+    got_ids = np.nonzero(np.asarray(got.keep))[0]
+    assert ref_ids.tolist() == got_ids.tolist()
+    np.testing.assert_array_equal(
+        np.asarray(ref.num_patch)[ref_ids], np.asarray(got.num_patch)[got_ids]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.feat)[ref_ids], np.asarray(got.feat)[got_ids], rtol=1e-6
+    )
