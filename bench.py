@@ -208,7 +208,9 @@ def main():
         "prefill_tokens_per_s_base": valid / ttft_base,
         "prefill_tokens_per_s_merged": valid / ttft_merged,
     }
-    with open("BENCH_DETAILS.json", "w") as fp:
+    # tiny CPU smoke runs must not clobber the recorded TPU details
+    out_path = "BENCH_DETAILS_TINY.json" if args.tiny else "BENCH_DETAILS.json"
+    with open(out_path, "w") as fp:
         json.dump(details, fp, indent=2)
 
     print(json.dumps({
