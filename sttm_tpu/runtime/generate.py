@@ -438,8 +438,13 @@ def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
 
-    # extend the mask over the decode tail (new tokens are always visible)
-    kv_mask = jnp.concatenate([alive, jnp.ones((MAX_DECODE,), bool)])
+    # extend the mask over the decode tail (new tokens are always visible).
+    # Decode writes new K/V at lens[0]+step == valid_len+step, which lands in
+    # the PADDING region of `alive` (False for positions >= valid_len) — those
+    # slots must be visible or generated tokens can't attend to themselves.
+    # Positions past the write head stay masked by the kv_valid_len bound.
+    pad_tail = jnp.arange(s_full) >= jnp.int32(valid_len)
+    kv_mask = jnp.concatenate([alive | pad_tail, jnp.ones((MAX_DECODE,), bool)])
     token = jnp.argmax(logits, -1).astype(jnp.int32)
     ids = [int(token[0])]
     merged_len = int(alive.sum())

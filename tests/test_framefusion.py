@@ -57,6 +57,43 @@ def test_framefusion_dissimilar_video_prunes_to_budget():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_framefusion_padded_decode_token_exact():
+    """Buffer padding must not change decoded tokens.
+
+    Regression for the round-1 decode bug: decode writes new K/V at
+    valid_len+step, inside the padding region where ``alive`` is False, so
+    generated tokens couldn't attend to themselves. With a merge-nothing
+    spec the padded run must match both the unpadded run and the plain
+    no-reducer run token for token (reference FrameFusion decode is standard
+    attention over the shrunk sequence, framefusion/main.py:30-118).
+    """
+    from sttm_tpu.runtime.generate import GenerateConfig, generate
+
+    params = qwen2.init_params(TINY, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    t, h, w = 2, 3, 3
+    nv = t * h * w
+    sys_len, inst_len = 4, 4
+    valid = sys_len + nv + inst_len  # 26
+    emb_valid = (rng.normal(size=(1, valid, TINY.hidden_size)) * 0.2).astype(np.float32)
+    # similarity bound > 1 => no merges; prune off => alive == (pos < valid)
+    spec = FrameFusionSpec(cost=1.0, t=t, h=h, w=w,
+                           similarity_lower_bound=1.1, enable_prune=False)
+    gen = GenerateConfig(max_new_tokens=8, eos_token_ids=())
+
+    def run(s_full, sp):
+        emb = np.zeros((1, s_full, TINY.hidden_size), np.float32)
+        emb[:, :valid] = emb_valid
+        ids, _ = generate(params, TINY, jnp.asarray(emb), valid, sys_len, sp, gen)
+        return ids
+
+    unpadded = run(valid, spec)
+    padded = run(64, spec)
+    plain = run(64, None)
+    assert padded == unpadded
+    assert padded == plain
+
+
 def test_framefusion_generate_and_dispatcher():
     from sttm_tpu.runtime.generate import GenerateConfig, generate, spec_from_pattern
 
