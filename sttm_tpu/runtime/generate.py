@@ -213,11 +213,23 @@ def build_prefill(
 
 
 @functools.lru_cache(maxsize=32)
-def build_decode_step(cfg: DecoderConfig, spec, jit: bool = True):
+def build_decode_step(
+    cfg: DecoderConfig,
+    spec,
+    jit: bool = True,
+    attn_sinks: int = 0,
+    attn_window: int = 0,
+):
     """Single-token decode: (params, token [1], cache, step) ->
     (logits [1, V] fp32, cache). jit=False returns the raw traceable body
     (for composition inside other jitted programs, e.g. the batched
     chunked-decode loop — nesting jit there makes tracing pathological).
+
+    attn_sinks/attn_window > 0 applies StreamingLLM's sliding-window decode:
+    each new token attends only to the initial sink tokens plus the last
+    ``attn_window`` positions — the reference's SinkCache(window, sinks)
+    semantics (framefusion/models/qwen2/modeling_qwen2_baseline.py:707,718),
+    expressed as a per-step KV mask instead of cache eviction (static shapes).
     """
     specs = _normalize_specs(spec)
     bounds = _group_bounds(cfg, specs)
@@ -232,9 +244,14 @@ def build_decode_step(cfg: DecoderConfig, spec, jit: bool = True):
 
         new_ks, new_vs = [], []
         for gi, (lo, hi) in enumerate(bounds):
+            write_pos = cache.lens[gi] + step
+            kv_mask = None
+            if attn_sinks > 0 or attn_window > 0:
+                kpos = jnp.arange(cache.ks[gi].shape[2])
+                kv_mask = (kpos < attn_sinks) | (write_pos - kpos < attn_window)
             x, ck, cv, _ = qwen2.decode_layers(
                 layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
-                cache.lens[gi] + step, cfg,
+                write_pos, cfg, kv_mask=kv_mask,
             )
             new_ks.append(ck)
             new_vs.append(cv)
@@ -353,7 +370,9 @@ def generate(
     if dycoke is not None:
         decode = build_decode_step_dycoke(cfg, spec_key, dycoke)
     else:
-        decode = build_decode_step(cfg, spec_key)
+        decode = build_decode_step(
+            cfg, spec_key, attn_sinks=attn_sinks, attn_window=attn_window
+        )
 
     t0 = time.perf_counter()
     logits, cache = prefill(

@@ -80,6 +80,46 @@ def test_streamingllm_pattern(setup):
     assert np.abs(np.asarray(logits) - np.asarray(ref_logits)).max() > 1e-4
 
 
+def test_streamingllm_decode_windowing(setup):
+    """Decode windowing follows SinkCache semantics (reference
+    framefusion/models/qwen2/modeling_qwen2_baseline.py:707,718): generated
+    tokens attend to sinks + the recent window only. A window covering the
+    whole cache is a no-op on decode logits; a tight window changes them."""
+    from sttm_tpu.runtime.generate import MAX_DECODE, build_decode_step
+
+    params, embeds, valid, sys_len, _ = setup
+    s_full = embeds.shape[1]
+    prefill = build_prefill(TINY, None, s_full, "xla")
+    logits, cache = prefill(params, embeds, jnp.int32(valid), jnp.int32(sys_len))
+    token = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    def run_decode(sinks, window):
+        c = jax.tree.map(jnp.copy, cache)  # decode donates its cache arg
+        d = build_decode_step(TINY, None, attn_sinks=sinks, attn_window=window)
+        lg, _ = d(params, token, c, jnp.int32(0))
+        return np.asarray(lg)
+
+    unwindowed = run_decode(0, 0)
+    wide = run_decode(4, s_full + MAX_DECODE)
+    tight = run_decode(4, 8)
+    np.testing.assert_allclose(wide, unwindowed, rtol=1e-6, atol=1e-6)
+    assert np.abs(tight - unwindowed).max() > 1e-4
+
+    # generate-level: a window covering everything reproduces the plain run
+    gen = GenerateConfig(max_new_tokens=6, eos_token_ids=())
+    ids_plain, _ = generate(params, TINY, embeds, valid, sys_len, None, gen)
+    ids_wide, _ = generate(
+        params, TINY, embeds, valid, sys_len, None, gen,
+        attn_sinks=4, attn_window=s_full + MAX_DECODE,
+    )
+    ids_tight, _ = generate(
+        params, TINY, embeds, valid, sys_len, None, gen,
+        attn_sinks=4, attn_window=16,
+    )
+    assert ids_wide == ids_plain
+    assert ids_tight != ids_plain
+
+
 def test_pos_emb_ver1_pooled_rope(setup):
     """quadtree with pooled rope maps runs and differs from truncate policy."""
     import dataclasses as dc
