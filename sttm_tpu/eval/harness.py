@@ -75,6 +75,19 @@ def run_name(model_name: str, dataset: str, spec: ReducerSpec | None, frames: in
     return f"{model_name}_{dataset}_F-{frames}_{sa}"
 
 
+class SmokeTokenizer:
+    """Checkpoint-free byte tokenizer for CLI smoke runs (--smoke): maps
+    characters to small ids and decodes ids to letters so the MCQ letter
+    extraction has something to chew on. A debug affordance in the spirit of
+    the reference's first_sample/temporal_skip_freq (video_dataset.py:316)."""
+
+    def encode(self, text, add_special_tokens=False):
+        return [ord(c) % 250 for c in text][:40]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(65 + (i % 26)) for i in ids[:3])
+
+
 class Qwen2VLEvaluator:
     """Qwen2-VL feature-based evaluator: embeds assembled by scattering cached
     features over the video-pad run (eval_vidqa_by_feat_qwen2vl.py:161-176),
@@ -104,6 +117,7 @@ class Qwen2VLEvaluator:
             self.decoder_params, self.decoder_cfg, embeds, valid, video_start, spec,
             GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids),
             impl=cfg.attention_impl, position_ids=pos,
+            attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window,
         )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(
@@ -116,6 +130,12 @@ class Qwen2VLEvaluator:
             "merged_input": merged_input,
         })
         return text, runtime, stat
+
+    def compile_key(self, sample: dict, cfg: EvalConfig):
+        """Jit-compile cache key for this sample (per-key warm-up)."""
+        raw_len = len(sample["input_ids"])
+        s_full = math.ceil(raw_len / cfg.pad_multiple) * cfg.pad_multiple
+        return (s_full, self.spec_factory(*sample["grid"]))
 
     evaluate = None  # assigned below (shares LlavaEvaluator.evaluate)
 
@@ -197,6 +217,24 @@ class LlavaEvaluator:
         )
         return text, runtime, stat
 
+    def compile_key(self, sample: dict, cfg: EvalConfig):
+        """Jit-compile cache key for this sample. Warm-up must run once per
+        NEW key, not once per eval: every new (s_full, spec) bucket triggers
+        a fresh jit compile that would otherwise pollute the first timed
+        ttft_llm of the bucket (the reference's single warm-up,
+        eval_vidqa_by_feat_llavavideo.py:220-231, suffices only because torch
+        has no shape recompiles)."""
+        t = sample["frame_len"]
+        t_real = t
+        if cfg.frame_bucket > 0 and t % cfg.frame_bucket:
+            t = math.ceil(t / cfg.frame_bucket) * cfg.frame_bucket
+        per_frame = self.llava_cfg.tokens_per_frame()
+        raw_len = sample["sys_len"] + t * per_frame + sample["inst_len"]
+        s_full = math.ceil(raw_len / cfg.pad_multiple) * cfg.pad_multiple
+        side = self.llava_cfg.pooled_side
+        # t_valid None vs scalar changes the traced prefill signature
+        return (s_full, self.spec_factory(t, side, side), t_real != t)
+
     def evaluate(self, dataset, cfg: EvalConfig, gts: list[dict] | None = None):
         os.makedirs(cfg.out_dir, exist_ok=True)
         pred_path = os.path.join(cfg.out_dir, "predictions.jsonl")
@@ -204,14 +242,16 @@ class LlavaEvaluator:
         stat_path = os.path.join(cfg.out_dir, "prompt_stat.jsonl")
 
         done = {r["question_id"] for r in read_jsonl(pred_path)}
-        warmed = not cfg.warmup
+        warmed_keys: set = set()
         n_done = 0
         for sample in dataset:
             if sample["id"] in done:
                 continue
-            if not warmed:  # first-sample warm-up run (compile + cache)
-                self.run_sample(sample, cfg)
-                warmed = True
+            if cfg.warmup:  # one untimed warm-up per NEW compile key
+                key = self.compile_key(sample, cfg)
+                if key not in warmed_keys:
+                    self.run_sample(sample, cfg)
+                    warmed_keys.add(key)
             text, runtime, stat = self.run_sample(sample, cfg)
             append_jsonl(pred_path, {
                 "question_id": sample["id"], "vid": sample["vid"],

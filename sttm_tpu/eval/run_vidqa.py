@@ -31,7 +31,14 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     # model
     p.add_argument("--model_name_or_path", required=True)
+    p.add_argument("--model_family", choices=["llava", "qwen2vl"], default="llava",
+                   help="llava = LLaVA-Video/OneVision feature eval "
+                        "(eval_vidqa_by_feat_llavavideo.py); qwen2vl = Qwen2-VL "
+                        "feature eval (eval_vidqa_by_feat_qwen2vl.py)")
     p.add_argument("--model_size", choices=["7b", "72b"], default="7b")
+    p.add_argument("--smoke", action="store_true",
+                   help="random-init tiny decoder + byte mock tokenizer (CI "
+                        "smoke of the full CLI path, no checkpoint needed)")
     p.add_argument("--mm_newline_position", default="no_token")
     p.add_argument("--rope_scaling_factor", type=float, default=1.0)
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel devices")
@@ -104,6 +111,32 @@ def make_spec_factory(args, head_dim: int):
     return factory
 
 
+def _load_tokenizer(args):
+    if args.smoke:
+        from .harness import SmokeTokenizer
+
+        return SmokeTokenizer()
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(args.model_name_or_path)
+
+
+def _eval_config(args, name):
+    from ..eval.harness import EvalConfig
+
+    streaming = args.sa_pattern == "streamingllm"
+    return EvalConfig(
+        out_dir=os.path.join(args.output_dir, name), dataset_name=args.dataset_name,
+        max_new_tokens=args.max_new_tokens, attention_impl=args.attention_impl,
+        attn_sinks=args.sa_sink_tokens if streaming else 0,
+        attn_window=args.sa_local_window if streaming else 0,
+        dycoke_decode=(args.dycoke_l, args.dycoke_p) if args.sa_pattern == "dycoke" else None,
+        frame_bucket=args.frame_bucket,
+        pad_multiple=32 if args.smoke else 128,
+        eos_token_ids=() if args.smoke else (151645, 151643),
+    )
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.reproduce:
@@ -111,60 +144,90 @@ def main(argv=None):
         np.random.seed(42)
 
     import jax
-    from transformers import AutoTokenizer
 
-    from ..data.datasets import DataConfig, FeatureVidQADataset, load_annotations
-    from ..eval.harness import EvalConfig, LlavaEvaluator, run_name
-    from ..models import llava as llava_mod
-    from ..models.config import QWEN2_72B, QWEN2_7B
-    from ..models.llava import LlavaConfig
+    from ..data.datasets import DataConfig
+    from ..eval.harness import run_name
+    from ..models import qwen2
     from ..models.weights import load_safetensors_dir
     from ..parallel.sharding import create_mesh, shard_params
-
-    dec_cfg = dataclasses.replace(
-        QWEN2_72B if args.model_size == "72b" else QWEN2_7B,
-        rope_scaling_factor=args.rope_scaling_factor,
-    )
-    llava_cfg = LlavaConfig(
-        decoder=dec_cfg,
-        spatial_pool_stride=args.mm_spatial_pool_stride,
-        newline_position=args.mm_newline_position,
-    )
-    if llava_cfg.newline_position != "no_token" and args.sa_pattern != "origin":
-        raise ValueError("token merging requires mm_newline_position=no_token "
-                         "(square per-frame grids)")
-
-    tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path)
-    params = load_safetensors_dir(dec_cfg, args.model_name_or_path)
-    mm_params = llava_mod.load_projector_safetensors(llava_cfg, args.model_name_or_path)
-    if args.tp > 1:
-        mesh = create_mesh(dp=1, tp=args.tp)
-        params = shard_params(params, mesh)
 
     dcfg = DataConfig(
         args.dataset_name, args.anno_filepath, args.feature_dir, args.metadata_dir,
         add_time_instruction=args.add_time_instruction,
         first_sample=args.first_sample, temporal_skip_freq=args.temporal_skip_freq,
     )
-    dataset = FeatureVidQADataset(dcfg, tokenizer)
     gts = json.load(open(args.anno_filepath))
+    tokenizer = _load_tokenizer(args)
+    model_name = os.path.basename(args.model_name_or_path.rstrip("/"))
 
-    spec_factory = make_spec_factory(args, dec_cfg.head_dim)
-    name = run_name(
-        os.path.basename(args.model_name_or_path.rstrip("/")), args.dataset_name,
-        spec_factory(args.frames_upbound, llava_cfg.pooled_side, llava_cfg.pooled_side),
-        args.frames_upbound,
-    )
-    streaming = args.sa_pattern == "streamingllm"
-    ecfg = EvalConfig(
-        out_dir=os.path.join(args.output_dir, name), dataset_name=args.dataset_name,
-        max_new_tokens=args.max_new_tokens, attention_impl=args.attention_impl,
-        attn_sinks=args.sa_sink_tokens if streaming else 0,
-        attn_window=args.sa_local_window if streaming else 0,
-        dycoke_decode=(args.dycoke_l, args.dycoke_p) if args.sa_pattern == "dycoke" else None,
-        frame_bucket=args.frame_bucket,
-    )
-    ev = LlavaEvaluator(params, dec_cfg, llava_cfg, mm_params, tokenizer, spec_factory)
+    if args.model_family == "qwen2vl":
+        # Qwen2-VL feature eval (eval_vidqa_by_feat_qwen2vl.py:158-222):
+        # M-RoPE trunk, features scattered over the <|video_pad|> run.
+        from ..data.datasets import Qwen2VLFeatureDataset
+        from ..eval.harness import Qwen2VLEvaluator
+        from ..models.config import QWEN2VL_7B, TINY_MROPE
+
+        dec_cfg = dataclasses.replace(
+            TINY_MROPE if args.smoke else QWEN2VL_7B,
+            rope_scaling_factor=args.rope_scaling_factor,
+        )
+        if args.smoke:
+            params = qwen2.init_params(dec_cfg, jax.random.key(0))
+        else:
+            params = load_safetensors_dir(dec_cfg, args.model_name_or_path)
+        if args.tp > 1:
+            params = shard_params(params, create_mesh(dp=1, tp=args.tp))
+
+        dataset = Qwen2VLFeatureDataset(dcfg, tokenizer)
+        spec_factory = make_spec_factory(args, dec_cfg.head_dim)
+        name = run_name(
+            model_name, args.dataset_name,
+            spec_factory(args.frames_upbound, 2, 2), args.frames_upbound,
+        )
+        ecfg = _eval_config(args, name)
+        if ecfg.frame_bucket:
+            raise ValueError("frame_bucket is not supported on the qwen2vl path")
+        ev = Qwen2VLEvaluator(params, dec_cfg, tokenizer, spec_factory)
+    else:
+        from ..data.datasets import FeatureVidQADataset
+        from ..eval.harness import LlavaEvaluator
+        from ..models import llava as llava_mod
+        from ..models.config import QWEN2_72B, QWEN2_7B, TINY
+        from ..models.llava import LlavaConfig
+
+        dec_cfg = dataclasses.replace(
+            TINY if args.smoke else (QWEN2_72B if args.model_size == "72b" else QWEN2_7B),
+            rope_scaling_factor=args.rope_scaling_factor,
+        )
+        llava_cfg = LlavaConfig(
+            decoder=dec_cfg,
+            spatial_pool_stride=args.mm_spatial_pool_stride,
+            newline_position=args.mm_newline_position,
+            **({"vision_hidden_size": 16, "vision_patches_per_side": 6} if args.smoke else {}),
+        )
+        if llava_cfg.newline_position != "no_token" and args.sa_pattern != "origin":
+            raise ValueError("token merging requires mm_newline_position=no_token "
+                             "(square per-frame grids)")
+
+        if args.smoke:
+            params = qwen2.init_params(dec_cfg, jax.random.key(0))
+            mm_params = llava_mod.init_multimodal_params(llava_cfg, jax.random.key(1))
+        else:
+            params = load_safetensors_dir(dec_cfg, args.model_name_or_path)
+            mm_params = llava_mod.load_projector_safetensors(llava_cfg, args.model_name_or_path)
+        if args.tp > 1:
+            params = shard_params(params, create_mesh(dp=1, tp=args.tp))
+
+        dataset = FeatureVidQADataset(dcfg, tokenizer)
+        spec_factory = make_spec_factory(args, dec_cfg.head_dim)
+        name = run_name(
+            model_name, args.dataset_name,
+            spec_factory(args.frames_upbound, llava_cfg.pooled_side, llava_cfg.pooled_side),
+            args.frames_upbound,
+        )
+        ecfg = _eval_config(args, name)
+        ev = LlavaEvaluator(params, dec_cfg, llava_cfg, mm_params, tokenizer, spec_factory)
+
     result = ev.evaluate(dataset, ecfg, gts=gts)
     print(json.dumps(result, indent=2, default=str))
 

@@ -299,6 +299,10 @@ class KVCache:
     vs: tuple
     lens: tuple  # per group: scalar int32 packed valid length
     pos_base: jnp.ndarray  # decode position base (one past last valid pos id)
+    # tokens the merge kept beyond the static video_budget and silently
+    # dropped (raster tail) — a parity break vs the budget-free reference
+    # that must be reported, not hidden. None = no reducer ran.
+    budget_overflow: Any = None
 
     @property
     def merged_len(self) -> jnp.ndarray:

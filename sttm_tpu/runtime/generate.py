@@ -120,6 +120,7 @@ def build_prefill(
         x = embeds
         valid = valid_len
         vstart = video_start
+        overflow = jnp.int32(0)
         ks, vs, lens = [], [], []
 
         for gi, (lo, hi) in enumerate(bounds):
@@ -155,10 +156,11 @@ def build_prefill(
                     probs = jax.nn.softmax(att, axis=-1)
                     scores = probs.reshape(b, cfg.num_heads, s).mean(1)[0]  # [S]
                 rope_maps = (cos, sin) if (sp.pos_emb_ver == 1 and not mrope) else None
-                x, valid, n_kept, src_pos, merged_rope = apply_reducer(
+                x, valid, n_kept, src_pos, merged_rope, n_raw = apply_reducer(
                     sp, x, vstart, valid, scores, rope_maps,
                     t_valid if gi == 0 else None,
                 )
+                overflow = overflow + (n_raw - n_kept)
                 if merged_rope is not None:  # pos_emb_ver 1: pooled rope maps
                     cos, sin = merged_rope
                     pos = jnp.arange(buf_lens[gi + 1], dtype=jnp.int32)
@@ -206,6 +208,7 @@ def build_prefill(
             vs=tuple(with_tail(v) for v in vs),
             lens=tuple(lens),
             pos_base=pos_base,
+            budget_overflow=overflow if specs else None,
         )
         return logits, cache
 
@@ -386,6 +389,14 @@ def generate(
     token = jnp.argmax(logits, -1).astype(jnp.int32)
     ids = [int(token[0])]
     merged_len = int(cache.merged_len)
+    overflow = 0 if cache.budget_overflow is None else int(cache.budget_overflow)
+    if overflow > 0:
+        from ..utils.logging import rank0_print
+
+        rank0_print(
+            f"WARNING: merge kept {overflow} tokens beyond video_budget; "
+            f"raster-last tokens dropped (raise --video_budget_ratio for parity)"
+        )
 
     dstate = None
     if dycoke is not None:
@@ -418,6 +429,7 @@ def generate(
         "num_dec_token": len(ids),
         "merged_len": merged_len,
         "full_len": int(valid_len),
+        "budget_overflow": overflow,
     }
     return ids, runtime
 

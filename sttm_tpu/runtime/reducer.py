@@ -117,8 +117,12 @@ def apply_reducer(
     layer below the boundary (FastV only). ``rope_maps``: (cos, sin) [S_full,
     hd] maps to pool/merge alongside the features (pos_emb_ver 1, quadtree
     only). Returns (new_hidden [1, S_merged, D], new_valid_len, n_video_kept,
-    src_pos [S_merged] int32, merged_rope_maps|None) where src_pos maps each
-    packed slot to its source position in the original sequence.
+    src_pos [S_merged] int32, merged_rope_maps|None, n_kept_raw) where src_pos
+    maps each packed slot to its source position in the original sequence and
+    n_kept_raw is the UNCLAMPED kept-token count: when the merge keeps more
+    than the static ``video_budget`` the raster tail is dropped (a parity
+    break vs the budget-free reference) — callers must surface
+    ``n_kept_raw - n_kept`` as the budget overflow rather than hide it.
     """
     _, s_full, d = hidden.shape
     nv = spec.n_video
@@ -155,7 +159,8 @@ def apply_reducer(
         vid_src = jnp.zeros((budget,), jnp.int32).at[slot].set(
             jnp.arange(nv, dtype=jnp.int32), mode="drop"
         )
-        n_kept = jnp.minimum(res.keep.sum(), budget).astype(jnp.int32)
+        n_raw = res.keep.sum().astype(jnp.int32)
+        n_kept = jnp.minimum(n_raw, budget).astype(jnp.int32)
         if rope_maps is not None:
             vid_rope = tuple(
                 jnp.zeros((budget, res.payloads[name].shape[-1]), jnp.float32)
@@ -186,7 +191,8 @@ def apply_reducer(
         vid_src = jnp.zeros((budget,), jnp.int32).at[slot].set(
             jnp.arange(nv, dtype=jnp.int32), mode="drop"
         )
-        n_kept = jnp.minimum(keep.sum(), budget).astype(jnp.int32)
+        n_raw = keep.sum().astype(jnp.int32)
+        n_kept = jnp.minimum(n_raw, budget).astype(jnp.int32)
     elif spec.kind == "fastv":
         # rank image tokens by last-token attention from the layer below
         # (modeling_qwen2_baseline.py:280-296); keep top (1-r), positional
@@ -226,6 +232,8 @@ def apply_reducer(
     else:
         raise ValueError(f"unknown reducer kind {spec.kind!r}")
 
+    if spec.kind not in ("quadtree", "octree"):
+        n_raw = n_kept  # fixed-output kinds can't overflow
     budget = vid_feat.shape[0]
     s_merged = s_full - nv + budget
     new_valid = valid_len - nv + n_kept
@@ -257,4 +265,4 @@ def apply_reducer(
             new_rope.append(packed)
         new_rope = tuple(new_rope)
 
-    return new_hidden[None], new_valid, n_kept, new_src, new_rope
+    return new_hidden[None], new_valid, n_kept, new_src, new_rope, n_raw

@@ -80,6 +80,35 @@ def test_streamingllm_pattern(setup):
     assert np.abs(np.asarray(logits) - np.asarray(ref_logits)).max() > 1e-4
 
 
+def test_budget_overflow_recorded(setup):
+    """Silent budget truncation must be observable: with a threshold that
+    keeps every leaf and a budget of nv/4, the overflow is reported in the
+    runtime dict instead of being hidden by the clamped n_kept."""
+    params, embeds, valid, sys_len, (t, h, w) = setup
+    nv = t * h * w
+    spec = ReducerSpec(
+        kind="quadtree", layer_idx=1, t=t, h=h, w=w, video_budget=nv // 4,
+        spatial_thresh=1.01, temporal_thresh=-1.0,  # sim <= 1 < thresh: keep all
+    )
+    ids, rt = generate(
+        params, TINY, embeds, valid, sys_len, spec,
+        GenerateConfig(max_new_tokens=2, eos_token_ids=()),
+    )
+    assert rt["budget_overflow"] == nv - nv // 4
+    assert rt["merged_len"] == valid - nv + nv // 4
+
+    # roomy budget: no overflow reported
+    spec_ok = ReducerSpec(
+        kind="quadtree", layer_idx=1, t=t, h=h, w=w, video_budget=nv,
+        spatial_thresh=1.01, temporal_thresh=-1.0,
+    )
+    _, rt_ok = generate(
+        params, TINY, embeds, valid, sys_len, spec_ok,
+        GenerateConfig(max_new_tokens=2, eos_token_ids=()),
+    )
+    assert rt_ok["budget_overflow"] == 0
+
+
 def test_streamingllm_decode_windowing(setup):
     """Decode windowing follows SinkCache semantics (reference
     framefusion/models/qwen2/modeling_qwen2_baseline.py:707,718): generated

@@ -151,7 +151,7 @@ def test_reducer_packing_layout():
     rng = np.random.default_rng(0)
     hidden = rng.normal(size=(1, s_full, d)).astype(np.float32)
     spec = ReducerSpec(kind="none", layer_idx=0, t=t, h=h, w=w)
-    out, new_valid, n_kept, src, _ = apply_reducer(
+    out, new_valid, n_kept, src, _, _ = apply_reducer(
         spec, jnp.asarray(hidden), jnp.int32(sys_len), jnp.int32(sys_len + nv + inst_len)
     )
     assert int(new_valid) == sys_len + nv + inst_len

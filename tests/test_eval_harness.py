@@ -173,6 +173,97 @@ def test_qwen2vl_eval_end_to_end(tmp_path):
     assert all(r["merged_len"] < r["full_len"] for r in rts)
 
 
+def test_per_compile_key_warmup(tmp_path, synthetic_benchmark):
+    """Warm-up runs once per NEW (s_full, spec) compile key, not once per
+    eval: every new shape bucket would otherwise pollute its first timed
+    ttft_llm with a fresh jit compile (reference intent:
+    eval_vidqa_by_feat_llavavideo.py:220-231)."""
+    anno_path, feat_dir, meta_dir, annos = synthetic_benchmark
+    # make sample 3 share sample 0's frame count -> same compile key
+    rng = np.random.default_rng(1)
+    np.save(feat_dir / "vid3.npy", rng.normal(size=(4, 36, 16)).astype(np.float32))
+    annos = annos + [{
+        "question_id": "q3", "videoID": "vid3", "question": "What is shown 3?",
+        "options": ["A. cat", "B. dog", "C. bird", "D. fish"],
+        "answer": "A", "duration": "short", "domain": "test", "task_type": "tt",
+    }]
+    anno_path.write_text(json.dumps(annos))
+
+    cfg = LlavaConfig(decoder=TINY, vision_hidden_size=16, vision_patches_per_side=6)
+    dec_params = qwen2.init_params(TINY, jax.random.key(0))
+    mm_params = llava.init_multimodal_params(cfg, jax.random.key(1))
+    tok = MockTokenizer()
+    dcfg = DataConfig("videomme", str(anno_path), str(feat_dir), str(meta_dir))
+    ds = FeatureVidQADataset(dcfg, tok)
+    assert len(ds) == 4
+
+    def spec_factory(t, h, w):
+        return ReducerSpec(kind="quadtree", layer_idx=1, t=t, h=h, w=w,
+                           video_budget=t * h * w // 2, spatial_thresh=0.7,
+                           temporal_thresh=0.6, root_level=0)
+
+    calls = []
+
+    class CountingEvaluator(LlavaEvaluator):
+        def run_sample(self, sample, ecfg):
+            calls.append(sample["id"])
+            return super().run_sample(sample, ecfg)
+
+    ev = CountingEvaluator(dec_params, TINY, cfg, mm_params, tok, spec_factory)
+    ecfg = EvalConfig(out_dir=str(tmp_path / "out"), dataset_name="videomme",
+                      max_new_tokens=2, pad_multiple=64, attention_impl="xla",
+                      eos_token_ids=())
+    ev.evaluate(ds, ecfg, gts=annos)
+    # frame counts 4, 5, 6, 4: three unique keys -> 3 warm-ups + 4 timed runs
+    assert len(calls) == 7
+    # q3 (key seen at q0) gets NO extra warm-up
+    assert calls.count("q3") == 1
+
+
+def test_cli_smoke_both_families(tmp_path, synthetic_benchmark):
+    """run_vidqa --smoke drives the full CLI path for both model families
+    and produces predictions/runtime/prompt_stat JSONLs (reference entries:
+    eval_vidqa_by_feat_llavavideo.py and eval_vidqa_by_feat_qwen2vl.py:158-222)."""
+    import pickle
+
+    from sttm_tpu.eval.run_vidqa import main as cli_main
+    from sttm_tpu.models.config import TINY_MROPE
+
+    anno_path, feat_dir, meta_dir, annos = synthetic_benchmark
+    out_dir = tmp_path / "cli_out"
+    common = [
+        "--dataset_name", "videomme",
+        "--anno_filepath", str(anno_path), "--metadata_dir", str(meta_dir),
+        "--smoke", "--first_sample", "--max_new_tokens", "2",
+        "--attention_impl", "xla", "--output_dir", str(out_dir),
+        "--sa_pattern", "quadtree", "--sa_start_layer_idx", "1",
+        "--sa_tree_thresh", "0.7", "--sa_tree_temporal_thresh", "0.6",
+    ]
+    cli_main(common + ["--model_name_or_path", "ckpts/tiny-llava",
+                       "--feature_dir", str(feat_dir)])
+
+    # qwen2vl family: features [t, gh/2, gw/2, C] + grid metadata
+    rng = np.random.default_rng(0)
+    qfeat_dir = tmp_path / "qfeat"
+    qfeat_dir.mkdir()
+    for a in annos:
+        vid = a["videoID"]
+        t, gh, gw = 4, 4, 6
+        np.save(qfeat_dir / f"{vid}.npy",
+                rng.normal(size=(t, gh // 2, gw // 2, TINY_MROPE.hidden_size)).astype(np.float32))
+        with open(meta_dir / f"{vid}.pkl", "wb") as fp:
+            pickle.dump({"video_grid_thw": [t, gh, gw]}, fp)
+    cli_main(common + ["--model_name_or_path", "ckpts/tiny-qwen2vl",
+                       "--feature_dir", str(qfeat_dir), "--model_family", "qwen2vl"])
+
+    runs = sorted(os.listdir(out_dir))
+    assert len(runs) == 2
+    for run in runs:
+        for f in ("predictions.jsonl", "runtime.jsonl", "prompt_stat.jsonl"):
+            rows = read_jsonl(os.path.join(out_dir, run, f))
+            assert len(rows) == 1, (run, f)
+
+
 def test_raw_video_evaluator(tmp_path):
     """Raw-video path: native decode -> tower -> pipeline, end to end."""
     from sttm_tpu import native
