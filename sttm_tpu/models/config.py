@@ -32,6 +32,10 @@ class DecoderConfig:
     # M-RoPE section sizes (Qwen2-VL only, modeling_qwen2vl.py mrope_section);
     # empty tuple = standard 1D RoPE.
     mrope_section: tuple = ()
+    # QKV projection biases: True for the Qwen2 family, False for the Llama
+    # family (Vicuna — the LLaVA-NeXT-Video trunk FrameFusion hooks into,
+    # framefusion/models/llava_next_video/).
+    attention_bias: bool = True
 
     @property
     def q_dim(self) -> int:
@@ -57,6 +61,21 @@ QWEN2_72B = DecoderConfig(
 # Qwen2-VL-7B decoder: same trunk as Qwen2-7B plus M-RoPE
 QWEN2VL_7B = DecoderConfig(mrope_section=(16, 24, 24))
 
+# Vicuna-7B-v1.5 (Llama architecture): the LLaVA-NeXT-Video-7B backbone the
+# reference's FrameFusion baselines hook (framefusion/models/llava_next_video/)
+VICUNA_7B = DecoderConfig(
+    vocab_size=32000,
+    hidden_size=4096,
+    intermediate_size=11008,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=32,
+    rope_theta=10_000.0,
+    rms_eps=1e-5,
+    max_position_embeddings=4096,
+    attention_bias=False,
+)
+
 # Tiny config for CPU tests
 TINY = DecoderConfig(
     vocab_size=256,
@@ -71,3 +90,6 @@ TINY = DecoderConfig(
 
 # mrope_section sums to head_dim/2 (Qwen2-VL convention: 16+24+24 == 128/2)
 TINY_MROPE = dataclasses.replace(TINY, mrope_section=(2, 3, 3))
+
+# Tiny Llama-architecture config (no QKV bias)
+TINY_LLAMA = dataclasses.replace(TINY, attention_bias=False, rope_theta=10_000.0)

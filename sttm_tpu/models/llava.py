@@ -28,6 +28,7 @@ __all__ = [
     "pool_2d",
     "apply_newline_policy",
     "build_multimodal_embeds",
+    "build_multimodal_embeds_multi",
 ]
 
 IMAGE_TOKEN_INDEX = -200  # reference sentinel (llava/constants.py)
@@ -268,3 +269,51 @@ def build_multimodal_embeds(
     seq = jnp.concatenate([pre_e, video, post_e], axis=0)
     seq = jnp.pad(seq, ((0, s_full - valid), (0, 0)))
     return seq[None], valid, len(pre), n_video
+
+
+def build_multimodal_embeds_multi(
+    decoder_params: dict,
+    cfg: LlavaConfig,
+    input_ids,
+    image_token_seqs: list,
+    s_full: int,
+):
+    """Multi-image splice: interleave text segments with one token sequence
+    per IMAGE_TOKEN_INDEX placeholder, in order (the reference's multi-image
+    splice loop, llava_arch.py:533-587). ``image_token_seqs``: list of
+    [N_i, D] arrays (e.g. from anyres.assemble_anyres_image_tokens or the
+    video pipeline).
+
+    Returns (embeds [1, s_full, D], valid_len, spans) where spans is a list of
+    (start, length) for each spliced image's tokens.
+    """
+    import numpy as np
+
+    ids = np.asarray(input_ids).reshape(-1)
+    pos = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0].tolist()
+    if len(pos) != len(image_token_seqs):
+        raise ValueError(
+            f"{len(pos)} image tokens in prompt but {len(image_token_seqs)} feature sequences"
+        )
+    parts, spans = [], []
+    cursor, offset = 0, 0
+    dt = cfg.decoder.dtype
+    for p_i, img in zip(pos, image_token_seqs):
+        txt = ids[cursor:p_i]
+        if len(txt):
+            parts.append(qwen2.embed_tokens(decoder_params, jnp.asarray(txt, jnp.int32)))
+            offset += len(txt)
+        spans.append((offset, int(img.shape[0])))
+        parts.append(img.astype(dt))
+        offset += int(img.shape[0])
+        cursor = p_i + 1
+    txt = ids[cursor:]
+    if len(txt):
+        parts.append(qwen2.embed_tokens(decoder_params, jnp.asarray(txt, jnp.int32)))
+        offset += len(txt)
+    valid = offset
+    if valid > s_full:
+        raise ValueError(f"sequence {valid} exceeds buffer {s_full}")
+    seq = jnp.concatenate(parts, axis=0)
+    seq = jnp.pad(seq, ((0, s_full - valid), (0, 0)))
+    return seq[None], valid, spans

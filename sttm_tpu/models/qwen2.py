@@ -51,22 +51,24 @@ def init_params(cfg: DecoderConfig, key: jax.Array) -> dict:
         scale = scale if scale is not None else (shape[-2] ** -0.5 if len(shape) > 2 else 0.02)
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
 
+    layers = {
+        "ln1": jnp.ones((l, d), cfg.dtype),
+        "ln2": jnp.ones((l, d), cfg.dtype),
+        "wq": w(ks[1], (l, d, qd)),
+        "wk": w(ks[2], (l, d, kvd)),
+        "wv": w(ks[3], (l, d, kvd)),
+        "wo": w(ks[4], (l, qd, d)),
+        "wg": w(ks[5], (l, d, f)),
+        "wu": w(ks[6], (l, d, f)),
+        "wd": w(ks[7], (l, f, d)),
+    }
+    if cfg.attention_bias:  # Qwen2 family; Llama/Vicuna trunks have none
+        layers["bq"] = jnp.zeros((l, qd), cfg.dtype)
+        layers["bk"] = jnp.zeros((l, kvd), cfg.dtype)
+        layers["bv"] = jnp.zeros((l, kvd), cfg.dtype)
     params = {
         "embed": w(ks[0], (cfg.vocab_size, d), 0.02),
-        "layers": {
-            "ln1": jnp.ones((l, d), cfg.dtype),
-            "ln2": jnp.ones((l, d), cfg.dtype),
-            "wq": w(ks[1], (l, d, qd)),
-            "bq": jnp.zeros((l, qd), cfg.dtype),
-            "wk": w(ks[2], (l, d, kvd)),
-            "bk": jnp.zeros((l, kvd), cfg.dtype),
-            "wv": w(ks[3], (l, d, kvd)),
-            "bv": jnp.zeros((l, kvd), cfg.dtype),
-            "wo": w(ks[4], (l, qd, d)),
-            "wg": w(ks[5], (l, d, f)),
-            "wu": w(ks[6], (l, d, f)),
-            "wd": w(ks[7], (l, f, d)),
-        },
+        "layers": layers,
         "norm": jnp.ones((d,), cfg.dtype),
     }
     if not cfg.tie_word_embeddings:
@@ -144,13 +146,26 @@ def _slice_layers(layers: dict, lo: int, hi: int) -> dict:
     return {k: sl(v) for k, v in layers.items()}
 
 
+def qkv_proj(lp: dict, h, cfg: DecoderConfig):
+    """QKV projection; biases only when the config family has them."""
+    b, s, _ = h.shape
+    q = _mat(h, lp["wq"])
+    k = _mat(h, lp["wk"])
+    v = _mat(h, lp["wv"])
+    if "bq" in lp:
+        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+    return (
+        q.reshape(b, s, cfg.num_heads, cfg.head_dim),
+        k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
+        v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
+    )
+
+
 def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend, return_q: bool = False):
     """One decoder layer; ``attend(q, k, v) -> o`` supplied by the caller."""
     b, s, d = x.shape
     h = rms_norm(x, lp["ln1"], cfg.rms_eps)
-    q = (_mat(h, lp["wq"]) + lp["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = (_mat(h, lp["wk"]) + lp["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = (_mat(h, lp["wv"]) + lp["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q, k, v = qkv_proj(lp, h, cfg)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     o = attend(q, k, v)
@@ -265,9 +280,7 @@ def decode_layers(
         y = carry
         b, s, d = y.shape
         h = rms_norm(y, lp["ln1"], cfg.rms_eps)
-        q = (_mat(h, lp["wq"]) + lp["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = (_mat(h, lp["wk"]) + lp["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = (_mat(h, lp["wv"]) + lp["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = qkv_proj(lp, h, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         o, ck2, cv2 = attend_factory(ck, cv)(q, k, v)

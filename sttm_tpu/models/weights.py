@@ -70,7 +70,10 @@ def params_from_state_dict(cfg, tensors: dict, prefix: str = "model.") -> dict:
     tensors first). HF linear weights are [out, in] and get transposed.
     """
     l = cfg.num_layers
-    layer_stacks: dict[str, list] = {k: [None] * l for k, _ in _LAYER_MAP.values()}
+    keys = {k for k, _ in _LAYER_MAP.values()}
+    if not cfg.attention_bias:  # Llama/Vicuna family: no QKV biases
+        keys -= {"bq", "bk", "bv"}
+    layer_stacks: dict[str, list] = {k: [None] * l for k in keys}
     params = {"layers": {}}
     for name, val in tensors.items():
         if name == f"{prefix}embed_tokens.weight":
@@ -84,6 +87,8 @@ def params_from_state_dict(cfg, tensors: dict, prefix: str = "model.") -> dict:
             idx_str, sub = rest.split(".", 1)
             if sub in _LAYER_MAP:
                 key, transpose = _LAYER_MAP[sub]
+                if key not in layer_stacks:
+                    continue
                 arr = np.asarray(val)
                 layer_stacks[key][int(idx_str)] = arr.T if transpose else arr
     for key, stack in layer_stacks.items():

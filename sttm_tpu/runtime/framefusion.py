@@ -172,10 +172,13 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
     from .generate import MAX_DECODE
 
     n_layers = cfg.num_layers
+    mrope = bool(cfg.mrope_section)
 
-    def fn(params, embeds, valid_len, video_start):
+    def fn(params, embeds, valid_len, video_start, position_ids=None):
         layers = params["layers"]
-        pos = jnp.arange(s_full, dtype=jnp.int32)
+        if position_ids is None:
+            position_ids = jnp.arange(s_full, dtype=jnp.int32)
+        pos = position_ids
         cos, sin = qwen2.rope_cos_sin(cfg, pos)
         x = embeds
         alive = jnp.arange(s_full) < valid_len
@@ -205,9 +208,7 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
             # run the layer, capturing q/k for the pruning colsum
             b, s, d = x.shape
             h = qwen2.rms_norm(x, lp["ln1"], cfg.rms_eps)
-            q = (h @ lp["wq"] + lp["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-            k = (h @ lp["wk"] + lp["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-            v = (h @ lp["wv"] + lp["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+            q, k, v = qwen2.qkv_proj(lp, h, cfg)
             q = qwen2.apply_rope(q, cos, sin)
             k = qwen2.apply_rope(k, cos, sin)
             o = mha(q, k, v, kv_valid_len=valid_len, causal=True, impl="xla", kv_mask=alive)
@@ -245,11 +246,15 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
         k_all = jnp.stack(ks)
         v_all = jnp.stack(vs)
         tail = jnp.zeros((n_layers, 1, MAX_DECODE, cfg.num_kv_heads, cfg.head_dim), k_all.dtype)
+        if mrope:  # rope-delta decode base (modeling_qwen2vl.py:1779)
+            pos_base = (jnp.max(pos[..., valid_len - 1]) + 1).astype(jnp.int32)
+        else:
+            pos_base = jnp.asarray(valid_len, jnp.int32)
         cache = qwen2.KVCache(
             ks=(jnp.concatenate([k_all, tail], axis=2),),
             vs=(jnp.concatenate([v_all, tail], axis=2),),
             lens=(jnp.asarray(valid_len, jnp.int32),),
-            pos_base=jnp.asarray(valid_len, jnp.int32),
+            pos_base=pos_base,
         )
         return logits, cache, alive
 

@@ -365,7 +365,7 @@ def generate(
 
     if isinstance(spec, FrameFusionSpec):
         return _generate_framefusion(
-            params, cfg, embeds, valid_len, video_start, spec, gen
+            params, cfg, embeds, valid_len, video_start, spec, gen, position_ids
         )
     s_full = embeds.shape[1]
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
@@ -443,6 +443,8 @@ def _build_decode_step_masked(cfg: DecoderConfig):
         layers = params["layers"]
         x = qwen2.embed_tokens(params, token)[:, None, :]
         pos = (cache.pos_base + step)[None].astype(jnp.int32)
+        if cfg.mrope_section:  # decode: all three M-RoPE rows advance together
+            pos = jnp.broadcast_to(pos, (3, 1))
         cos, sin = qwen2.rope_cos_sin(cfg, pos)
         x, ck, cv, _ = qwen2.decode_layers(
             layers, 0, cfg.num_layers, x, cos, sin, cache.ks[0], cache.vs[0],
@@ -455,7 +457,8 @@ def _build_decode_step_masked(cfg: DecoderConfig):
     return jax.jit(fn, donate_argnums=(2,))
 
 
-def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen):
+def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen,
+                          position_ids=None):
     from .framefusion import build_prefill_framefusion
 
     s_full = embeds.shape[1]
@@ -464,7 +467,7 @@ def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen
 
     t0 = time.perf_counter()
     logits, cache, alive = prefill(
-        params, embeds, jnp.int32(valid_len), jnp.int32(video_start)
+        params, embeds, jnp.int32(valid_len), jnp.int32(video_start), position_ids
     )
     logits.block_until_ready()
     ttft = time.perf_counter() - t0

@@ -89,6 +89,56 @@ def test_decode_matches_transformers(hf_pair):
     assert runtime["ttft_llm"] > 0
 
 
+def test_llama_trunk_matches_transformers():
+    """Llama-architecture trunk (no QKV bias — the Vicuna backbone of
+    LLaVA-NeXT-Video, framefusion/models/llava_next_video/): prefill logits
+    and greedy decode match HF LlamaForCausalLM."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from sttm_tpu.models.config import TINY_LLAMA
+    from sttm_tpu.runtime.generate import GenerateConfig
+
+    hf_cfg = LlamaConfig(
+        vocab_size=TINY_LLAMA.vocab_size,
+        hidden_size=TINY_LLAMA.hidden_size,
+        intermediate_size=TINY_LLAMA.intermediate_size,
+        num_hidden_layers=TINY_LLAMA.num_layers,
+        num_attention_heads=TINY_LLAMA.num_heads,
+        num_key_value_heads=TINY_LLAMA.num_kv_heads,
+        head_dim=TINY_LLAMA.head_dim,
+        rope_theta=TINY_LLAMA.rope_theta,
+        rms_norm_eps=TINY_LLAMA.rms_eps,
+        max_position_embeddings=TINY_LLAMA.max_position_embeddings,
+        tie_word_embeddings=False,
+        attention_bias=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_state_dict(TINY_LLAMA, sd)
+    assert "bq" not in params["layers"]
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, TINY_LLAMA.vocab_size, size=(1, 21))
+    with torch.no_grad():
+        ref_logits = hf(torch.from_numpy(ids)).logits.numpy()
+        out = hf.generate(torch.from_numpy(ids), max_new_tokens=6, do_sample=False,
+                          pad_token_id=0, eos_token_id=None)
+    ref_ids = out[0, 21:].tolist()
+
+    embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+    embeds = jnp.pad(embeds, ((0, 0), (0, 32 - 21), (0, 0)))
+    prefill = build_prefill(TINY_LLAMA, None, 32, "xla")
+    logits, _ = prefill(params, embeds, jnp.int32(21), jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(logits[0]), ref_logits[0, -1], rtol=2e-4, atol=2e-4)
+
+    gen_ids, _ = generate(params, TINY_LLAMA, embeds, 21, 0, None,
+                          GenerateConfig(max_new_tokens=6, eos_token_ids=()))
+    assert gen_ids == ref_ids
+
+
 def test_none_reducer_is_identity(hf_pair):
     """Packing through a 'none' reducer must not change logits at all."""
     _, params = hf_pair

@@ -94,6 +94,71 @@ def test_framefusion_padded_decode_token_exact():
     assert padded == plain
 
 
+def test_framefusion_llama_trunk():
+    """FrameFusion over the Llama-architecture trunk (LLaVA-NeXT-Video's
+    Vicuna LM, framefusion/models/llava_next_video/): merges and decodes."""
+    from sttm_tpu.models.config import TINY_LLAMA
+    from sttm_tpu.runtime.generate import GenerateConfig, generate
+
+    params = qwen2.init_params(TINY_LLAMA, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    t, h, w = 8, 3, 3
+    nv = t * h * w
+    sys_len, inst_len = 5, 7
+    valid = sys_len + nv + inst_len
+    emb = np.zeros((1, 96, TINY_LLAMA.hidden_size), np.float32)
+    emb[0, :valid] = rng.normal(size=(valid, TINY_LLAMA.hidden_size)) * 0.2
+    frame = rng.normal(size=(1, h * w, TINY_LLAMA.hidden_size)) * 0.2
+    emb[0, sys_len : sys_len + nv] = (
+        frame + 0.001 * rng.normal(size=(t, h * w, TINY_LLAMA.hidden_size))
+    ).reshape(nv, -1)
+    spec = FrameFusionSpec(cost=0.3, t=t, h=h, w=w)
+    ids, rt = generate(params, TINY_LLAMA, jnp.asarray(emb), valid, sys_len, spec,
+                       GenerateConfig(max_new_tokens=3, eos_token_ids=()))
+    assert len(ids) == 3
+    assert rt["merged_len"] < valid - nv * 0.3
+
+
+def test_framefusion_mrope_trunk():
+    """FrameFusion over the M-RoPE trunk (Qwen2-VL,
+    framefusion/models/qwen2vl/): with a merge-nothing spec, the padded
+    FrameFusion run decodes the same tokens as the plain M-RoPE run."""
+    from sttm_tpu.models.config import TINY_MROPE
+    from sttm_tpu.models.qwen2vl import build_video_mrope_positions
+    from sttm_tpu.runtime.generate import GenerateConfig, generate
+
+    params = qwen2.init_params(TINY_MROPE, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    t, gh, gw = 4, 2, 3
+    nv = t * gh * gw
+    sys_len, inst_len = 4, 4
+    valid = sys_len + nv + inst_len
+    s_full = 48
+    emb = np.zeros((1, s_full, TINY_MROPE.hidden_size), np.float32)
+    emb[0, :valid] = (rng.normal(size=(valid, TINY_MROPE.hidden_size)) * 0.2)
+    pos, _ = build_video_mrope_positions(sys_len, t, gh, gw, inst_len, s_full)
+    gen = GenerateConfig(max_new_tokens=6, eos_token_ids=())
+
+    nothing = FrameFusionSpec(cost=1.0, t=t, h=gh, w=gw,
+                              similarity_lower_bound=1.1, enable_prune=False)
+    ids_ff, _ = generate(params, TINY_MROPE, jnp.asarray(emb), valid, sys_len,
+                         nothing, gen, position_ids=pos)
+    ids_plain, _ = generate(params, TINY_MROPE, jnp.asarray(emb), valid, sys_len,
+                            None, gen, position_ids=pos)
+    assert ids_ff == ids_plain
+
+    # and a merging spec actually merges on similar video
+    frame = rng.normal(size=(1, gh * gw, TINY_MROPE.hidden_size)) * 0.2
+    emb[0, sys_len : sys_len + nv] = (
+        frame + 0.001 * rng.normal(size=(t, gh * gw, TINY_MROPE.hidden_size))
+    ).reshape(nv, -1)
+    spec = FrameFusionSpec(cost=0.3, t=t, h=gh, w=gw)
+    ids, rt = generate(params, TINY_MROPE, jnp.asarray(emb), valid, sys_len, spec,
+                       GenerateConfig(max_new_tokens=3, eos_token_ids=()),
+                       position_ids=pos)
+    assert len(ids) == 3 and rt["merged_len"] < valid
+
+
 def test_framefusion_generate_and_dispatcher():
     from sttm_tpu.runtime.generate import GenerateConfig, generate, spec_from_pattern
 
