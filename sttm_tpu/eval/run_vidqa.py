@@ -45,8 +45,17 @@ def parse_args(argv=None):
     # data
     p.add_argument("--dataset_name", required=True)
     p.add_argument("--anno_filepath", required=True)
-    p.add_argument("--feature_dir", required=True)
-    p.add_argument("--metadata_dir", required=True)
+    p.add_argument("--input_mode", choices=["feature", "video"], default="feature",
+                   help="feature = cached vision features (the main path); "
+                        "video = decode raw videos + run the tower per sample "
+                        "(eval_vidqa_by_video_llavavideo.py)")
+    p.add_argument("--feature_dir", default="")
+    p.add_argument("--metadata_dir", default="")
+    p.add_argument("--video_dir", default="")
+    p.add_argument("--tgt_fps", type=float, default=1.0)
+    p.add_argument("--vision_tower_path", default="",
+                   help="SigLIP checkpoint dir for --input_mode video "
+                        "(defaults to model_name_or_path)")
     p.add_argument("--frames_upbound", type=int, default=128)
     p.add_argument("--mm_spatial_pool_stride", type=int, default=2)
     p.add_argument("--add_time_instruction", action="store_true")
@@ -218,7 +227,6 @@ def main(argv=None):
         if args.tp > 1:
             params = shard_params(params, create_mesh(dp=1, tp=args.tp))
 
-        dataset = FeatureVidQADataset(dcfg, tokenizer)
         spec_factory = make_spec_factory(args, dec_cfg.head_dim)
         name = run_name(
             model_name, args.dataset_name,
@@ -226,7 +234,42 @@ def main(argv=None):
             args.frames_upbound,
         )
         ecfg = _eval_config(args, name)
-        ev = LlavaEvaluator(params, dec_cfg, llava_cfg, mm_params, tokenizer, spec_factory)
+        if args.input_mode == "video":
+            # raw-video path (eval_vidqa_by_video_llavavideo.py): native
+            # decode + per-sample SigLIP tower forward
+            from ..data.datasets import RawVideoVidQADataset
+            from ..eval.harness import RawVideoLlavaEvaluator
+            from ..models import siglip as sig
+
+            if args.smoke:
+                tower_cfg = sig.SiglipConfig(
+                    hidden_size=llava_cfg.vision_hidden_size, intermediate_size=32,
+                    num_layers=2, num_heads=4, image_size=84, patch_size=14,
+                    dtype=np.float32,
+                )
+                tower_params = sig.init_siglip_params(tower_cfg, jax.random.key(7))
+            else:
+                from safetensors import safe_open
+
+                tower_cfg = sig.SIGLIP_SO400M
+                tower_path = args.vision_tower_path or args.model_name_or_path
+                tensors = {}
+                for shard in [f for f in os.listdir(tower_path) if f.endswith(".safetensors")]:
+                    with safe_open(os.path.join(tower_path, shard), framework="np") as f:
+                        for n in f.keys():
+                            tensors[n] = f.get_tensor(n)
+                tower_params = sig.load_siglip_state_dict(tower_cfg, tensors)
+            dataset = RawVideoVidQADataset(
+                dcfg, tokenizer, args.video_dir, tgt_fps=args.tgt_fps,
+                frames_upbound=args.frames_upbound, image_size=tower_cfg.image_size,
+            )
+            ev = RawVideoLlavaEvaluator(
+                params, dec_cfg, llava_cfg, mm_params, tokenizer, spec_factory,
+                tower_params=tower_params, tower_cfg=tower_cfg,
+            )
+        else:
+            dataset = FeatureVidQADataset(dcfg, tokenizer)
+            ev = LlavaEvaluator(params, dec_cfg, llava_cfg, mm_params, tokenizer, spec_factory)
 
     result = ev.evaluate(dataset, ecfg, gts=gts)
     print(json.dumps(result, indent=2, default=str))

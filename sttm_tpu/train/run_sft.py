@@ -1,0 +1,147 @@
+"""CLI: SFT training loop (the reference's train_mem.py role, train.py:1519).
+
+TPU-native: dp x tp ``jax.sharding.Mesh`` with the Megatron-style param
+specs from parallel/sharding.py, length-grouped batching
+(llava_trainer.py:196-238), optional per-module LRs, orbax checkpoints with
+resume. ``--smoke`` runs the whole loop on a tiny random-init model with the
+byte tokenizer (no checkpoint/tokenizer download needed).
+
+    python -m sttm_tpu.train.run_sft --data_path anns.json --smoke \\
+        --steps 4 --batch_size 4 --seq_len 64 --output_dir /tmp/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_name_or_path", default="")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny random-init decoder + byte tokenizer")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=8, help="global batch")
+    p.add_argument("--seq_len", type=int, default=2048)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the layer scan (memory for FLOPs)")
+    p.add_argument("--save_every", type=int, default=50)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models import qwen2
+    from ..models.config import QWEN2_7B, TINY
+    from ..models.weights import load_safetensors_dir
+    from ..parallel.sharding import create_mesh, param_specs, shard_params
+    from ..utils.logging import rank0_print
+    from .data import length_grouped_indices, load_checkpoint, save_checkpoint
+    from .dataset import SFTDataset, pad_collate
+    from .sft import init_train_state, make_train_step
+
+    if args.smoke:
+        from ..eval.harness import SmokeTokenizer
+
+        cfg = TINY
+        tokenizer = SmokeTokenizer()
+        params = qwen2.init_params(cfg, jax.random.key(args.seed))
+    else:
+        from transformers import AutoTokenizer
+
+        cfg = QWEN2_7B
+        tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path)
+        params = load_safetensors_dir(cfg, args.model_name_or_path)
+
+    mesh = None
+    if args.dp * args.tp > 1:
+        mesh = create_mesh(dp=args.dp, tp=args.tp)
+        params = shard_params(params, mesh)
+
+    dataset = SFTDataset(args.data_path, tokenizer, max_len=args.seq_len)
+    rank0_print(f"loaded {len(dataset)} samples from {args.data_path}")
+
+    tx, opt_state = init_train_state(params, args.learning_rate, args.weight_decay)
+    step_fn = make_train_step(cfg, tx, remat=args.remat)
+
+    def ckpt_path(step):
+        return os.path.abspath(os.path.join(args.output_dir, f"checkpoint_{step}"))
+
+    start_step = 0
+    existing = sorted(
+        (int(d.rsplit("_", 1)[1]) for d in os.listdir(args.output_dir)
+         if d.startswith("checkpoint_")) if os.path.isdir(args.output_dir) else []
+    )
+    if existing:
+        restored = load_checkpoint(
+            ckpt_path(existing[-1]),
+            {"params": params, "opt_state": opt_state, "step": 0},
+        )
+        params, opt_state = restored["params"], restored["opt_state"]
+        start_step = int(restored["step"])
+        rank0_print(f"resumed from step {start_step}")
+
+    if mesh is not None:
+        def to_sharding(tree):
+            def rec(s):
+                if isinstance(s, dict):
+                    return {k: rec(v) for k, v in s.items()}
+                return NamedSharding(mesh, s)
+
+            return rec(tree)
+
+        pshard = to_sharding(param_specs(params))
+        data_sharding = NamedSharding(mesh, P("dp", None))
+        jstep = jax.jit(step_fn, in_shardings=(pshard, None, data_sharding, data_sharding),
+                        out_shardings=(pshard, None, None))
+    else:
+        data_sharding = None
+        jstep = jax.jit(step_fn)
+
+    rng = np.random.default_rng(args.seed)
+    order = length_grouped_indices(dataset.lengths(), args.batch_size, 1, rng)
+    cursor = 0
+    for step in range(start_step, args.steps):
+        if cursor + args.batch_size > len(order):  # new epoch
+            order = length_grouped_indices(dataset.lengths(), args.batch_size, 1, rng)
+            cursor = 0
+        batch = [dataset[i] for i in order[cursor : cursor + args.batch_size]]
+        cursor += args.batch_size
+        ids, labels = pad_collate(batch, args.seq_len)
+        if (labels != -100).sum() == 0:
+            rank0_print(
+                f"WARNING: step {step + 1}: no supervised tokens in batch "
+                f"(seq_len {args.seq_len} may truncate every assistant span)"
+            )
+        ids, labels = jnp.asarray(ids), jnp.asarray(labels)
+        if data_sharding is not None:
+            ids = jax.device_put(ids, data_sharding)
+            labels = jax.device_put(labels, data_sharding)
+        params, opt_state, loss = jstep(params, opt_state, ids, labels)
+        if (step + 1) % args.log_every == 0 or step == start_step:
+            rank0_print(f"step {step + 1}/{args.steps} loss {float(loss):.4f}")
+        if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
+            if not os.path.isdir(ckpt_path(step + 1)):
+                save_checkpoint(ckpt_path(step + 1), params, opt_state, step + 1)
+                rank0_print(f"saved checkpoint at step {step + 1}")
+    rank0_print("training done")
+    return float(loss)
+
+
+if __name__ == "__main__":
+    main()

