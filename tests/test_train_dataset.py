@@ -95,3 +95,21 @@ def test_run_sft_smoke_with_resume(tmp_path):
     loss2 = sft_main(common + ["--steps", "4"])
     assert np.isfinite(loss2)
     assert os.path.isdir(out / "checkpoint_4")
+
+
+def test_run_dpo_smoke(tmp_path):
+    from sttm_tpu.train.run_dpo import main as dpo_main
+
+    data = [
+        {"prompt": [{"from": "human", "value": f"q{i}?"}],
+         "chosen": f"good answer {i}.", "rejected": f"bad {i}."}
+        for i in range(4)
+    ]
+    p = tmp_path / "pairs.json"
+    p.write_text(json.dumps(data))
+    out = tmp_path / "run"
+    loss = dpo_main(["--data_path", str(p), "--output_dir", str(out), "--smoke",
+                     "--steps", "2", "--batch_size", "2", "--seq_len", "128",
+                     "--save_every", "2", "--log_every", "1"])
+    assert np.isfinite(loss) and loss > 0
+    assert os.path.isdir(out / "checkpoint_2")
