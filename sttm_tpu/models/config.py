@@ -36,6 +36,11 @@ class DecoderConfig:
     # family (Vicuna — the LLaVA-NeXT-Video trunk FrameFusion hooks into,
     # framefusion/models/llava_next_video/).
     attention_bias: bool = True
+    # Dynamic per-token int8 activation quantization for the layer
+    # projections (requires int8-quantized weights): runs matmuls on the
+    # int8 MXU path at 2x bf16 peak. A serving-efficiency mode the reference
+    # has no equivalent of; off by default.
+    act_quant: bool = False
 
     @property
     def q_dim(self) -> int:

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_tensor", "dequantize", "quantize_params", "is_quantized"]
+__all__ = ["quantize_tensor", "dequantize", "quantize_params", "is_quantized", "matmul_w8a8"]
 
 # weight matrices worth quantizing (stacked-layer projections)
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
@@ -38,6 +38,24 @@ def dequantize(w, dtype=jnp.bfloat16) -> jnp.ndarray:
     if not is_quantized(w):
         return w
     return (w["q"].astype(jnp.float32) * w["s"]).astype(dtype)
+
+
+def matmul_w8a8(x: jnp.ndarray, w: dict) -> jnp.ndarray:
+    """int8 x int8 matmul on the int8 MXU path (2x bf16 peak on v5e:
+    394 TOPS vs 197 TFLOPs; measured ~1.5x end-to-end on [25.6k, 3584] x
+    [3584, 18944]). Per-token symmetric activation quantization fused into
+    the op; weights carry per-output-channel scales from quantize_tensor."""
+    q, s = w["q"], w["s"]  # [in, out] int8, [1, out] f32
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, q, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * xs * s.reshape(s.shape[-1])
+    return out.astype(x.dtype)
 
 
 def quantize_params(params: dict, host: bool = True) -> dict:

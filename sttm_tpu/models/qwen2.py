@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import mha
 from .config import DecoderConfig
-from .quant import dequantize
+from .quant import dequantize, is_quantized, matmul_w8a8
 
 __all__ = [
     "init_params",
@@ -149,9 +149,9 @@ def _slice_layers(layers: dict, lo: int, hi: int) -> dict:
 def qkv_proj(lp: dict, h, cfg: DecoderConfig):
     """QKV projection; biases only when the config family has them."""
     b, s, _ = h.shape
-    q = _mat(h, lp["wq"])
-    k = _mat(h, lp["wk"])
-    v = _mat(h, lp["wv"])
+    q = _mat(h, lp["wq"], cfg.act_quant)
+    k = _mat(h, lp["wk"], cfg.act_quant)
+    v = _mat(h, lp["wv"], cfg.act_quant)
     if "bq" in lp:
         q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
     return (
@@ -169,9 +169,10 @@ def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend, return_q: boo
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     o = attend(q, k, v)
-    x = x + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"])
+    aq = cfg.act_quant
+    x = x + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
     h = rms_norm(x, lp["ln2"], cfg.rms_eps)
-    x = x + _mat(jax.nn.silu(_mat(h, lp["wg"])) * _mat(h, lp["wu"]), lp["wd"])
+    x = x + _mat(jax.nn.silu(_mat(h, lp["wg"], aq)) * _mat(h, lp["wu"], aq), lp["wd"], aq)
     if return_q:
         return x, k, v, q
     return x, k, v
@@ -284,9 +285,10 @@ def decode_layers(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         o, ck2, cv2 = attend_factory(ck, cv)(q, k, v)
-        y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"])
+        aq = cfg.act_quant
+        y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
         h = rms_norm(y, lp["ln2"], cfg.rms_eps)
-        y = y + _mat(jax.nn.silu(_mat(h, lp["wg"])) * _mat(h, lp["wu"]), lp["wd"])
+        y = y + _mat(jax.nn.silu(_mat(h, lp["wg"], aq)) * _mat(h, lp["wu"], aq), lp["wd"], aq)
         return y, (ck2, cv2, q)
 
     x, (cache_k, cache_v, q_all) = jax.lax.scan(
@@ -332,6 +334,10 @@ class KVCache:
         return self.lens[-1]
 
 
-def _mat(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x @ w, transparently dequantizing int8 weight dicts (models/quant.py)."""
+def _mat(x: jnp.ndarray, w, act_quant: bool = False) -> jnp.ndarray:
+    """x @ w, transparently dequantizing int8 weight dicts (models/quant.py).
+    act_quant=True runs int8-weight matmuls on the int8 MXU path with
+    dynamic per-token activation quantization (cfg.act_quant)."""
+    if act_quant and is_quantized(w):
+        return matmul_w8a8(x, w)
     return x @ dequantize(w, x.dtype)

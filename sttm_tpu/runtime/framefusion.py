@@ -212,9 +212,13 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
             q = qwen2.apply_rope(q, cos, sin)
             k = qwen2.apply_rope(k, cos, sin)
             o = mha(q, k, v, kv_valid_len=valid_len, causal=True, impl="xla", kv_mask=alive)
-            x = x + o.reshape(b, s, cfg.q_dim) @ lp["wo"]
+            aq = cfg.act_quant
+            x = x + qwen2._mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
             h = qwen2.rms_norm(x, lp["ln2"], cfg.rms_eps)
-            x = x + (jax.nn.silu(h @ lp["wg"]) * (h @ lp["wu"])) @ lp["wd"]
+            x = x + qwen2._mat(
+                jax.nn.silu(qwen2._mat(h, lp["wg"], aq)) * qwen2._mat(h, lp["wu"], aq),
+                lp["wd"], aq,
+            )
             ks.append(k)
             vs.append(v)
 

@@ -239,3 +239,18 @@ def test_int8_quantized_matches_bf16(hf_pair):
     out, _ = generate(qparams, TINY, embeds, 33, 0, None,
                       GenerateConfig(max_new_tokens=3, eos_token_ids=()))
     assert len(out) == 3
+
+    # w8a8 (dynamic activation quant on the int8 MXU path): looser tolerance,
+    # logits still track and generation runs end-to-end
+    import dataclasses as dc
+
+    cfg8 = dc.replace(TINY, act_quant=True)
+    prefill8 = build_prefill(cfg8, None, s_full, "xla")
+    got8, _ = prefill8(qparams, embeds, jnp.int32(33), jnp.int32(0))
+    rel8 = np.abs(np.asarray(got8) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-6
+    )
+    assert rel8 < 0.15, rel8
+    out8, _ = generate(qparams, cfg8, embeds, 33, 0, None,
+                       GenerateConfig(max_new_tokens=3, eos_token_ids=()))
+    assert len(out8) == 3
