@@ -1,0 +1,68 @@
+"""Sequence-parallel ring attention on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sttm_tpu.models import qwen2
+from sttm_tpu.models.config import TINY
+from sttm_tpu.ops.attention import _xla_mha
+from sttm_tpu.parallel.ring import ring_attention_local, sp_prefill
+
+
+def _mesh(p=8, axis="sp"):
+    return Mesh(np.asarray(jax.devices()[:p]).reshape(p), (axis,))
+
+
+def test_ring_attention_matches_single_device():
+    rng = np.random.default_rng(0)
+    b, s, hq, hkv, hd = 1, 128, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, s, hq, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, hkv, hd)), jnp.float32)
+    valid = jnp.int32(100)
+    ref = _xla_mha(q, k, v, valid, True, 0, hd**-0.5)
+
+    mesh = _mesh()
+    p = 8
+    sl = s // p
+
+    def local(q, k, v):
+        off = jax.lax.axis_index("sp") * sl
+        return ring_attention_local(q, k, v, off, valid, "sp")
+
+    out = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp"),
+        check_vma=False,
+    ))(q, k, v)
+    # only valid rows are meaningful
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :100], np.asarray(ref)[:, :100], rtol=2e-5, atol=2e-5
+    )
+
+
+def test_sp_prefill_matches_single_device():
+    """Full sequence-parallel decoder prefill == single-device prefill."""
+    from sttm_tpu.runtime.generate import build_prefill
+
+    params = qwen2.init_params(TINY, jax.random.key(0))
+    rng = np.random.default_rng(1)
+    s_full, valid = 64, 50
+    embeds = jnp.asarray(rng.normal(size=(1, s_full, TINY.hidden_size)) * 0.2,
+                         jnp.float32)
+    ref_logits, ref_cache = build_prefill(TINY, None, s_full, "xla")(
+        params, embeds, jnp.int32(valid), jnp.int32(0)
+    )
+
+    mesh = _mesh()
+    logits, k_all, v_all = sp_prefill(params, TINY, embeds, valid, mesh)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+    # K/V are the same values, sequence-sharded (compare vs the cache prefix)
+    ref_k = np.asarray(ref_cache.ks[0])[:, :, :s_full]
+    np.testing.assert_allclose(np.asarray(k_all), ref_k, rtol=2e-4, atol=2e-4)
