@@ -35,40 +35,74 @@ IGNORE = -2.0
 @dataclasses.dataclass(frozen=True)
 class FrameFusionSpec:
     cost: float  # FLOP budget fraction (sa_framefusion_cost)
-    t: int
-    h: int
-    w: int
+    t: int = 0
+    h: int = 0
+    w: int = 0
     similarity_lower_bound: float = 0.6
     ratio_lower_bound: float = 0.1
     # False = merge-only variant (the reference's replace_Qwen2_merging mode,
     # framefusion interface mode="merging")
     enable_prune: bool = True
+    # Explicit per-token patch types over the FULL static sequence (-1 =
+    # text, >= 0 = patch group), host-known at trace time. This is the
+    # front-end contract the reference's non-LLaVA families emit: MiniCPM-V
+    # assigns position-within-frame indices (including its +2 slice-boundary
+    # quirk, framefusion/models/minicpmv/modeling_minicpmv.py:92-98) and
+    # LLaVA-NeXT-Video assigns per-FRAME indices
+    # (framefusion/models/llava_next_video/modeling_llava_next_video.py:
+    # 230-237). When set, (t, h, w) geometry and the traced video_start are
+    # ignored — the layout is fully static.
+    patch_type: tuple | None = None
 
     @property
     def n_video(self) -> int:
+        if self.patch_type is not None:
+            return int((np.asarray(self.patch_type) >= 0).sum())
         return self.t * self.h * self.w
 
     @property
     def patch_num(self) -> int:
+        if self.patch_type is not None:
+            return int(max(self.patch_type)) + 1
         return self.h * self.w
 
 
-def _by_patch_order(spec: FrameFusionSpec, video_start: int | None = None):
-    """Static permutation of video-token offsets grouped by patch position:
-    [patch 0 over frames, patch 1 over frames, ...] (reference
-    compute_similarity_and_token_index_by_patch, main.py:148-152)."""
+def _patch_layout(spec: FrameFusionSpec):
+    """Static by-patch traversal: (offsets-or-indices [N], patch types [N],
+    absolute video indices [N] or None).
+
+    Reference semantics (compute_similarity_and_token_index_by_patch,
+    main.py:148-152): group tokens by patch-type value, within a group keep
+    sequence order (torch.where over ``pt == arange(patch_num)[:, None]``).
+    Geometry mode returns video-relative offsets (add the traced video_start);
+    explicit mode returns absolute indices (layout is static).
+    """
+    if spec.patch_type is not None:
+        ptf = np.asarray(spec.patch_type, np.int64)
+        vid_idx = np.where(ptf >= 0)[0]
+        o = np.argsort(ptf[vid_idx], kind="stable")
+        return (
+            np.asarray(vid_idx[o], np.int32),
+            np.asarray(ptf[vid_idx][o], np.int32),
+            np.asarray(vid_idx, np.int32),
+        )
     p, t = spec.patch_num, spec.t
     offs = np.arange(t * p).reshape(t, p).T.reshape(-1)  # [P*T] video offsets
-    return np.asarray(offs, np.int32)
+    pt = np.arange(p, dtype=np.int32).repeat(t)
+    return np.asarray(offs, np.int32), pt, None
 
 
 def _merge_step(spec: FrameFusionSpec, x, alive, video_start, state, layer_idx, n_layers):
     """One layer's merging phase. x: [S, D] fp32-accumulatable; alive: [S];
     state: (s_prod, total_calc, finish_merging, finish_pruning)."""
     s_prod, total_calc, fin_m, fin_p = state
-    order = jnp.asarray(_by_patch_order(spec)) + video_start  # [N] seq indices
+    offs, pt_np, abs_idx = _patch_layout(spec)
+    if abs_idx is None:
+        order = jnp.asarray(offs) + video_start  # [N] seq indices
+    else:
+        order = jnp.asarray(offs)  # already absolute (static layout)
     n = order.shape[0]
-    pt = jnp.asarray(np.arange(spec.patch_num, dtype=np.int32).repeat(spec.t))
+    pt = jnp.asarray(pt_np)
 
     xv = x[order]  # by-patch video tokens [N, D]
     av = alive[order]
@@ -227,8 +261,13 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
 
             def do_prune(alive):
                 colsum = _attention_colsum(q, k, alive, valid_len)
-                vid = jax.lax.dynamic_slice(colsum, (video_start,), (spec.n_video,))
-                vid_alive = jax.lax.dynamic_slice(alive, (video_start,), (spec.n_video,))
+                _, _, abs_idx = _patch_layout(spec)
+                if abs_idx is None:
+                    vid = jax.lax.dynamic_slice(colsum, (video_start,), (spec.n_video,))
+                    vid_alive = jax.lax.dynamic_slice(alive, (video_start,), (spec.n_video,))
+                else:  # explicit patch types: static video positions
+                    vid = colsum[abs_idx]
+                    vid_alive = alive[abs_idx]
                 img_len = vid_alive.sum()
                 remain = n_layers * spec.cost - total
                 frac = remain / jnp.maximum((n_layers - (li + 1)) * s_prod, 1e-8)
@@ -237,7 +276,9 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
                 scores = jnp.where(vid_alive, vid, -jnp.inf)
                 rank = jnp.argsort(jnp.argsort(-scores))
                 keep_vid = vid_alive & (rank < n_keep)
-                return jax.lax.dynamic_update_slice(alive, keep_vid, (video_start,))
+                if abs_idx is None:
+                    return jax.lax.dynamic_update_slice(alive, keep_vid, (video_start,))
+                return alive.at[jnp.asarray(abs_idx)].set(keep_vid)
 
             should_prune = fin_m & ~fin_p & (li + 1 < n_layers) & spec.enable_prune
             alive = jax.lax.cond(should_prune, do_prune, lambda a: a, alive)
