@@ -41,6 +41,12 @@ class DecoderConfig:
     # int8 MXU path at 2x bf16 peak. A serving-efficiency mode the reference
     # has no equivalent of; off by default.
     act_quant: bool = False
+    # Architectural sliding-window attention (Mistral family): every query
+    # attends only to the last ``sliding_window`` positions. 0 = dense. The
+    # reference carries a llava_mistral shim (llava/model/language_model/
+    # llava_mistral.py, unused by its experiments); here the window is one
+    # config field reusing the StreamingLLM mask machinery (sinks=0).
+    sliding_window: int = 0
 
     @property
     def q_dim(self) -> int:
@@ -79,6 +85,22 @@ VICUNA_7B = DecoderConfig(
     rms_eps=1e-5,
     max_position_embeddings=4096,
     attention_bias=False,
+)
+
+# Mistral-7B-v0.1 (the llava_mistral shim's backbone): Llama architecture
+# plus a 4096-token sliding attention window
+MISTRAL_7B = DecoderConfig(
+    vocab_size=32000,
+    hidden_size=4096,
+    intermediate_size=14336,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=8,
+    rope_theta=10_000.0,
+    rms_eps=1e-5,
+    max_position_embeddings=32768,
+    attention_bias=False,
+    sliding_window=4096,
 )
 
 # Tiny config for CPU tests

@@ -110,6 +110,8 @@ def build_prefill(
     bounds = _group_bounds(cfg, specs)
     buf_lens = _buffer_lens(specs, s_full)
     mrope = bool(cfg.mrope_section)
+    if attn_sinks == 0 and attn_window == 0 and cfg.sliding_window:
+        attn_window = cfg.sliding_window  # Mistral-family architectural window
 
     def fn(params, embeds, valid_len, video_start, position_ids=None, pos_base_override=None, t_valid=None):
         layers = params["layers"]
@@ -236,6 +238,8 @@ def build_decode_step(
     """
     specs = _normalize_specs(spec)
     bounds = _group_bounds(cfg, specs)
+    if attn_sinks == 0 and attn_window == 0 and cfg.sliding_window:
+        attn_window = cfg.sliding_window  # Mistral-family architectural window
 
     def fn(params, token, cache, step):
         layers = params["layers"]
@@ -264,6 +268,48 @@ def build_decode_step(
         return logits, new_cache
 
     return jax.jit(fn, donate_argnums=(2,)) if jit else fn
+
+
+@functools.lru_cache(maxsize=16)
+def build_decode_chunk(
+    cfg: DecoderConfig,
+    spec,
+    chunk: int,
+    attn_sinks: int = 0,
+    attn_window: int = 0,
+):
+    """On-device multi-token decode: one dispatch greedily generates ``chunk``
+    tokens with a lax.scan over the single-step body (build_decode_step).
+
+    Amortizes per-step dispatch overhead — the host loop pays one round-trip
+    per CHUNK instead of per token (decisive through high-RTT links, and a
+    real dispatch-overhead win on production serving too). Rows that hit EOS
+    are frozen (the cache keeps absorbing the frozen token's K/V writes at
+    advancing positions, which is harmless: those slots sit past the final
+    valid length and are never read by a live step). Returns
+    (params, token [1], cache, start_step, done0) ->
+    (last_token [1], cache, done, buf [chunk] int32 with -1 after EOS).
+    """
+    decode = build_decode_step(
+        cfg, spec, jit=False, attn_sinks=attn_sinks, attn_window=attn_window
+    )
+
+    def fn(params, token, cache, start_step, done0, eos_arr):
+        def body(carry, i):
+            tok, c, done = carry
+            logits, c2 = decode(params, tok, c, start_step + i)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            nxt = jnp.where(done, tok, nxt)  # freeze after EOS
+            out = jnp.where(done, -1, nxt[0])
+            done = done | jnp.any(nxt[0] == eos_arr)
+            return (nxt, c2, done), out
+
+        (tok, cache, done), buf = jax.lax.scan(
+            body, (token, cache, done0), jnp.arange(chunk, dtype=jnp.int32)
+        )
+        return tok, cache, done, buf
+
+    return jax.jit(fn, donate_argnums=(2,))
 
 
 @functools.lru_cache(maxsize=8)
@@ -355,11 +401,18 @@ def generate(
     dycoke: DycokeDecodeOptions | None = None,
     pos_base=None,
     t_valid=None,
+    decode_chunk_size: int = 1,
 ):
     """Greedy generation. Returns (token_ids list, runtime dict).
 
     ``spec`` may also be a FrameFusionSpec (layerwise budgeted merge-prune,
     runtime/framefusion.py), which uses its own prefill and a masked decode.
+
+    ``decode_chunk_size`` > 1 generates tokens in on-device chunks (one
+    dispatch per chunk, lax.scan over the step body — build_decode_chunk):
+    token-exact vs the per-step loop, but ``time_decoding`` is then measured
+    per chunk rather than per step. The final sub-chunk tail falls back to
+    per-step dispatch so exactly max_new_tokens are respected.
     """
     from .framefusion import FrameFusionSpec
 
@@ -409,6 +462,22 @@ def generate(
 
     time_decoding = 0.0
     step = 0
+    chunk = max(1, min(decode_chunk_size, gen.max_new_tokens - 1))
+    if chunk > 1 and dycoke is None:
+        dchunk = build_decode_chunk(
+            cfg, spec_key, chunk, attn_sinks=attn_sinks, attn_window=attn_window
+        )
+        eos_arr = jnp.asarray(list(gen.eos_token_ids) or [-1], jnp.int32)
+        done = jnp.asarray(ids[-1] in gen.eos_token_ids)
+        while step + chunk <= gen.max_new_tokens - 1 and not bool(done):
+            t0 = time.perf_counter()
+            token, cache, done, buf = dchunk(
+                params, token, cache, jnp.int32(step), done, eos_arr
+            )
+            buf = np.asarray(buf)  # host sync
+            time_decoding += time.perf_counter() - t0
+            ids.extend(int(t) for t in buf if t >= 0)
+            step += chunk
     while len(ids) < gen.max_new_tokens and ids[-1] not in gen.eos_token_ids:
         t0 = time.perf_counter()
         if dycoke is not None:

@@ -159,6 +159,63 @@ def test_none_reducer_is_identity(hf_pair):
     assert cache.ks[0].shape[0] == 2 and cache.ks[1].shape[0] == 2
 
 
+def test_mistral_trunk_sliding_window_matches_transformers():
+    """Mistral-architecture trunk (Llama + architectural sliding window,
+    cfg.sliding_window): prefill logits and greedy decode match HF
+    MistralForCausalLM with a window SMALLER than the sequence, so the
+    windowed mask is actually exercised."""
+    import dataclasses
+
+    import torch
+    from transformers import MistralConfig, MistralForCausalLM
+
+    from sttm_tpu.models.config import TINY_LLAMA
+    from sttm_tpu.runtime.generate import GenerateConfig
+
+    cfg = dataclasses.replace(TINY_LLAMA, sliding_window=8)
+    hf_cfg = MistralConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_eps,
+        max_position_embeddings=cfg.max_position_embeddings,
+        sliding_window=8,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(2)
+    hf = MistralForCausalLM(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_state_dict(cfg, sd)
+
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 21))  # seq > window
+    with torch.no_grad():
+        ref_logits = hf(torch.from_numpy(ids)).logits.numpy()
+        out = hf.generate(torch.from_numpy(ids), max_new_tokens=6, do_sample=False,
+                          pad_token_id=0, eos_token_id=None)
+    ref_ids = out[0, 21:].tolist()
+
+    embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+    embeds = jnp.pad(embeds, ((0, 0), (0, 32 - 21), (0, 0)))
+    prefill = build_prefill(cfg, None, 32, "xla")
+    logits, _ = prefill(params, embeds, jnp.int32(21), jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(logits[0]), ref_logits[0, -1], rtol=2e-4, atol=2e-4)
+    # the window must matter: a dense Llama run on the same weights differs
+    dense = build_prefill(TINY_LLAMA, None, 32, "xla")
+    dlogits, _ = dense(params, embeds, jnp.int32(21), jnp.int32(0))
+    assert not np.allclose(np.asarray(dlogits[0]), ref_logits[0, -1], rtol=2e-4, atol=2e-4)
+
+    gen_ids, _ = generate(params, cfg, embeds, 21, 0, None,
+                          GenerateConfig(max_new_tokens=6, eos_token_ids=()))
+    assert gen_ids == ref_ids
+
+
 def test_quadtree_reducer_end_to_end(hf_pair):
     """Merged prefill + decode runs; merged_len < full video length; decode
     continues from the merged cache without shape errors."""
