@@ -47,6 +47,12 @@ class DecoderConfig:
     # llava_mistral.py, unused by its experiments); here the window is one
     # config field reusing the StreamingLLM mask machinery (sinks=0).
     sliding_window: int = 0
+    # Gemma-family architecture knobs (the reference's llava_gemma shim):
+    # tanh-GELU MLP gate instead of SiLU, RMSNorm weights stored as (1 + w),
+    # and sqrt(hidden_size) scaling of the token embeddings.
+    hidden_act: str = "silu"
+    rms_offset: bool = False
+    embed_scale: bool = False
 
     @property
     def q_dim(self) -> int:
@@ -103,6 +109,26 @@ MISTRAL_7B = DecoderConfig(
     sliding_window=4096,
 )
 
+# Gemma-7B (the llava_gemma shim's backbone): decoupled head_dim (16 heads
+# x 256 > hidden 3072), GeGLU, (1+w) RMSNorm, scaled + tied embeddings
+GEMMA_7B = DecoderConfig(
+    vocab_size=256000,
+    hidden_size=3072,
+    intermediate_size=24576,
+    num_layers=28,
+    num_heads=16,
+    num_kv_heads=16,
+    head_dim=256,
+    rope_theta=10_000.0,
+    rms_eps=1e-6,
+    max_position_embeddings=8192,
+    attention_bias=False,
+    tie_word_embeddings=True,
+    hidden_act="gelu_tanh",
+    rms_offset=True,
+    embed_scale=True,
+)
+
 # Tiny config for CPU tests
 TINY = DecoderConfig(
     vocab_size=256,
@@ -120,3 +146,10 @@ TINY_MROPE = dataclasses.replace(TINY, mrope_section=(2, 3, 3))
 
 # Tiny Llama-architecture config (no QKV bias)
 TINY_LLAMA = dataclasses.replace(TINY, attention_bias=False, rope_theta=10_000.0)
+
+# Tiny Gemma-architecture config (GeGLU, (1+w) norms, scaled tied embeddings,
+# decoupled head_dim)
+TINY_GEMMA = dataclasses.replace(
+    TINY_LLAMA, tie_word_embeddings=True, hidden_act="gelu_tanh",
+    rms_offset=True, embed_scale=True, head_dim=24,
+)

@@ -81,10 +81,22 @@ def init_params(cfg: DecoderConfig, key: jax.Array) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float, offset: bool = False) -> jnp.ndarray:
+    """RMSNorm; ``offset`` selects the Gemma convention (weights stored as
+    deltas from 1, applied as ``x_norm * (1 + w)``)."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
+    normed = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return normed * (1.0 + weight.astype(jnp.float32)).astype(x.dtype) if offset else normed * weight
+
+
+def mlp_act(h: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
+    """MLP gate activation: SiLU (Qwen2/Llama) or tanh-GELU (Gemma)."""
+    if cfg.hidden_act == "silu":
+        return jax.nn.silu(h)
+    if cfg.hidden_act == "gelu_tanh":
+        return jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
+    raise ValueError(f"unknown hidden_act {cfg.hidden_act!r}")
 
 
 def rope_cos_sin(cfg: DecoderConfig, position_ids: jnp.ndarray):
@@ -123,8 +135,11 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return (x.astype(jnp.float32) * c + rot * s).astype(x.dtype)
 
 
-def embed_tokens(params: dict, ids: jnp.ndarray) -> jnp.ndarray:
-    return params["embed"][ids]
+def embed_tokens(params: dict, ids: jnp.ndarray, cfg: DecoderConfig | None = None) -> jnp.ndarray:
+    e = params["embed"][ids]
+    if cfg is not None and cfg.embed_scale:  # Gemma: sqrt(hidden) scaling
+        e = e * jnp.asarray(cfg.hidden_size**0.5, e.dtype)
+    return e
 
 
 def lm_head(params: dict, cfg: DecoderConfig, x: jnp.ndarray) -> jnp.ndarray:
@@ -164,15 +179,15 @@ def qkv_proj(lp: dict, h, cfg: DecoderConfig):
 def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend, return_q: bool = False):
     """One decoder layer; ``attend(q, k, v) -> o`` supplied by the caller."""
     b, s, d = x.shape
-    h = rms_norm(x, lp["ln1"], cfg.rms_eps)
+    h = rms_norm(x, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
     q, k, v = qkv_proj(lp, h, cfg)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     o = attend(q, k, v)
     aq = cfg.act_quant
     x = x + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
-    h = rms_norm(x, lp["ln2"], cfg.rms_eps)
-    x = x + _mat(jax.nn.silu(_mat(h, lp["wg"], aq)) * _mat(h, lp["wu"], aq), lp["wd"], aq)
+    h = rms_norm(x, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
+    x = x + _mat(mlp_act(_mat(h, lp["wg"], aq), cfg) * _mat(h, lp["wu"], aq), lp["wd"], aq)
     if return_q:
         return x, k, v, q
     return x, k, v
@@ -280,15 +295,15 @@ def decode_layers(
         lp, ck, cv = xs
         y = carry
         b, s, d = y.shape
-        h = rms_norm(y, lp["ln1"], cfg.rms_eps)
+        h = rms_norm(y, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
         q, k, v = qkv_proj(lp, h, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         o, ck2, cv2 = attend_factory(ck, cv)(q, k, v)
         aq = cfg.act_quant
         y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
-        h = rms_norm(y, lp["ln2"], cfg.rms_eps)
-        y = y + _mat(jax.nn.silu(_mat(h, lp["wg"], aq)) * _mat(h, lp["wu"], aq), lp["wd"], aq)
+        h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
+        y = y + _mat(mlp_act(_mat(h, lp["wg"], aq), cfg) * _mat(h, lp["wu"], aq), lp["wd"], aq)
         return y, (ck2, cv2, q)
 
     x, (cache_k, cache_v, q_all) = jax.lax.scan(

@@ -103,21 +103,21 @@ def _build_sp_prefill(cfg, s_full: int, mesh: Mesh, axis: str):
             lp = {kk: (vv[li] if not isinstance(vv, dict)
                        else {s2: a[li] for s2, a in vv.items()})
                   for kk, vv in layers.items()}
-            h = qwen2.rms_norm(x, lp["ln1"], cfg.rms_eps)
+            h = qwen2.rms_norm(x, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
             q, k, v = qwen2.qkv_proj(lp, h, cfg)
             q = qwen2.apply_rope(q, cos, sin)
             k = qwen2.apply_rope(k, cos, sin)
             o = ring_attention_local(q, k, v, q_offset, valid_len, axis)
             aq = cfg.act_quant
             x = x + qwen2._mat(o.reshape(1, sl, cfg.q_dim), lp["wo"], aq)
-            h = qwen2.rms_norm(x, lp["ln2"], cfg.rms_eps)
+            h = qwen2.rms_norm(x, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
             x = x + qwen2._mat(
-                jax.nn.silu(qwen2._mat(h, lp["wg"], aq)) * qwen2._mat(h, lp["wu"], aq),
+                qwen2.mlp_act(qwen2._mat(h, lp["wg"], aq), cfg) * qwen2._mat(h, lp["wu"], aq),
                 lp["wd"], aq,
             )
             ks.append(k)
             vs.append(v)
-        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         # last valid token lives on shard (valid_len-1)//sl; compute logits
         # there and psum (other shards contribute zeros)
         last_local = jnp.clip(valid_len - 1 - my * sl, 0, sl - 1)

@@ -241,16 +241,16 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
 
             # run the layer, capturing q/k for the pruning colsum
             b, s, d = x.shape
-            h = qwen2.rms_norm(x, lp["ln1"], cfg.rms_eps)
+            h = qwen2.rms_norm(x, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
             q, k, v = qwen2.qkv_proj(lp, h, cfg)
             q = qwen2.apply_rope(q, cos, sin)
             k = qwen2.apply_rope(k, cos, sin)
             o = mha(q, k, v, kv_valid_len=valid_len, causal=True, impl="xla", kv_mask=alive)
             aq = cfg.act_quant
             x = x + qwen2._mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
-            h = qwen2.rms_norm(x, lp["ln2"], cfg.rms_eps)
+            h = qwen2.rms_norm(x, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
             x = x + qwen2._mat(
-                jax.nn.silu(qwen2._mat(h, lp["wg"], aq)) * qwen2._mat(h, lp["wu"], aq),
+                qwen2.mlp_act(qwen2._mat(h, lp["wg"], aq), cfg) * qwen2._mat(h, lp["wu"], aq),
                 lp["wd"], aq,
             )
             ks.append(k)
@@ -284,7 +284,7 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
             alive = jax.lax.cond(should_prune, do_prune, lambda a: a, alive)
             state = (s_prod, total, fin_m, jnp.where(should_prune, True, fin_p))
 
-        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         last = jax.lax.dynamic_slice(h, (0, valid_len - 1, 0), (1, 1, cfg.hidden_size))
         logits = qwen2.lm_head(params, cfg, last)[:, 0]
 

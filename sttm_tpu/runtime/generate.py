@@ -178,7 +178,7 @@ def build_prefill(
                 # length shrinks to n_kept for any subsequent stage
                 # (pyrd updates image_token_length, pyrd_...patch.py:102)
 
-        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         last = jax.lax.dynamic_slice(h, (0, valid - 1, 0), (1, 1, cfg.hidden_size))
         logits = qwen2.lm_head(params, cfg, last)[:, 0]
 
@@ -243,7 +243,7 @@ def build_decode_step(
 
     def fn(params, token, cache, step):
         layers = params["layers"]
-        x = qwen2.embed_tokens(params, token)[:, None, :]  # [1, 1, D]
+        x = qwen2.embed_tokens(params, token, cfg)[:, None, :]  # [1, 1, D]
         pos = (cache.pos_base + step)[None].astype(jnp.int32)
         if cfg.mrope_section:  # decode: all three M-RoPE rows advance together
             pos = jnp.broadcast_to(pos, (3, 1))
@@ -262,7 +262,7 @@ def build_decode_step(
             )
             new_ks.append(ck)
             new_vs.append(cv)
-        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         logits = qwen2.lm_head(params, cfg, h)[:, 0]
         new_cache = dataclasses.replace(cache, ks=tuple(new_ks), vs=tuple(new_vs))
         return logits, new_cache
@@ -329,7 +329,7 @@ def build_decode_step_dycoke(cfg: DecoderConfig, spec, dyc: DycokeDecodeOptions)
 
     def fn(params, token, cache, step, dstate, video_start):
         layers = params["layers"]
-        x = qwen2.embed_tokens(params, token)[:, None, :]
+        x = qwen2.embed_tokens(params, token, cfg)[:, None, :]
         pos = (cache.pos_base + step)[None].astype(jnp.int32)
         cos, sin = qwen2.rope_cos_sin(cfg, pos)
         write_pos = cache.lens[g0] + step
@@ -371,7 +371,7 @@ def build_decode_step_dycoke(cfg: DecoderConfig, spec, dyc: DycokeDecodeOptions)
             layers, l + 1, hi, x, cos, sin, cache.ks[g0][l + 1 - lo :],
             cache.vs[g0][l + 1 - lo :], write_pos, cfg, kv_mask=keep_mask,
         )
-        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         logits = qwen2.lm_head(params, cfg, h)[:, 0]
         merged_k = jnp.concatenate([ck, ck2], axis=0)
         merged_v = jnp.concatenate([cv, cv2], axis=0)
@@ -510,7 +510,7 @@ def _build_decode_step_masked(cfg: DecoderConfig):
 
     def fn(params, token, cache, step, kv_mask):
         layers = params["layers"]
-        x = qwen2.embed_tokens(params, token)[:, None, :]
+        x = qwen2.embed_tokens(params, token, cfg)[:, None, :]
         pos = (cache.pos_base + step)[None].astype(jnp.int32)
         if cfg.mrope_section:  # decode: all three M-RoPE rows advance together
             pos = jnp.broadcast_to(pos, (3, 1))
@@ -519,7 +519,7 @@ def _build_decode_step_masked(cfg: DecoderConfig):
             layers, 0, cfg.num_layers, x, cos, sin, cache.ks[0], cache.vs[0],
             cache.lens[0] + step, cfg, kv_mask=kv_mask,
         )
-        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         logits = qwen2.lm_head(params, cfg, h)[:, 0]
         return logits, dataclasses.replace(cache, ks=(ck,), vs=(cv,))
 

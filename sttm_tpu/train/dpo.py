@@ -21,11 +21,11 @@ __all__ = ["sequence_logprobs", "dpo_loss", "make_dpo_train_step"]
 
 def sequence_logprobs(params, cfg: DecoderConfig, input_ids, labels):
     """Summed next-token logprobs per sequence. input_ids/labels: [B, S]."""
-    x = qwen2.embed_tokens(params, input_ids)
+    x = qwen2.embed_tokens(params, input_ids, cfg)
     b, s, _ = x.shape
     cos, sin = qwen2.rope_cos_sin(cfg, jnp.arange(s, dtype=jnp.int32))
     x, _, _ = qwen2.prefill_layers(params["layers"], 0, cfg.num_layers, x, cos, sin, s, cfg, "xla")
-    h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
+    h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
     logits = qwen2.lm_head(params, cfg, h)
     tgt = labels[:, 1:]
     lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)

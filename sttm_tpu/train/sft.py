@@ -30,14 +30,14 @@ def loss_fn(params, cfg: DecoderConfig, input_ids, labels, remat: bool = False):
     input_ids/labels: [B, S] int32; labels already shifted HF-style
     (label[t] supervises logits[t-1]... we shift internally: predict t+1).
     """
-    x = qwen2.embed_tokens(params, input_ids)
+    x = qwen2.embed_tokens(params, input_ids, cfg)
     b, s, _ = x.shape
     pos = jnp.arange(s, dtype=jnp.int32)
     cos, sin = qwen2.rope_cos_sin(cfg, pos)
     x, _, _ = qwen2.prefill_layers(
         params["layers"], 0, cfg.num_layers, x, cos, sin, s, cfg, "xla", remat=remat
     )
-    h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps)
+    h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
     logits = qwen2.lm_head(params, cfg, h)  # [B, S, V] fp32
     tgt = labels[:, 1:]
     lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)

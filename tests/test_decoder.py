@@ -216,6 +216,58 @@ def test_mistral_trunk_sliding_window_matches_transformers():
     assert gen_ids == ref_ids
 
 
+def test_gemma_trunk_matches_transformers():
+    """Gemma-architecture trunk (GeGLU, (1+w) RMSNorm, sqrt(d)-scaled tied
+    embeddings, decoupled head_dim — the reference's llava_gemma shim's
+    backbone): prefill logits and greedy decode match HF GemmaForCausalLM."""
+    import torch
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    from sttm_tpu.models.config import TINY_GEMMA
+    from sttm_tpu.runtime.generate import GenerateConfig
+
+    cfg = TINY_GEMMA
+    hf_cfg = GemmaConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_eps,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_activation="gelu_pytorch_tanh",
+        tie_word_embeddings=True,
+        attention_bias=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(3)
+    hf = GemmaForCausalLM(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_state_dict(cfg, sd)
+    assert "lm_head" not in params  # tied
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 19))
+    with torch.no_grad():
+        ref_logits = hf(torch.from_numpy(ids)).logits.numpy()
+        out = hf.generate(torch.from_numpy(ids), max_new_tokens=6, do_sample=False,
+                          pad_token_id=0, eos_token_id=None)
+    ref_ids = out[0, 19:].tolist()
+
+    embeds = qwen2.embed_tokens(params, jnp.asarray(ids), cfg)  # sqrt(d) scale
+    embeds = jnp.pad(embeds, ((0, 0), (0, 32 - 19), (0, 0)))
+    prefill = build_prefill(cfg, None, 32, "xla")
+    logits, _ = prefill(params, embeds, jnp.int32(19), jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(logits[0]), ref_logits[0, -1], rtol=3e-4, atol=3e-4)
+
+    gen_ids, _ = generate(params, cfg, embeds, 19, 0, None,
+                          GenerateConfig(max_new_tokens=6, eos_token_ids=()))
+    assert gen_ids == ref_ids
+
+
 def test_quadtree_reducer_end_to_end(hf_pair):
     """Merged prefill + decode runs; merged_len < full video length; decode
     continues from the merged cache without shape errors."""
