@@ -53,6 +53,24 @@ class FrameFusionSpec:
     # 230-237). When set, (t, h, w) geometry and the traced video_start are
     # ignored — the layout is fully static.
     patch_type: tuple | None = None
+    # Compaction: at layer ``compact_at_layer`` (> 0), gather the surviving
+    # tokens into a static budget buffer so layers >= C actually run at the
+    # reduced length — the compute saving the reference gets from physically
+    # shrinking the sequence (framefusion/main.py:100-117), which the dense
+    # alive-mask design alone does not. Exact whenever merging AND pruning
+    # finished before layer C (reported as ``compact_exact``; with typical
+    # cost budgets both finish within the first few layers). Surviving video
+    # tokens beyond ``compact_budget`` are dropped raster-last and reported
+    # as ``compact_overflow``. 0 = off (pure mask mode).
+    compact_at_layer: int = 0
+    compact_budget: int = 0  # video slots after compaction (0 = auto)
+
+    @property
+    def compact_video_budget(self) -> int:
+        if self.compact_budget:
+            return self.compact_budget
+        # auto: the FLOP-budget share of video tokens plus 10% + 8 slack
+        return min(self.n_video, int(np.ceil(self.cost * self.n_video * 1.1)) + 8)
 
     @property
     def n_video(self) -> int:
@@ -200,13 +218,23 @@ def _attention_colsum(q, k, alive, valid_len):
 @functools.lru_cache(maxsize=8)
 def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full: int):
     """Jitted FrameFusion prefill: (params, embeds, valid_len, video_start)
-    -> (logits [1, V], KVCache (single group, full static length, dead slots
-    masked), alive_mask [s_full]). Decode must pass ``alive`` as the KV mask.
+    -> (logits [1, V], KVCache, alive_mask [s_full]). Decode must pass
+    ``alive`` as the KV mask.
+
+    Mask mode (compact_at_layer == 0): a single full-length cache group, dead
+    slots masked. Compact mode (> 0): at layer C the surviving tokens are
+    gathered into a budget buffer and layers >= C run short — the cache
+    splits into two groups like the STTM reducer's. The return gains a 4th
+    element (new_valid, compact_exact, compact_overflow).
     """
     from .generate import MAX_DECODE
 
     n_layers = cfg.num_layers
     mrope = bool(cfg.mrope_section)
+    compact_at = spec.compact_at_layer
+    if compact_at and not (0 < compact_at < n_layers):
+        raise ValueError(f"compact_at_layer {compact_at} out of range (0, {n_layers})")
+    s_c = s_full - spec.n_video + spec.compact_video_budget if compact_at else s_full
 
     def fn(params, embeds, valid_len, video_start, position_ids=None):
         layers = params["layers"]
@@ -218,8 +246,37 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
         alive = jnp.arange(s_full) < valid_len
         state = (jnp.float32(1.0), jnp.float32(0.0), jnp.array(False), jnp.array(False))
 
+        valid = valid_len
+        compacted = False
+        new_valid = jnp.asarray(valid_len, jnp.int32)
+        compact_exact = jnp.array(True)
+        compact_overflow = jnp.int32(0)
         ks, vs = [], []
+        ks_b, vs_b = [], []
         for li in range(n_layers):
+            if compact_at and li == compact_at:
+                # --- compaction: pack surviving tokens into the budget buffer
+                # (raster order preserved -> causal masking stays valid) ---
+                s_prod, total, fin_m, fin_p = state
+                compact_exact = fin_m & fin_p  # no merge/prune would follow
+                seq = jnp.arange(s_full)
+                if spec.patch_type is not None:
+                    _, _, abs_idx = _patch_layout(spec)
+                    vid_mask = jnp.zeros((s_full,), bool).at[jnp.asarray(abs_idx)].set(True)
+                else:
+                    vid_mask = (seq >= video_start) & (seq < video_start + spec.n_video)
+                vrank = jnp.cumsum((alive & vid_mask).astype(jnp.int32)) - 1
+                drop = vid_mask & alive & (vrank >= spec.compact_video_budget)
+                keep = alive & ~drop
+                alive = keep  # decode sees exactly the surviving tokens
+                compact_overflow = drop.sum().astype(jnp.int32)
+                perm = jnp.argsort(~keep, stable=True)[:s_c]
+                x = x[0, perm][None]
+                cos = cos[perm]
+                sin = sin[perm]
+                new_valid = keep.sum().astype(jnp.int32)
+                valid = new_valid
+                compacted = True
             s_prod, total, fin_m, fin_p = state
 
             def do_merge(args):
@@ -230,14 +287,11 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
                 x, alive, state = args
                 return x[0], alive, state
 
-            x0, alive, state = jax.lax.cond(~fin_m, do_merge, no_merge, (x, alive, state))
-            x = x0[None]
+            if not compacted:
+                x0, alive, state = jax.lax.cond(~fin_m, do_merge, no_merge, (x, alive, state))
+                x = x0[None]
 
             lp = {k: v[li] for k, v in layers.items()}
-
-            def attend_collect(q, k, v):
-                o = mha(q, k, v, kv_valid_len=valid_len, causal=True, impl="xla", kv_mask=alive)
-                return o, q, k
 
             # run the layer, capturing q/k for the pruning colsum
             b, s, d = x.shape
@@ -245,7 +299,8 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
             q, k, v = qwen2.qkv_proj(lp, h, cfg)
             q = qwen2.apply_rope(q, cos, sin)
             k = qwen2.apply_rope(k, cos, sin)
-            o = mha(q, k, v, kv_valid_len=valid_len, causal=True, impl="xla", kv_mask=alive)
+            o = mha(q, k, v, kv_valid_len=valid, causal=True, impl="xla",
+                    kv_mask=None if compacted else alive)
             aq = cfg.act_quant
             x = x + qwen2._mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
             h = qwen2.rms_norm(x, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
@@ -253,8 +308,10 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
                 qwen2.mlp_act(qwen2._mat(h, lp["wg"], aq), cfg) * qwen2._mat(h, lp["wu"], aq),
                 lp["wd"], aq,
             )
-            ks.append(k)
-            vs.append(v)
+            (ks_b if compacted else ks).append(k)
+            (vs_b if compacted else vs).append(v)
+            if compacted:
+                continue  # no further merge/prune on the compacted buffer
 
             # pruning pass: once merging just finished (main.py:49-74)
             s_prod, total, fin_m, fin_p = state
@@ -285,22 +342,35 @@ def build_prefill_framefusion(cfg: DecoderConfig, spec: FrameFusionSpec, s_full:
             state = (s_prod, total, fin_m, jnp.where(should_prune, True, fin_p))
 
         h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
-        last = jax.lax.dynamic_slice(h, (0, valid_len - 1, 0), (1, 1, cfg.hidden_size))
+        last = jax.lax.dynamic_slice(h, (0, valid - 1, 0), (1, 1, cfg.hidden_size))
         logits = qwen2.lm_head(params, cfg, last)[:, 0]
 
-        k_all = jnp.stack(ks)
-        v_all = jnp.stack(vs)
-        tail = jnp.zeros((n_layers, 1, MAX_DECODE, cfg.num_kv_heads, cfg.head_dim), k_all.dtype)
         if mrope:  # rope-delta decode base (modeling_qwen2vl.py:1779)
             pos_base = (jnp.max(pos[..., valid_len - 1]) + 1).astype(jnp.int32)
         else:
             pos_base = jnp.asarray(valid_len, jnp.int32)
+
+        def with_tail(stack):
+            arr = jnp.stack(stack)
+            tail = jnp.zeros(
+                (arr.shape[0], 1, MAX_DECODE, cfg.num_kv_heads, cfg.head_dim), arr.dtype
+            )
+            return jnp.concatenate([arr, tail], axis=2)
+
+        if not compact_at:
+            cache = qwen2.KVCache(
+                ks=(with_tail(ks),),
+                vs=(with_tail(vs),),
+                lens=(jnp.asarray(valid_len, jnp.int32),),
+                pos_base=pos_base,
+            )
+            return logits, cache, alive
         cache = qwen2.KVCache(
-            ks=(jnp.concatenate([k_all, tail], axis=2),),
-            vs=(jnp.concatenate([v_all, tail], axis=2),),
-            lens=(jnp.asarray(valid_len, jnp.int32),),
+            ks=(with_tail(ks), with_tail(ks_b)),
+            vs=(with_tail(vs), with_tail(vs_b)),
+            lens=(jnp.asarray(valid_len, jnp.int32), new_valid),
             pos_base=pos_base,
         )
-        return logits, cache, alive
+        return logits, cache, alive, (new_valid, compact_exact, compact_overflow)
 
     return jax.jit(fn)

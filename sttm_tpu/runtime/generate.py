@@ -526,12 +526,46 @@ def _build_decode_step_masked(cfg: DecoderConfig):
     return jax.jit(fn, donate_argnums=(2,))
 
 
+@functools.lru_cache(maxsize=8)
+def _build_decode_step_masked2(cfg: DecoderConfig, cut: int):
+    """Two-group decode for compacted FrameFusion: group 0 (layers < cut,
+    full-length cache) hides dead slots via ``kv_mask``; group 1 (layers >=
+    cut, budget-length cache) is densely packed (the valid-length bound
+    suffices)."""
+
+    def fn(params, token, cache, step, kv_mask0):
+        layers = params["layers"]
+        x = qwen2.embed_tokens(params, token, cfg)[:, None, :]
+        pos = (cache.pos_base + step)[None].astype(jnp.int32)
+        if cfg.mrope_section:
+            pos = jnp.broadcast_to(pos, (3, 1))
+        cos, sin = qwen2.rope_cos_sin(cfg, pos)
+        x, ck0, cv0, _ = qwen2.decode_layers(
+            layers, 0, cut, x, cos, sin, cache.ks[0], cache.vs[0],
+            cache.lens[0] + step, cfg, kv_mask=kv_mask0,
+        )
+        x, ck1, cv1, _ = qwen2.decode_layers(
+            layers, cut, cfg.num_layers, x, cos, sin, cache.ks[1], cache.vs[1],
+            cache.lens[1] + step, cfg,
+        )
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
+        logits = qwen2.lm_head(params, cfg, h)[:, 0]
+        return logits, dataclasses.replace(cache, ks=(ck0, ck1), vs=(cv0, cv1))
+
+    return jax.jit(fn, donate_argnums=(2,))
+
+
 def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen,
                           position_ids=None):
     from .framefusion import build_prefill_framefusion
 
     s_full = embeds.shape[1]
     prefill = build_prefill_framefusion(cfg, spec, s_full)
+    if spec.compact_at_layer:
+        return _generate_framefusion_compact(
+            params, cfg, embeds, valid_len, video_start, spec, gen, prefill,
+            position_ids,
+        )
     decode = _build_decode_step_masked(cfg)
 
     t0 = time.perf_counter()
@@ -570,6 +604,58 @@ def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen
         "merged_len": merged_len,
         "full_len": int(valid_len),
     }
+    return ids, runtime
+
+
+def _generate_framefusion_compact(params, cfg, embeds, valid_len, video_start,
+                                  spec, gen, prefill, position_ids=None):
+    """FrameFusion with compaction: layers >= compact_at_layer run at the
+    budget length (real TTFT saving, framefusion.py compact mode)."""
+    s_full = embeds.shape[1]
+    decode = _build_decode_step_masked2(cfg, spec.compact_at_layer)
+
+    t0 = time.perf_counter()
+    logits, cache, alive, (new_valid, exact, overflow) = prefill(
+        params, embeds, jnp.int32(valid_len), jnp.int32(video_start), position_ids
+    )
+    logits.block_until_ready()
+    ttft = time.perf_counter() - t0
+
+    # group-0 mask: surviving tokens + the padding/decode-write region (same
+    # invariant as the padded-decode fix in _generate_framefusion)
+    pad_tail = jnp.arange(s_full) >= jnp.int32(valid_len)
+    kv_mask0 = jnp.concatenate([alive | pad_tail, jnp.ones((MAX_DECODE,), bool)])
+    token = jnp.argmax(logits, -1).astype(jnp.int32)
+    ids = [int(token[0])]
+    merged_len = int(new_valid)
+
+    time_decoding = 0.0
+    step = 0
+    while len(ids) < gen.max_new_tokens and ids[-1] not in gen.eos_token_ids:
+        t0 = time.perf_counter()
+        logits, cache = decode(params, token, cache, jnp.int32(step), kv_mask0)
+        logits = jax.block_until_ready(logits)
+        time_decoding += time.perf_counter() - t0
+        token = jnp.argmax(logits, -1).astype(jnp.int32)
+        ids.append(int(token[0]))
+        step += 1
+
+    runtime = {
+        "ttft_llm": ttft,
+        "time_decoding": time_decoding,
+        "num_dec_token": len(ids),
+        "merged_len": merged_len,
+        "full_len": int(valid_len),
+        "compact_exact": bool(exact),
+        "compact_overflow": int(overflow),
+    }
+    if not runtime["compact_exact"]:
+        from ..utils.logging import rank0_print
+
+        rank0_print(
+            "WARNING: FrameFusion compaction fired before merge/prune finished "
+            "(compact_exact=False); raise compact_at_layer for exact semantics"
+        )
     return ids, runtime
 
 

@@ -29,6 +29,36 @@ def _setup(highly_similar: bool):
     return params, jnp.asarray(emb), valid, sys_len, (t, h, w)
 
 
+def test_framefusion_compaction_token_exact():
+    """Compact mode (layers >= C run at the budget length) must reproduce
+    mask-mode tokens exactly whenever merge+prune finished before C
+    (compact_exact=True), with matching merged_len."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from sttm_tpu.runtime.generate import GenerateConfig, generate
+
+    params, emb, valid, sys_len, (t, h, w) = _setup(highly_similar=True)
+    gen = GenerateConfig(max_new_tokens=6, eos_token_ids=())
+    base_spec = FrameFusionSpec(cost=0.3, t=t, h=h, w=w)
+    ref_ids, ref_rt = generate(params, TINY, emb, valid, sys_len, base_spec, gen)
+
+    spec = dc.replace(base_spec, compact_at_layer=3, compact_budget=t * h * w)
+    ids, rt = generate(params, TINY, emb, valid, sys_len, spec, gen)
+    assert rt["compact_exact"], "merge/prune should finish before layer 3 here"
+    assert rt["compact_overflow"] == 0
+    assert rt["merged_len"] == ref_rt["merged_len"]
+    assert ids == ref_ids, (ids, ref_ids)
+
+    # tight budget: overflow recorded, still decodes
+    tight = dc.replace(base_spec, compact_at_layer=3, compact_budget=4)
+    ids2, rt2 = generate(params, TINY, emb, valid, sys_len, tight, gen)
+    assert rt2["compact_overflow"] > 0
+    assert rt2["merged_len"] < rt["merged_len"]
+    assert len(ids2) == 6
+
+
 def test_framefusion_merges_similar_video():
     params, emb, valid, sys_len, (t, h, w) = _setup(highly_similar=True)
     spec = FrameFusionSpec(cost=0.3, t=t, h=h, w=w)
