@@ -54,6 +54,11 @@ class EvalConfig:
     # config), approximate for k>0 (pad tokens participate in pre-merge
     # attention). Requires temporal merging (quadtree temporal_thresh > 0).
     frame_bucket: int = 0
+    # Decode tokens per device dispatch (1 = per-step, reference-style
+    # per-token timing; > 1 = on-device chunked decode, token-exact,
+    # amortizes dispatch overhead at the cost of per-chunk timing
+    # granularity — runtime/generate.py build_decode_chunk).
+    decode_chunk_size: int = 1
 
 
 def run_name(model_name: str, dataset: str, spec: ReducerSpec | None, frames: int) -> str:
@@ -118,6 +123,7 @@ class Qwen2VLEvaluator:
             GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids),
             impl=cfg.attention_impl, position_ids=pos,
             attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window,
+            decode_chunk_size=cfg.decode_chunk_size,
         )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(
@@ -200,6 +206,7 @@ class LlavaEvaluator:
             GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids), impl=cfg.attention_impl,
             attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window, dycoke=dyc,
             pos_base=pos_base, t_valid=t_valid,
+            decode_chunk_size=cfg.decode_chunk_size,
         )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(

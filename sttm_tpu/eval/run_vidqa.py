@@ -88,6 +88,10 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", default="outputs")
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--reproduce", action="store_true")
+    p.add_argument("--decode_chunk_size", type=int, default=1,
+                   help="decode tokens per device dispatch (1 = per-step "
+                        "reference-style timing; >1 = on-device chunked "
+                        "decode, token-exact, lower dispatch overhead)")
     p.add_argument("--frame_bucket", type=int, default=0,
                    help="bucket frame counts to multiples of N (bounds jit "
                         "recompiles); exact for sa_start_layer_idx 0")
@@ -141,6 +145,7 @@ def _eval_config(args, name):
         attn_window=args.sa_local_window if streaming else 0,
         dycoke_decode=(args.dycoke_l, args.dycoke_p) if args.sa_pattern == "dycoke" else None,
         frame_bucket=args.frame_bucket,
+        decode_chunk_size=args.decode_chunk_size,
         pad_multiple=32 if args.smoke else 128,
         eos_token_ids=() if args.smoke else (151645, 151643),
     )

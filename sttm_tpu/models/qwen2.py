@@ -161,6 +161,25 @@ def _slice_layers(layers: dict, lo: int, hi: int) -> dict:
     return {k: sl(v) for k, v in layers.items()}
 
 
+def _take_layer(layers: dict, li) -> dict:
+    """Gather ONE layer's weights from the stacked tree by (traced) index.
+
+    Layer groups scan over index arrays and gather per iteration instead of
+    scanning over ``_slice_layers(layers, lo, hi)`` xs: a non-identity slice
+    of the stacked weights materializes a copy of the whole sub-stack, which
+    inside a decode step means copying ~all weights per generated token
+    (measured +20 ms/token on v5e for the 7B two-group split). The gather
+    reads exactly the one layer the iteration was going to read anyway.
+    """
+
+    def tk(v):
+        if isinstance(v, dict):
+            return {kk: jax.lax.dynamic_index_in_dim(vv, li, 0, keepdims=False) for kk, vv in v.items()}
+        return jax.lax.dynamic_index_in_dim(v, li, 0, keepdims=False)
+
+    return {k: tk(v) for k, v in layers.items()}
+
+
 def qkv_proj(lp: dict, h, cfg: DecoderConfig):
     """QKV projection; biases only when the config family has them."""
     b, s, _ = h.shape
@@ -233,7 +252,8 @@ def prefill_layers(
             )
         return mha(q, k, v, kv_valid_len=valid_len, causal=True, impl=impl)
 
-    def step(carry, lp):
+    def step(carry, li):
+        lp = _take_layer(layers, li)
         y, k, v, q = _layer_core(lp, carry, cos, sin, cfg, attend, return_q=True)
         ys = (k, v)
         if collect_last_q:
@@ -245,7 +265,7 @@ def prefill_layers(
 
     if remat:
         step = jax.checkpoint(step)
-    x, ys = jax.lax.scan(step, x, _slice_layers(layers, lo, hi))
+    x, ys = jax.lax.scan(step, x, jnp.arange(lo, hi, dtype=jnp.int32))
     return (x,) + tuple(ys)
 
 
@@ -279,9 +299,9 @@ def decode_layers(
     # instead would materialize a fresh stacked output every step — a full
     # cache copy per decoded token (measured: +9.4 ms/token at a 25.6k cache
     # on v5e). Carries with a single DUS use alias in place.
-    def step(carry, xs):
+    def step(carry, li):
         y, ck_all, cv_all = carry
-        lp, li = xs
+        lp = _take_layer(layers, lo + li)
         b, s, d = y.shape
         h = rms_norm(y, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
         q, k, v = qkv_proj(lp, h, cfg)
@@ -307,7 +327,7 @@ def decode_layers(
     (x, cache_k, cache_v), q_all = jax.lax.scan(
         step,
         (x, cache_k, cache_v),
-        (_slice_layers(layers, lo, hi), jnp.arange(hi - lo, dtype=jnp.int32)),
+        jnp.arange(hi - lo, dtype=jnp.int32),
     )
     return x, cache_k, cache_v, q_all
 

@@ -762,13 +762,18 @@ def generate_batch(
     # device loop compiles slowly through remote-compile tunnels, GAPS.md).
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
     eos_arr = jnp.asarray(list(gen.eos_token_ids) or [-1], jnp.int32)
-    bdecode = jax.vmap(lambda tok, c, st: decode(params, tok, c, st), in_axes=(0, 0, None))
+    # params MUST be a jit argument, not a closure capture: captured params
+    # are lowered as program constants (7 GB for the 7B model), which makes
+    # compilation pathological and duplicates the weights.
+    bdecode = jax.vmap(
+        lambda p, tok, c, st: decode(p, tok, c, st), in_axes=(None, 0, 0, None)
+    )
 
     if chunk == 1:
 
-        @jax.jit
-        def decode_chunk(token, cache, start_step, done0):
-            lg, c2 = bdecode(token, cache, start_step)
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_chunk(p, token, cache, start_step, done0):
+            lg, c2 = bdecode(p, token, cache, start_step)
             nxt = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
             nxt = jnp.where(done0, token[:, 0], nxt)
             buf = jnp.where(done0, -1, nxt)[:, None]
@@ -776,27 +781,26 @@ def generate_batch(
             return nxt[:, None], c2, done, buf, jnp.int32(1)
 
     else:
+        # lax.scan with freeze-after-EOS (same pattern as the single-sample
+        # build_decode_chunk): runs the full chunk but frozen rows emit -1.
+        # The round-1 while_loop variant compiled pathologically through
+        # remote-compile tunnels; the scan compiles like any layer stack.
 
-        @jax.jit
-        def decode_chunk(token, cache, start_step, done0):
-            def cond(state):
-                i, _, _, done, _ = state
-                return (i < chunk) & ~jnp.all(done)
-
-            def body(state):
-                i, tok, c, done, buf = state
-                lg, c2 = bdecode(tok, c, start_step + i)
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_chunk(p, token, cache, start_step, done0):
+            def body(carry, i):
+                tok, c, done = carry
+                lg, c2 = bdecode(p, tok, c, start_step + i)
                 nxt = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
                 nxt = jnp.where(done, tok[:, 0], nxt)  # freeze finished rows
-                buf = buf.at[:, i].set(jnp.where(done, -1, nxt))
+                out = jnp.where(done, -1, nxt)
                 done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
-                return i + 1, nxt[:, None], c2, done, buf
+                return (nxt[:, None], c2, done), out
 
-            buf0 = jnp.full((b, chunk), -1, jnp.int32)
-            n, tok, c, done, buf = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), token, cache, done0, buf0)
+            (tok, c, done), buf = jax.lax.scan(
+                body, (token, cache, done0), jnp.arange(chunk, dtype=jnp.int32)
             )
-            return tok, c, done, buf, n
+            return tok, c, done, buf.T, jnp.int32(chunk)
 
     token = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)[:, None]  # [B, 1]
     ids = [[int(t)] for t in token[:, 0]]
@@ -809,7 +813,7 @@ def generate_batch(
     while step < gen.max_new_tokens - 1 and not bool(jnp.all(done)):
         n_this = min(chunk, gen.max_new_tokens - 1 - step)
         t0 = time.perf_counter()
-        token, cache, done, buf, n = decode_chunk(token, cache, jnp.int32(step), done)
+        token, cache, done, buf, n = decode_chunk(params, token, cache, jnp.int32(step), done)
         buf = np.asarray(buf)  # host sync
         time_decoding += time.perf_counter() - t0
         for i in range(b):

@@ -56,6 +56,30 @@ def test_chunked_decode_eos_semantics():
         assert got == ref, (chunk, got, ref)
 
 
+def test_generate_batch_chunked_matches_per_step():
+    """Batched chunked decode (scan-based) is token-exact vs per-step
+    batched decode, including per-row EOS freezing."""
+    from sttm_tpu.runtime.generate import generate_batch
+
+    params, emb, valid, vs, spec = _case(seed=7)
+    b = 3
+    rng = np.random.default_rng(7)
+    embs = np.asarray(jnp.broadcast_to(emb, (b,) + emb.shape[1:])).copy()
+    embs += 0.01 * rng.normal(size=embs.shape).astype(np.float32)
+    valids = [valid, valid - 2, valid - 4]
+    probe = GenerateConfig(max_new_tokens=10, eos_token_ids=())
+    ref, _ = generate_batch(params, TINY, jnp.asarray(embs), valids, [vs] * b, spec, probe)
+    # EOS from the middle of row 1 so one row freezes inside a chunk
+    eos = ref[1][5]
+    gen = GenerateConfig(max_new_tokens=10, eos_token_ids=(eos,))
+    want, _ = generate_batch(params, TINY, jnp.asarray(embs), valids, [vs] * b, spec, gen)
+    got, _ = generate_batch(
+        params, TINY, jnp.asarray(embs), valids, [vs] * b, spec, gen,
+        decode_chunk_size=4,
+    )
+    assert got == want
+
+
 def test_chunked_decode_streamingllm_windowed():
     params, emb, valid, vs, _ = _case(seed=5)
     gen = GenerateConfig(max_new_tokens=9, eos_token_ids=())
