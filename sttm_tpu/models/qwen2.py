@@ -278,21 +278,36 @@ def decode_layers(
     sin: jnp.ndarray,
     cache_k: jnp.ndarray,
     cache_v: jnp.ndarray,
-    write_pos,
+    kv_len,
+    step_idx,
+    tail_start: int,
     cfg: DecoderConfig,
     kv_mask=None,
 ):
-    """One-token decode through layers [lo, hi): append K/V at ``write_pos``
-    and attend over the packed cache prefix. cache_k/v: [hi-lo, B, S_c, KV, hd].
-    ``kv_mask`` [S_c] optionally hides cached positions (DyCoke stage-2
-    decode-time KV pruning, dycoke_attn_monkey_patch.py:25-60). Also returns
-    the per-layer roped queries q_all [Lg, B, 1, H, hd] (DyCoke's attention
-    ranking reads the dycoke_l-th one).
+    """One-token decode through layers [lo, hi). cache_k/v:
+    [hi-lo, B, S_c, KV, hd] where the last ``S_c - tail_start`` slots are the
+    reserved decode tail.
+
+    Fixed-slot writes: the new K/V lands at ``tail_start + step_idx`` — an
+    index that does NOT depend on the sample's packed length ``kv_len``, so
+    batched decode (vmap over rows with different kv_len) keeps the update a
+    single in-place dynamic-update-slice instead of a per-row scatter
+    (measured: the scatter form made batch-4 decode 10x slower than batch-1
+    on v5e). Visibility: prefix slots ``< kv_len`` plus written tail slots;
+    the gap ``[kv_len, tail_start)`` is masked. ``kv_mask`` [S_c] optionally
+    hides additional cached positions (DyCoke stage-2 pruning, FrameFusion
+    dead slots, StreamingLLM windows). Also returns the per-layer roped
+    queries q_all [Lg, B, 1, H, hd].
     """
     if hi <= lo:
         b = x.shape[0]
         empty_q = jnp.zeros((0, b, 1, cfg.num_heads, cfg.head_dim), x.dtype)
         return x, cache_k, cache_v, empty_q
+
+    write_slot = tail_start + step_idx
+    kpos = jnp.arange(cache_k.shape[2])
+    gap_ok = (kpos < kv_len) | (kpos >= tail_start)
+    mask = gap_ok if kv_mask is None else (gap_ok & kv_mask)
 
     # The stacked caches ride the scan CARRY and are updated with an indexed
     # in-place dynamic-update-slice per layer. Threading them through xs/ys
@@ -307,16 +322,16 @@ def decode_layers(
         q, k, v = qkv_proj(lp, h, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        ck_all = jax.lax.dynamic_update_slice(ck_all, k[None], (li, 0, write_pos, 0, 0))
-        cv_all = jax.lax.dynamic_update_slice(cv_all, v[None], (li, 0, write_pos, 0, 0))
+        ck_all = jax.lax.dynamic_update_slice(ck_all, k[None], (li, 0, write_slot, 0, 0))
+        cv_all = jax.lax.dynamic_update_slice(cv_all, v[None], (li, 0, write_slot, 0, 0))
         ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
         o = mha(
             q, ck, cv,
-            kv_valid_len=write_pos + 1,
+            kv_valid_len=write_slot + 1,
             causal=False,
             impl="xla",
-            kv_mask=kv_mask,
+            kv_mask=mask,
         )
         aq = cfg.act_quant
         y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
@@ -330,6 +345,14 @@ def decode_layers(
         jnp.arange(hi - lo, dtype=jnp.int32),
     )
     return x, cache_k, cache_v, q_all
+
+
+def decode_logical_kpos(s_c: int, tail_start: int, kv_len):
+    """Logical sequence position of each cache slot under fixed-slot decode
+    writes: prefix slots keep their index; tail slot j holds the token at
+    logical position kv_len + j."""
+    kpos = jnp.arange(s_c)
+    return jnp.where(kpos < tail_start, kpos, kv_len + (kpos - tail_start))
 
 
 # ---------------------------------------------------------------------------

@@ -251,14 +251,18 @@ def build_decode_step(
 
         new_ks, new_vs = [], []
         for gi, (lo, hi) in enumerate(bounds):
-            write_pos = cache.lens[gi] + step
+            s_c = cache.ks[gi].shape[2]
+            tail_start = s_c - MAX_DECODE
+            kv_len = cache.lens[gi]
             kv_mask = None
             if attn_sinks > 0 or attn_window > 0:
-                kpos = jnp.arange(cache.ks[gi].shape[2])
-                kv_mask = (kpos < attn_sinks) | (write_pos - kpos < attn_window)
+                # A-shape over LOGICAL positions (tail slots sit past kv_len)
+                logical = qwen2.decode_logical_kpos(s_c, tail_start, kv_len)
+                cur = kv_len + step
+                kv_mask = (logical < attn_sinks) | (cur - logical < attn_window)
             x, ck, cv, _ = qwen2.decode_layers(
                 layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
-                write_pos, cfg, kv_mask=kv_mask,
+                kv_len, step, tail_start, cfg, kv_mask=kv_mask,
             )
             new_ks.append(ck)
             new_vs.append(cv)
@@ -332,12 +336,15 @@ def build_decode_step_dycoke(cfg: DecoderConfig, spec, dyc: DycokeDecodeOptions)
         x = qwen2.embed_tokens(params, token, cfg)[:, None, :]
         pos = (cache.pos_base + step)[None].astype(jnp.int32)
         cos, sin = qwen2.rope_cos_sin(cfg, pos)
-        write_pos = cache.lens[g0] + step
+        s_c = cache.ks[g0].shape[2]
+        tail_start = s_c - MAX_DECODE
+        kv_len = cache.lens[g0]
 
         # layers [lo, l] with the carried mask; layer l's q drives the ranking
         x, ck, cv, q_all = qwen2.decode_layers(
             layers, lo, l + 1, x, cos, sin, cache.ks[g0][: l + 1 - lo],
-            cache.vs[g0][: l + 1 - lo], write_pos, cfg, kv_mask=dstate.keep_mask,
+            cache.vs[g0][: l + 1 - lo], kv_len, step, tail_start, cfg,
+            kv_mask=dstate.keep_mask,
         )
         # head-mean attention of the current token at layer l
         q = q_all[-1][:, 0].astype(jnp.float32)  # [B, H, hd]
@@ -348,7 +355,9 @@ def build_decode_step_dycoke(cfg: DecoderConfig, spec, dyc: DycokeDecodeOptions)
             "bhgd,bshd->bhgs", q.reshape(b, kvh, g, hd), kl,
             precision=jax.lax.Precision.HIGHEST,
         ) * (hd**-0.5)
-        valid = (jnp.arange(s_c) <= write_pos)[None, None, None] & dstate.keep_mask[None, None, None]
+        kpos = jnp.arange(s_c)
+        seen = (kpos < kv_len) | ((kpos >= tail_start) & (kpos <= tail_start + step))
+        valid = seen[None, None, None] & dstate.keep_mask[None, None, None]
         att = jnp.where(valid, att, -1e30)
         probs = jax.nn.softmax(att, axis=-1).reshape(b, cfg.num_heads, s_c).mean(1)[0]
         img_att = jax.lax.dynamic_slice(probs, (video_start,), (dyc.img_len,))
@@ -369,7 +378,8 @@ def build_decode_step_dycoke(cfg: DecoderConfig, spec, dyc: DycokeDecodeOptions)
         # layers (l, hi) see the (possibly) updated selection immediately
         x, ck2, cv2, _ = qwen2.decode_layers(
             layers, l + 1, hi, x, cos, sin, cache.ks[g0][l + 1 - lo :],
-            cache.vs[g0][l + 1 - lo :], write_pos, cfg, kv_mask=keep_mask,
+            cache.vs[g0][l + 1 - lo :], kv_len, step, tail_start, cfg,
+            kv_mask=keep_mask,
         )
         h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         logits = qwen2.lm_head(params, cfg, h)[:, 0]
@@ -515,9 +525,10 @@ def _build_decode_step_masked(cfg: DecoderConfig):
         if cfg.mrope_section:  # decode: all three M-RoPE rows advance together
             pos = jnp.broadcast_to(pos, (3, 1))
         cos, sin = qwen2.rope_cos_sin(cfg, pos)
+        s_c = cache.ks[0].shape[2]
         x, ck, cv, _ = qwen2.decode_layers(
             layers, 0, cfg.num_layers, x, cos, sin, cache.ks[0], cache.vs[0],
-            cache.lens[0] + step, cfg, kv_mask=kv_mask,
+            cache.lens[0], step, s_c - MAX_DECODE, cfg, kv_mask=kv_mask,
         )
         h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         logits = qwen2.lm_head(params, cfg, h)[:, 0]
@@ -542,11 +553,12 @@ def _build_decode_step_masked2(cfg: DecoderConfig, cut: int):
         cos, sin = qwen2.rope_cos_sin(cfg, pos)
         x, ck0, cv0, _ = qwen2.decode_layers(
             layers, 0, cut, x, cos, sin, cache.ks[0], cache.vs[0],
-            cache.lens[0] + step, cfg, kv_mask=kv_mask0,
+            cache.lens[0], step, cache.ks[0].shape[2] - MAX_DECODE, cfg,
+            kv_mask=kv_mask0,
         )
         x, ck1, cv1, _ = qwen2.decode_layers(
             layers, cut, cfg.num_layers, x, cos, sin, cache.ks[1], cache.vs[1],
-            cache.lens[1] + step, cfg,
+            cache.lens[1], step, cache.ks[1].shape[2] - MAX_DECODE, cfg,
         )
         h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         logits = qwen2.lm_head(params, cfg, h)[:, 0]
@@ -575,13 +587,10 @@ def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
 
-    # extend the mask over the decode tail (new tokens are always visible).
-    # Decode writes new K/V at lens[0]+step == valid_len+step, which lands in
-    # the PADDING region of `alive` (False for positions >= valid_len) — those
-    # slots must be visible or generated tokens can't attend to themselves.
-    # Positions past the write head stay masked by the kv_valid_len bound.
-    pad_tail = jnp.arange(s_full) >= jnp.int32(valid_len)
-    kv_mask = jnp.concatenate([alive | pad_tail, jnp.ones((MAX_DECODE,), bool)])
+    # extend the mask over the decode tail (new tokens are always visible;
+    # fixed-slot decode writes land there, and the [valid_len, s_full) pad
+    # gap is hidden by decode_layers' composite mask)
+    kv_mask = jnp.concatenate([alive, jnp.ones((MAX_DECODE,), bool)])
     token = jnp.argmax(logits, -1).astype(jnp.int32)
     ids = [int(token[0])]
     merged_len = int(alive.sum())
@@ -621,10 +630,9 @@ def _generate_framefusion_compact(params, cfg, embeds, valid_len, video_start,
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
 
-    # group-0 mask: surviving tokens + the padding/decode-write region (same
-    # invariant as the padded-decode fix in _generate_framefusion)
-    pad_tail = jnp.arange(s_full) >= jnp.int32(valid_len)
-    kv_mask0 = jnp.concatenate([alive | pad_tail, jnp.ones((MAX_DECODE,), bool)])
+    # group-0 mask: surviving tokens; the decode tail is always visible and
+    # the pad gap is hidden by decode_layers' composite mask
+    kv_mask0 = jnp.concatenate([alive, jnp.ones((MAX_DECODE,), bool)])
     token = jnp.argmax(logits, -1).astype(jnp.int32)
     ids = [int(token[0])]
     merged_len = int(new_valid)
