@@ -127,11 +127,16 @@ def rope_cos_sin(cfg: DecoderConfig, position_ids: jnp.ndarray):
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x: [B, S, H, hd]; cos/sin: [S, hd]."""
+    """x: [B, S, H, hd]; cos/sin: [S, hd] (shared) or [B, S, hd] (per-row,
+    batched decode with per-sample position bases)."""
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     rot = jnp.concatenate([-x2, x1], axis=-1)
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
+    if cos.ndim == 3:
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
+    else:
+        c = cos[None, :, None, :]
+        s = sin[None, :, None, :]
     return (x.astype(jnp.float32) * c + rot * s).astype(x.dtype)
 
 
@@ -283,10 +288,31 @@ def decode_layers(
     tail_start: int,
     cfg: DecoderConfig,
     kv_mask=None,
+    unroll: bool = False,
+    attn_kernel: bool = False,
+    head_packed: bool = False,
 ):
     """One-token decode through layers [lo, hi). cache_k/v:
     [hi-lo, B, S_c, KV, hd] where the last ``S_c - tail_start`` slots are the
     reserved decode tail.
+
+    ``head_packed=True`` is the batched-serving mode: the cache carries the
+    batch FOLDED INTO THE KV-HEAD AXIS ([Lg, 1, S_c, B*KV, hd]) and x is
+    [B, 1, D]. Rationale: with a real batch axis, XLA:TPU cannot reconcile
+    the attention-read layout (S second-minor) with the cache-update layout
+    (B second-minor) — the scan-carry DUS stops aliasing in place and every
+    layer iteration materializes a fresh full cache (~10x decode slowdown
+    measured at batch 2-4 on v5e). Head-packing makes the batched program
+    shape-identical to the B=1 case (which runs at the bandwidth floor):
+    attention is per-head independent, so folding rows into heads is exact.
+
+    ``unroll=True`` unrolls the layer loop with STATIC layer indices: cache
+    reads become zero-copy views and the update a statically-indexed DUS, so
+    XLA assigns one consistent layout. The scan form pins the carried cache
+    to the DUS-preferred layout and, for B > 1, pays a full per-layer cache
+    copy (layout permutation) on every attention read — measured ~10x decode
+    slowdown at batch 4. Batched decode should unroll; B == 1 layouts
+    coincide and the (faster-compiling) scan is fine.
 
     Fixed-slot writes: the new K/V lands at ``tail_start + step_idx`` — an
     index that does NOT depend on the sample's packed length ``kv_len``, so
@@ -306,37 +332,84 @@ def decode_layers(
 
     write_slot = tail_start + step_idx
     kpos = jnp.arange(cache_k.shape[2])
-    gap_ok = (kpos < kv_len) | (kpos >= tail_start)
+    kv = jnp.asarray(kv_len)
+    if kv.ndim == 1:  # per-row packed lengths (batched decode)
+        gap_ok = (kpos[None, :] < kv[:, None]) | (kpos[None, :] >= tail_start)
+    else:
+        gap_ok = (kpos < kv) | (kpos >= tail_start)
     mask = gap_ok if kv_mask is None else (gap_ok & kv_mask)
+    if head_packed and mask.ndim == 2:  # per-row -> per-packed-KV-head rows
+        mask = jnp.repeat(mask, cfg.num_kv_heads, axis=0)
+    if attn_kernel:  # the Pallas kernel takes the complete [B, S] mask
+        kmask = mask & (kpos <= write_slot)
+        if kmask.ndim == 1:
+            kmask = jnp.broadcast_to(kmask[None], (x.shape[0],) + kmask.shape)
 
     # The stacked caches ride the scan CARRY and are updated with an indexed
     # in-place dynamic-update-slice per layer. Threading them through xs/ys
     # instead would materialize a fresh stacked output every step — a full
     # cache copy per decoded token (measured: +9.4 ms/token at a 25.6k cache
     # on v5e). Carries with a single DUS use alias in place.
-    def step(carry, li):
-        y, ck_all, cv_all = carry
-        lp = _take_layer(layers, lo + li)
+    def body(y, ck_all, cv_all, lp, li):
         b, s, d = y.shape
         h = rms_norm(y, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
         q, k, v = qkv_proj(lp, h, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if head_packed:  # [B, 1, KV, hd] -> [1, 1, B*KV, hd] (pure reshape)
+            k = k.reshape(1, 1, b * cfg.num_kv_heads, cfg.head_dim)
+            v = v.reshape(1, 1, b * cfg.num_kv_heads, cfg.head_dim)
         ck_all = jax.lax.dynamic_update_slice(ck_all, k[None], (li, 0, write_slot, 0, 0))
         cv_all = jax.lax.dynamic_update_slice(cv_all, v[None], (li, 0, write_slot, 0, 0))
-        ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
-        o = mha(
-            q, ck, cv,
-            kv_valid_len=write_slot + 1,
-            causal=False,
-            impl="xla",
-            kv_mask=mask,
-        )
+        if isinstance(li, int):  # static index: a zero-copy view
+            ck = ck_all[li]
+            cv = cv_all[li]
+        else:
+            ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
+        if head_packed:
+            qp = q.reshape(1, 1, b * cfg.num_heads, cfg.head_dim)
+            o = mha(
+                qp, ck, cv,
+                kv_valid_len=write_slot + 1,
+                causal=False,
+                impl="xla",
+                kv_mask=mask,
+                kv_mask_per_head=mask.ndim == 2,
+            ).reshape(b, 1, cfg.num_heads, cfg.head_dim)
+        elif attn_kernel:
+            from ..ops.attention import flash_decode_mha
+
+            kvh = cfg.num_kv_heads
+            g = cfg.num_heads // kvh
+            qk = (q[:, 0] * cfg.head_dim**-0.5).reshape(b, kvh, g, cfg.head_dim)
+            o = flash_decode_mha(qk, ck, cv, kmask).reshape(b, 1, cfg.q_dim)
+        else:
+            o = mha(
+                q, ck, cv,
+                kv_valid_len=write_slot + 1,
+                causal=False,
+                impl="xla",
+                kv_mask=mask,
+            )
         aq = cfg.act_quant
         y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
         h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
         y = y + _mat(mlp_act(_mat(h, lp["wg"], aq), cfg) * _mat(h, lp["wu"], aq), lp["wd"], aq)
+        return y, ck_all, cv_all, q
+
+    if unroll:
+        qs = []
+        for li in range(hi - lo):
+            lp = jax.tree.map(lambda a: a[lo + li], layers)
+            x, cache_k, cache_v, q = body(x, cache_k, cache_v, lp, li)
+            qs.append(q)
+        return x, cache_k, cache_v, jnp.stack(qs)
+
+    def step(carry, li):
+        y, ck_all, cv_all = carry
+        lp = _take_layer(layers, lo + li)
+        y, ck_all, cv_all, q = body(y, ck_all, cv_all, lp, li)
         return (y, ck_all, cv_all), q
 
     (x, cache_k, cache_v), q_all = jax.lax.scan(
@@ -350,9 +423,14 @@ def decode_layers(
 def decode_logical_kpos(s_c: int, tail_start: int, kv_len):
     """Logical sequence position of each cache slot under fixed-slot decode
     writes: prefix slots keep their index; tail slot j holds the token at
-    logical position kv_len + j."""
+    logical position kv_len + j. kv_len: scalar -> [s_c]; [B] -> [B, s_c]."""
     kpos = jnp.arange(s_c)
-    return jnp.where(kpos < tail_start, kpos, kv_len + (kpos - tail_start))
+    kv = jnp.asarray(kv_len)
+    if kv.ndim == 1:
+        return jnp.where(
+            kpos[None] < tail_start, kpos[None], kv[:, None] + (kpos[None] - tail_start)
+        )
+    return jnp.where(kpos < tail_start, kpos, kv + (kpos - tail_start))
 
 
 # ---------------------------------------------------------------------------

@@ -224,6 +224,9 @@ def build_decode_step(
     jit: bool = True,
     attn_sinks: int = 0,
     attn_window: int = 0,
+    unroll: bool = False,
+    attn_kernel: bool = False,
+    head_packed: bool = False,
 ):
     """Single-token decode: (params, token [1], cache, step) ->
     (logits [1, V] fp32, cache). jit=False returns the raw traceable body
@@ -243,11 +246,17 @@ def build_decode_step(
 
     def fn(params, token, cache, step):
         layers = params["layers"]
-        x = qwen2.embed_tokens(params, token, cfg)[:, None, :]  # [1, 1, D]
-        pos = (cache.pos_base + step)[None].astype(jnp.int32)
-        if cfg.mrope_section:  # decode: all three M-RoPE rows advance together
-            pos = jnp.broadcast_to(pos, (3, 1))
-        cos, sin = qwen2.rope_cos_sin(cfg, pos)
+        x = qwen2.embed_tokens(params, token, cfg)[:, None, :]  # [B, 1, D]
+        if jnp.ndim(cache.pos_base) == 1:  # natively batched: per-row bases
+            pos = (cache.pos_base + step)[:, None].astype(jnp.int32)  # [B, 1]
+            if cfg.mrope_section:  # all three M-RoPE rows advance together
+                pos = jnp.broadcast_to(pos[:, None, :], (pos.shape[0], 3, 1))
+            cos, sin = jax.vmap(lambda p: qwen2.rope_cos_sin(cfg, p))(pos)
+        else:
+            pos = (cache.pos_base + step)[None].astype(jnp.int32)
+            if cfg.mrope_section:
+                pos = jnp.broadcast_to(pos, (3, 1))
+            cos, sin = qwen2.rope_cos_sin(cfg, pos)
 
         new_ks, new_vs = [], []
         for gi, (lo, hi) in enumerate(bounds):
@@ -259,10 +268,12 @@ def build_decode_step(
                 # A-shape over LOGICAL positions (tail slots sit past kv_len)
                 logical = qwen2.decode_logical_kpos(s_c, tail_start, kv_len)
                 cur = kv_len + step
+                cur = cur[:, None] if jnp.ndim(cur) == 1 else cur
                 kv_mask = (logical < attn_sinks) | (cur - logical < attn_window)
             x, ck, cv, _ = qwen2.decode_layers(
                 layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
-                kv_len, step, tail_start, cfg, kv_mask=kv_mask,
+                kv_len, step, tail_start, cfg, kv_mask=kv_mask, unroll=unroll,
+                attn_kernel=attn_kernel, head_packed=head_packed,
             )
             new_ks.append(ck)
             new_vs.append(cv)
@@ -314,6 +325,80 @@ def build_decode_chunk(
         return tok, cache, done, buf
 
     return jax.jit(fn, donate_argnums=(2,))
+
+
+@functools.lru_cache(maxsize=16)
+def build_decode_chunk_batch(
+    cfg: DecoderConfig,
+    spec,
+    chunk: int,
+    eos_ids: tuple,
+    kvh: int,
+    attn_kernel: bool = False,
+):
+    """Cached builders for batched generation. These MUST be module-level and
+    cached: defining the jitted decode chunk / row-insert inside
+    generate_batch creates fresh function objects per call, so jax.jit
+    RETRACES AND RECOMPILES on every invocation — profiled at ~1.9 s of
+    compile per call through this environment's remote-compile path while
+    the decode chunk itself runs 113 ms on-device (this was the round-1
+    'batched chunked decode compiles pathologically' mystery's other half).
+
+    Returns (insert_row, decode_chunk): insert_row packs one sample's cache
+    into the head-packed batched buffer (donated, KV-head offset i*kvh);
+    decode_chunk greedily decodes ``chunk`` tokens (freeze-after-EOS).
+    """
+    decode = build_decode_step(
+        cfg, spec, jit=False, attn_kernel=attn_kernel, head_packed=True
+    )
+    eos_arr_np = np.asarray(list(eos_ids) or [-1], np.int32)
+
+    def _row_insert(buf, x, i):
+        x = jnp.asarray(x)
+        if x.ndim >= 2:  # [Lg, 1, S, KV, hd] at head offset i*kvh
+            return jax.lax.dynamic_update_slice(buf, x, (0, 0, 0, i * kvh, 0))
+        return jax.lax.dynamic_update_index_in_dim(buf, x, i, 0)
+
+    insert_row = jax.jit(
+        lambda buf_tree, row_tree, i: jax.tree.map(
+            lambda buf, x: _row_insert(buf, x, i), buf_tree, row_tree
+        ),
+        donate_argnums=(0,),
+    )
+
+    if chunk == 1:
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_chunk(p, token, cache, start_step, done0):
+            eos_arr = jnp.asarray(eos_arr_np)
+            lg, c2 = decode(p, token, cache, start_step)  # [B, V]
+            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            nxt = jnp.where(done0, token, nxt)
+            buf = jnp.where(done0, -1, nxt)[:, None]
+            done = done0 | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
+            return nxt, c2, done, buf, jnp.int32(1)
+
+    else:
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_chunk(p, token, cache, start_step, done0):
+            eos_arr = jnp.asarray(eos_arr_np)
+
+            def body(carry, i):
+                tok, c, done = carry
+                lg, c2 = decode(p, tok, c, start_step + i)
+                nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+                nxt = jnp.where(done, tok, nxt)  # freeze finished rows
+                out = jnp.where(done, -1, nxt)
+                done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
+                return (nxt, c2, done), out
+
+            (tok, c, done), buf = jax.lax.scan(
+                body, (token, cache, done0), jnp.arange(chunk, dtype=jnp.int32)
+            )
+            return tok, c, done, buf.T, jnp.int32(chunk)
+
+    return insert_row, decode_chunk
 
 
 @functools.lru_cache(maxsize=8)
@@ -730,6 +815,7 @@ def generate_batch(
     impl: str = "xla",
     position_ids=None,
     decode_chunk_size: int = 1,
+    decode_attn_kernel: bool = True,
 ):
     """Batched greedy generation — beyond the reference's strict batch=1
     (eval_vidqa_by_feat_llavavideo.py:208). Samples share (s_full, spec);
@@ -737,81 +823,59 @@ def generate_batch(
     valid_lens/video_starts: [B]. position_ids: optional [B, ...] per-sample.
 
     Implementation (the standard serving split): prefills run SEQUENTIALLY
-    (a 25k-token prefill's activations are per-sample and large), caches are
-    stacked, and decode runs vmapped — one weight read serves the whole batch
-    (decode is weight-bandwidth-bound). The reducer, KV cache, and attention
-    all batch through jax's batching rules. Returns (ids list-of-lists,
-    runtime dict).
+    (a 25k-token prefill's activations are per-sample and large), then decode
+    runs HEAD-PACKED: the batch is folded into the cache's KV-head axis
+    ([Lg, 1, S, B*KV, hd]) so the batched decode program is shape-identical
+    to the single-sample one and each step reads the weights once (decode is
+    weight-bandwidth-bound). Attention is per-head independent, so the
+    folding is exact. A real batch axis — via vmap OR natively — makes
+    XLA:TPU's attention-read and cache-update layout preferences collide and
+    the per-layer cache updates stop aliasing in place (measured 10x decode
+    slowdown at batch 2-4 at the 7B operating point, see decode_layers).
+    Returns (ids list-of-lists, runtime dict).
     """
     b, s_full, _ = embeds.shape
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     prefill = build_prefill(cfg, spec_key, s_full, impl)
-    decode = build_decode_step(cfg, spec_key, jit=False)
+    chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
+    insert_row, decode_chunk = build_decode_chunk_batch(
+        cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads,
+        attn_kernel=decode_attn_kernel,
+    )
 
     vl = jnp.asarray(valid_lens, jnp.int32)
     vs = jnp.asarray(video_starts, jnp.int32)
 
+    # Prefill samples sequentially, inserting each cache row into the batched
+    # buffer in place (donated): ks/vs rows land in the cache's KV-HEAD axis
+    # at offset i*KV (head packing), scalar leaves (lens, pos_base) become
+    # [B]. Holding all per-sample caches and stacking at the end would peak
+    # at 2x the batched-cache footprint — which OOMs one v5e chip at the
+    # full 28-layer 7B point.
+    def _batched_init(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 2:  # [Lg, 1, S, KV, hd] -> [Lg, 1, S, B*KV, hd]
+            return jnp.zeros(x.shape[:3] + (b * x.shape[3],) + x.shape[4:], x.dtype)
+        return jnp.zeros((b,), x.dtype)
+
     t0 = time.perf_counter()
-    per_sample = []
+    logits_rows, cache = [], None
     for i in range(b):
         p = None if position_ids is None else jnp.asarray(position_ids)[i]
         out = prefill(params, embeds[i : i + 1], vl[i], vs[i], p)
         jax.block_until_ready(out[0])
-        per_sample.append(out)
-    logits = jnp.stack([o[0] for o in per_sample])  # [B, 1, V]
-    cache = jax.tree.map(lambda *xs: jnp.stack(xs), *[o[1] for o in per_sample])
+        logits_rows.append(out[0])
+        ci = out[1]
+        if cache is None:
+            cache = jax.tree.map(_batched_init, ci)
+        cache = insert_row(cache, ci, jnp.int32(i))
+        del out, ci
+    logits = jnp.concatenate(logits_rows)  # [B, V]
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
 
-    # chunked multi-token decode: one dispatch generates up to `chunk` tokens
-    # (amortizes host-loop roundtrips; the while_loop stops early inside the
-    # device once every sequence hit EOS, preserving greedy+EOS semantics).
-    # decode_chunk_size=1 keeps the plain per-step dispatch (the chunked
-    # device loop compiles slowly through remote-compile tunnels, GAPS.md).
-    chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
-    eos_arr = jnp.asarray(list(gen.eos_token_ids) or [-1], jnp.int32)
-    # params MUST be a jit argument, not a closure capture: captured params
-    # are lowered as program constants (7 GB for the 7B model), which makes
-    # compilation pathological and duplicates the weights.
-    bdecode = jax.vmap(
-        lambda p, tok, c, st: decode(p, tok, c, st), in_axes=(None, 0, 0, None)
-    )
-
-    if chunk == 1:
-
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_chunk(p, token, cache, start_step, done0):
-            lg, c2 = bdecode(p, token, cache, start_step)
-            nxt = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
-            nxt = jnp.where(done0, token[:, 0], nxt)
-            buf = jnp.where(done0, -1, nxt)[:, None]
-            done = done0 | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
-            return nxt[:, None], c2, done, buf, jnp.int32(1)
-
-    else:
-        # lax.scan with freeze-after-EOS (same pattern as the single-sample
-        # build_decode_chunk): runs the full chunk but frozen rows emit -1.
-        # The round-1 while_loop variant compiled pathologically through
-        # remote-compile tunnels; the scan compiles like any layer stack.
-
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_chunk(p, token, cache, start_step, done0):
-            def body(carry, i):
-                tok, c, done = carry
-                lg, c2 = bdecode(p, tok, c, start_step + i)
-                nxt = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
-                nxt = jnp.where(done, tok[:, 0], nxt)  # freeze finished rows
-                out = jnp.where(done, -1, nxt)
-                done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
-                return (nxt[:, None], c2, done), out
-
-            (tok, c, done), buf = jax.lax.scan(
-                body, (token, cache, done0), jnp.arange(chunk, dtype=jnp.int32)
-            )
-            return tok, c, done, buf.T, jnp.int32(chunk)
-
-    token = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)[:, None]  # [B, 1]
-    ids = [[int(t)] for t in token[:, 0]]
+    token = jnp.argmax(logits, -1).astype(jnp.int32)  # [B]
+    ids = [[int(t)] for t in token]
     merged_lens = [int(m) for m in cache.merged_len]
 
     eos = set(gen.eos_token_ids)

@@ -80,6 +80,29 @@ def test_generate_batch_chunked_matches_per_step():
     assert got == want
 
 
+def test_generate_batch_flash_decode_kernel_token_exact():
+    """The Pallas flash-decode kernel path (decode_attn_kernel=True, the
+    batched default) is token-exact vs the XLA einsum attention path."""
+    from sttm_tpu.runtime.generate import generate_batch
+
+    params, emb, valid, vs, spec = _case(seed=11)
+    b = 3
+    rng = np.random.default_rng(11)
+    embs = np.asarray(jnp.broadcast_to(emb, (b,) + emb.shape[1:])).copy()
+    embs += 0.01 * rng.normal(size=embs.shape).astype(np.float32)
+    valids = [valid, valid - 3, valid - 6]
+    gen = GenerateConfig(max_new_tokens=6, eos_token_ids=())
+    ref, _ = generate_batch(
+        params, TINY, jnp.asarray(embs), valids, [vs] * b, spec, gen,
+        decode_attn_kernel=False,
+    )
+    got, _ = generate_batch(
+        params, TINY, jnp.asarray(embs), valids, [vs] * b, spec, gen,
+        decode_attn_kernel=True, decode_chunk_size=3,
+    )
+    assert got == ref
+
+
 def test_chunked_decode_streamingllm_windowed():
     params, emb, valid, vs, _ = _case(seed=5)
     gen = GenerateConfig(max_new_tokens=9, eos_token_ids=())
