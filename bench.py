@@ -90,12 +90,15 @@ def build_case(tiny: bool, frames: int, layers: int, vocab: int, quant: str = "n
         kind="quadtree", layer_idx=2, t=t, h=h, w=w, video_budget=budget,
         spatial_thresh=0.85, temporal_thresh=0.65, root_level=1,
     )
-    if quant.startswith("int8"):
+    if quant.startswith("int"):
         from sttm_tpu.models.quant import random_quantized_init
 
-        # int8w8a: dynamic per-token activation quant -> int8 MXU matmuls
+        # int8w8a: dynamic per-token activation quant -> int8 MXU matmuls;
+        # int4: nibble-packed weights (halves the decode weight-read floor)
         cfg = dataclasses.replace(cfg, act_quant=quant == "int8w8a")
-        params = random_quantized_init(cfg, jax.random.key(0))
+        params = random_quantized_init(
+            cfg, jax.random.key(0), bits=4 if quant == "int4" else 8
+        )
     else:
         params = qwen2.init_params(cfg, jax.random.key(0))
 
@@ -142,7 +145,7 @@ def main():
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--layers", type=int, default=28)
     ap.add_argument("--vocab", type=int, default=32768)
-    ap.add_argument("--quant", choices=["none", "int8", "int8w8a"], default="int8w8a",
+    ap.add_argument("--quant", choices=["none", "int8", "int8w8a", "int4"], default="int8w8a",
                     help="default int8w8a: int8 weights (fits the FULL 28-layer 7B "
                          "on one chip) + dynamic per-token activation quant running "
                          "matmuls on the int8 MXU (2x bf16 peak). int8 = weight-only; "

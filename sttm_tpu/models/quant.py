@@ -1,13 +1,18 @@
-"""Weight-only int8 quantization (per-output-channel, symmetric).
+"""Weight-only int8/int4 quantization (per-output-channel, symmetric).
 
-Purpose: HBM capacity. Full 7B bf16 (13.3 GB) + 25k-token prefill transients
-exceed one v5e chip; int8 weights (≈6.7 GB) fit with room to spare, so the
-FULL 28-layer model runs single-chip. Matmul math stays bf16 (dequantize at
-use; prefill is compute-bound so the dequant cost is noise).
+Purpose: HBM capacity AND decode bandwidth. Full 7B bf16 (13.3 GB) +
+25k-token prefill transients exceed one v5e chip; int8 weights (≈6.7 GB)
+fit with room to spare, so the FULL 28-layer model runs single-chip; int4
+(≈3.4 GB) additionally halves the decode weight-read floor (decode is
+weight-bandwidth-bound). Matmul math stays bf16 unless ``act_quant``
+selects the int8 MXU path (w8a8).
 
-Quantized tensors are {"q": int8 [..., out], "s": f32 [out]} dicts in the
-params pytree; the decoder's matmul helper dequantizes transparently
-(models/qwen2.py _mat).
+Quantized tensors are {"q": int8 [..., out], "s": f32 [out]} (int8) or
+{"q4": int8 [..., in/2, out] nibble-packed, "s": f32 [out]} (int4) dicts in
+the params pytree; the decoder's matmul helper dispatches transparently
+(models/qwen2.py _mat). int4 packing puts input row ``k`` in the LOW nibble
+and row ``k + K/2`` in the HIGH nibble of byte row ``k``, so unpacking needs
+no interleave: ``x @ W == x[:, :K/2] @ lo + x[:, K/2:] @ hi``.
 """
 
 from __future__ import annotations
@@ -15,7 +20,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_tensor", "dequantize", "quantize_params", "is_quantized", "matmul_w8a8"]
+__all__ = [
+    "quantize_tensor", "dequantize", "quantize_params", "is_quantized",
+    "matmul_w8a8", "quantize_tensor_int4", "is_quantized4", "matmul_w4",
+]
 
 # weight matrices worth quantizing (stacked-layer projections)
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
@@ -58,41 +66,107 @@ def matmul_w8a8(x: jnp.ndarray, w: dict) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
-def quantize_params(params: dict, host: bool = True) -> dict:
-    """Quantize the layer projection matrices of a qwen2 params pytree.
+def quantize_tensor_int4(w: jnp.ndarray) -> dict:
+    """[..., in, out] -> nibble-packed int4 with per-output-channel scales.
+
+    Byte row ``k`` holds input row ``k`` (low nibble) and ``k + K/2`` (high
+    nibble); requires even ``in``.
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -8, 7).astype(jnp.int8)
+    k = q.shape[-2]
+    assert k % 2 == 0, "int4 packing requires an even input dim"
+    lo = q[..., : k // 2, :]
+    hi = q[..., k // 2 :, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F), jnp.left_shift(hi, 4))
+    return {"q4": packed, "s": scale.astype(jnp.float32)}
+
+
+def is_quantized4(w) -> bool:
+    return isinstance(w, dict) and "q4" in w and "s" in w
+
+
+def unpack_int4(q4: jnp.ndarray):
+    """Packed [..., K/2, N] int8 -> (lo, hi) int8 halves ([..., K/2, N] each:
+    input rows [0, K/2) and [K/2, K))."""
+    lo = jnp.right_shift(jnp.left_shift(q4, 4), 4)  # sign-extend low nibble
+    hi = jnp.right_shift(q4, 4)  # arithmetic shift sign-extends
+    return lo, hi
+
+
+def matmul_w4(x: jnp.ndarray, w: dict) -> jnp.ndarray:
+    """x @ dequant(int4 weights). Decode-shaped inputs (few rows) go through
+    the fused Pallas GEMV kernel on TPU (unpack never touches HBM); larger
+    shapes use the two-dot XLA form (prefill is compute-bound)."""
+    q4, s = w["q4"], w["s"]
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if rows <= 32 and q4.ndim == 2 and jax.default_backend() != "cpu":
+        from ..ops.kernels import gemv_w4
+
+        y = gemv_w4(x.reshape(rows, x.shape[-1]), q4, s)
+        return y.reshape(x.shape[:-1] + (q4.shape[-1],)).astype(x.dtype)
+    lo, hi = unpack_int4(q4)
+    k2 = q4.shape[-2]
+    sc = s.reshape(s.shape[-1])
+    xl = x[..., :k2].astype(jnp.bfloat16)
+    xh = x[..., k2:].astype(jnp.bfloat16)
+    acc = jnp.matmul(xl, lo.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    acc = acc + jnp.matmul(xh, hi.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    return (acc * sc).astype(x.dtype)
+
+
+def quantize_params(params: dict, host: bool = True, bits: int = 8) -> dict:
+    """Quantize the layer projection matrices of a qwen2 params pytree
+    (bits = 8 or 4).
 
     host=True quantizes layer-by-layer in numpy: quantizing the full stacked
     tensor on-device materializes an fp32 copy of all weights (>HBM for 7B).
     """
     import numpy as np
 
+    assert bits in (4, 8)
     out = dict(params)
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
-        if k not in layers or is_quantized(layers[k]):
+        if k not in layers or is_quantized(layers[k]) or is_quantized4(layers[k]):
             continue
         if not host:
-            layers[k] = quantize_tensor(layers[k])
+            layers[k] = (
+                quantize_tensor(layers[k]) if bits == 8 else quantize_tensor_int4(layers[k])
+            )
             continue
         w = np.asarray(layers[k], np.float32)
         qs, ss = [], []
         for li in range(w.shape[0]):
-            amax = np.abs(w[li]).max(axis=-2, keepdims=True)
-            scale = np.maximum(amax / 127.0, 1e-12)
-            qs.append(np.clip(np.round(w[li] / scale), -127, 127).astype(np.int8))
+            if bits == 8:
+                amax = np.abs(w[li]).max(axis=-2, keepdims=True)
+                scale = np.maximum(amax / 127.0, 1e-12)
+                qs.append(np.clip(np.round(w[li] / scale), -127, 127).astype(np.int8))
+            else:
+                amax = np.abs(w[li]).max(axis=-2, keepdims=True)
+                scale = np.maximum(amax / 7.0, 1e-12)
+                q = np.clip(np.round(w[li] / scale), -8, 7).astype(np.int8)
+                k2 = q.shape[-2] // 2
+                qs.append(((q[:k2] & 0x0F) | (q[k2:] << 4)).astype(np.int8))
             ss.append(scale.astype(np.float32))
-        layers[k] = {"q": jnp.asarray(np.stack(qs)), "s": jnp.asarray(np.stack(ss))}
+        key = "q" if bits == 8 else "q4"
+        layers[k] = {key: jnp.asarray(np.stack(qs)), "s": jnp.asarray(np.stack(ss))}
     out["layers"] = layers
     return out
 
 
-def random_quantized_init(cfg, key) -> dict:
-    """Random params with projections born int8 (benchmarking: avoids ever
-    materializing full-precision weights on device)."""
+def random_quantized_init(cfg, key, bits: int = 8) -> dict:
+    """Random params with projections born int8/int4 (benchmarking: avoids
+    ever materializing full-precision weights on device)."""
     import numpy as np
 
     from . import qwen2
 
+    assert bits in (4, 8)
     small = __import__("dataclasses").replace(cfg, num_layers=1)
     proto = qwen2.init_params(small, key)  # one layer on device (tiny)
     rng = np.random.default_rng(0)
@@ -100,7 +174,14 @@ def random_quantized_init(cfg, key) -> dict:
     layers = {}
     for k, v in proto["layers"].items():
         shape = (l,) + v.shape[1:]
-        if k in _QUANT_KEYS:
+        if k in _QUANT_KEYS and bits == 4:
+            pshape = (l, shape[1] // 2, shape[2])
+            layers[k] = {
+                "q4": jnp.asarray(rng.integers(-128, 128, size=pshape, dtype=np.int8)),
+                "s": jnp.full((l,) + (1,) * (len(shape) - 2) + (shape[-1],),
+                              v.shape[-2] ** -0.5 / 4.0, jnp.float32),
+            }
+        elif k in _QUANT_KEYS:
             layers[k] = {
                 "q": jnp.asarray(rng.integers(-127, 128, size=shape, dtype=np.int8)),
                 "s": jnp.full((l,) + (1,) * (len(shape) - 2) + (shape[-1],),

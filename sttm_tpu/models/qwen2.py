@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import mha
 from .config import DecoderConfig
-from .quant import dequantize, is_quantized, matmul_w8a8
+from .quant import dequantize, is_quantized, is_quantized4, matmul_w4, matmul_w8a8
 
 __all__ = [
     "init_params",
@@ -471,9 +471,12 @@ class KVCache:
 
 
 def _mat(x: jnp.ndarray, w, act_quant: bool = False) -> jnp.ndarray:
-    """x @ w, transparently dequantizing int8 weight dicts (models/quant.py).
-    act_quant=True runs int8-weight matmuls on the int8 MXU path with
-    dynamic per-token activation quantization (cfg.act_quant)."""
+    """x @ w, transparently dequantizing int8/int4 weight dicts
+    (models/quant.py). act_quant=True runs int8-weight matmuls on the int8
+    MXU path with dynamic per-token activation quantization (cfg.act_quant);
+    int4 weights use the fused-unpack GEMV kernel for decode shapes."""
+    if is_quantized4(w):
+        return matmul_w4(x, w)
     if act_quant and is_quantized(w):
         return matmul_w8a8(x, w)
     return x @ dequantize(w, x.dtype)

@@ -78,3 +78,102 @@ def cosine_rows(a: jnp.ndarray, b: jnp.ndarray, force: str | None = None) -> jnp
         den = jnp.linalg.norm(af, axis=-1) * jnp.linalg.norm(bf, axis=-1)
         out = num / jnp.maximum(den, 1e-8)
     return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Fused int4 GEMV (decode weight streaming at the int4 floor)
+# ---------------------------------------------------------------------------
+
+
+def gemv_w4(
+    x: jnp.ndarray,
+    q4: jnp.ndarray,
+    scale: jnp.ndarray,
+    block_n: int = 1024,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """y = x @ dequant(q4) * scale with the nibble UNPACK FUSED in VMEM.
+
+    x: [M, K] (M small — decode rows); q4: [K/2, N] int8, low nibble = input
+    row k, high nibble = row k + K/2 (models/quant.py packing, so no
+    interleave is needed: y = x_lo @ lo + x_hi @ hi); scale: [..., N] f32
+    per-output-channel. Returns [M, N] f32.
+
+    Rationale: XLA materializes the unpacked weights in HBM (measured 4x
+    slower than int8 for a lone GEMV), defeating the point of int4 — the
+    kernel streams the PACKED bytes HBM->VMEM once and unpacks on the VPU.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m, k = x.shape
+    k2, n = q4.shape
+    assert k == 2 * k2, (x.shape, q4.shape)
+    for cand in (min(block_n, n), 512, 256, 128):
+        if n % cand == 0:
+            bn = cand
+            break
+    else:
+        raise ValueError(f"output dim {n} not a multiple of 128")
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if k2 % cand == 0:
+            bk = cand
+            break
+    else:
+        raise ValueError(f"packed input dim {k2} not a multiple of 8")
+    nk = k2 // bk
+    s2 = scale.reshape(1, n)
+
+    def kern(x_ref, w_ref, s_ref, o_ref, acc_ref):
+        ki = pl.program_id(1)
+
+        @pl.when(ki == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        # Mosaic cannot legalize int8 vector shifts; unpack via bf16
+        # arithmetic (int8 values are exact in bf16): hi = floor(w/16),
+        # lo = remainder with sign fix-up. All VMEM/VPU-local, K-blocked so
+        # the unpacked intermediates stay small.
+        # f32 ALU (v5e has no bf16 ALU instructions); K-blocking keeps the
+        # f32 intermediates small
+        wp = w_ref[...].astype(jnp.float32)  # [bk, bn]
+        hi32 = jnp.floor(wp * 0.0625)
+        lo_u = wp - hi32 * 16.0  # [0, 16), exact
+        # sign fix-up without a comparison: floor(lo_u/8) == (lo_u >= 8)
+        lo = (lo_u - 16.0 * jnp.floor(lo_u * 0.125)).astype(jnp.bfloat16)
+        hi = hi32.astype(jnp.bfloat16)
+        xl = x_ref[:, pl.ds(ki * bk, bk)].astype(jnp.bfloat16)
+        xh = x_ref[:, pl.ds(k2 + ki * bk, bk)].astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            xl, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        part = part + jax.lax.dot_general(
+            xh, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_ref[...] = acc_ref[...] + part
+
+        @pl.when(ki == nk - 1)
+        def _():
+            o_ref[...] = acc_ref[...] * s_ref[...]
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid=(n // bn, nk),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i, ki: (0, 0)),
+            pl.BlockSpec((bk, bn), lambda i, ki: (ki, i)),
+            pl.BlockSpec((1, bn), lambda i, ki: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, ki: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((m, bn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, q4, s2)

@@ -363,3 +363,42 @@ def test_int8_quantized_matches_bf16(hf_pair):
     out8, _ = generate(qparams, cfg8, embeds, 33, 0, None,
                        GenerateConfig(max_new_tokens=3, eos_token_ids=()))
     assert len(out8) == 3
+
+
+def test_int4_quantized_matches_bf16(hf_pair):
+    """Weight-only int4 params (nibble-packed, fused-unpack GEMV on TPU,
+    two-dot XLA form elsewhere): bounded logit drift, end-to-end decode."""
+    from sttm_tpu.models.quant import quantize_params, unpack_int4
+
+    _, params = hf_pair
+    qparams = quantize_params(params, bits=4)
+    q4 = qparams["layers"]["wq"]["q4"]
+    assert q4.dtype.name == "int8" and q4.shape[1] == TINY.hidden_size // 2
+
+    # pack/unpack roundtrip is exact
+    lo, hi = unpack_int4(q4)
+    w = np.asarray(params["layers"]["wq"], np.float32)
+    s = np.asarray(qparams["layers"]["wq"]["s"])
+    qref = np.clip(np.round(w / s), -8, 7)
+    np.testing.assert_array_equal(np.asarray(lo), qref[:, : TINY.hidden_size // 2])
+    np.testing.assert_array_equal(np.asarray(hi), qref[:, TINY.hidden_size // 2 :])
+
+    rng = np.random.default_rng(6)
+    s_full = 48
+    ids = rng.integers(0, TINY.vocab_size, size=(1, 33))
+    embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+    embeds = jnp.pad(embeds, ((0, 0), (0, s_full - 33), (0, 0)))
+    prefill = build_prefill(TINY, None, s_full, "xla")
+    ref, _ = prefill(params, embeds, jnp.int32(33), jnp.int32(0))
+    got, _ = prefill(qparams, embeds, jnp.int32(33), jnp.int32(0))
+    rel = np.abs(np.asarray(got) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-6
+    )
+    assert rel < 0.35, rel  # 4-bit weights: coarser, but logits track
+
+    from sttm_tpu.runtime.generate import GenerateConfig, generate
+
+    out, rt = generate(qparams, TINY, embeds, 33, 0, None,
+                       GenerateConfig(max_new_tokens=4, eos_token_ids=()),
+                       decode_chunk_size=2)
+    assert len(out) == 4 and rt["merged_len"] == 33
