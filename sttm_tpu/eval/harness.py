@@ -59,6 +59,13 @@ class EvalConfig:
     # amortizes dispatch overhead at the cost of per-chunk timing
     # granularity — runtime/generate.py build_decode_chunk).
     decode_chunk_size: int = 1
+    # Samples per generate call (1 = reference-style per-sample eval;
+    # > 1 = head-packed batched serving: samples are grouped by compile key
+    # (same padded length / spec) and decoded together — runtime/generate.py
+    # generate_batch. TTFT/decode times are then reported per sample as
+    # batch totals divided by the batch. Unsupported for FrameFusion,
+    # DyCoke stage-2, and StreamingLLM decode (falls back to per-sample).
+    batch_size: int = 1
 
 
 def run_name(model_name: str, dataset: str, spec: ReducerSpec | None, frames: int) -> str:
@@ -242,6 +249,93 @@ class LlavaEvaluator:
         # t_valid None vs scalar changes the traced prefill signature
         return (s_full, self.spec_factory(t, side, side), t_real != t)
 
+    def _evaluate_batched(self, samples, cfg: EvalConfig, pred_path, rt_path, stat_path):
+        """Head-packed batched serving over the eval set: samples grouped by
+        compile key (identical padded length / spec), decoded together via
+        generate_batch (beyond the reference's strict batch=1). Timing rows
+        carry batch totals divided by the batch plus a batch_size field."""
+        from collections import defaultdict
+
+        from ..runtime.generate import generate_batch
+
+        groups = defaultdict(list)
+        for s in samples:
+            groups[self.compile_key(s, cfg)].append(s)
+        chunked = cfg.decode_chunk_size if cfg.decode_chunk_size > 1 else 8
+        warmed: set = set()
+        for key, grp in groups.items():
+            for i in range(0, len(grp), cfg.batch_size):
+                chunk = grp[i : i + cfg.batch_size]
+                preps = [self._prepare(s, cfg.pad_multiple, cfg.frame_bucket) for s in chunk]
+                spec = preps[0][4]
+                if not (spec is None or isinstance(spec, (ReducerSpec, tuple))):
+                    # FrameFusion etc.: no batched path — per-sample fallback
+                    for s in chunk:
+                        text, runtime, stat = self.run_sample(s, cfg)
+                        append_jsonl(pred_path, {
+                            "question_id": s["id"], "vid": s["vid"],
+                            "answer": text, "gt": s["answer"],
+                        })
+                        append_jsonl(rt_path, {"question_id": s["id"], **runtime})
+                        append_jsonl(stat_path, {"question_id": s["id"], **stat})
+                    continue
+                import jax.numpy as jnp
+
+                embs = jnp.concatenate([p[0] for p in preps], axis=0)
+                valids = [int(p[1]) for p in preps]
+                vstarts = [int(p[2]) for p in preps]
+                pos_bases = [p[5] for p in preps]
+                t_valids = [p[6] for p in preps]
+                pb = None if all(v is None for v in pos_bases) else pos_bases
+                tv = None if all(v is None for v in t_valids) else t_valids
+
+                def run():
+                    return generate_batch(
+                        self.decoder_params, self.decoder_cfg, embs, valids,
+                        vstarts, spec,
+                        GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids),
+                        impl=cfg.attention_impl, decode_chunk_size=chunked,
+                        pos_bases=pb, t_valids=tv,
+                    )
+
+                if cfg.warmup and key not in warmed:
+                    run()
+                    warmed.add(key)
+                t0 = time.perf_counter()
+                ids_list, rt = run()
+                total = time.perf_counter() - t0
+                b = len(chunk)
+                for bi, s in enumerate(chunk):
+                    ids = ids_list[bi]
+                    text = self.tokenizer.decode(
+                        [t for t in ids if t not in cfg.eos_token_ids],
+                        skip_special_tokens=True,
+                    ).strip()
+                    nv = preps[bi][3]
+                    merged_input = rt["merged_len"][bi]
+                    stat = prompt_stat_ratios({
+                        "sys": vstarts[bi],
+                        "video": nv,
+                        "inst": valids[bi] - vstarts[bi] - nv,
+                        "merged_video": merged_input - (valids[bi] - nv),
+                        "merged_input": merged_input,
+                    })
+                    runtime = {
+                        "ttft_llm": rt["ttft_llm"] / b,
+                        "time_decoding": rt["time_decoding"] / b,
+                        "num_dec_token": rt["num_dec_token"][bi],
+                        "merged_len": merged_input,
+                        "full_len": valids[bi],
+                        "all": total / b,
+                        "batch_size": b,
+                    }
+                    append_jsonl(pred_path, {
+                        "question_id": s["id"], "vid": s["vid"],
+                        "answer": text, "gt": s["answer"],
+                    })
+                    append_jsonl(rt_path, {"question_id": s["id"], **runtime})
+                    append_jsonl(stat_path, {"question_id": s["id"], **stat})
+
     def evaluate(self, dataset, cfg: EvalConfig, gts: list[dict] | None = None):
         os.makedirs(cfg.out_dir, exist_ok=True)
         pred_path = os.path.join(cfg.out_dir, "predictions.jsonl")
@@ -249,11 +343,20 @@ class LlavaEvaluator:
         stat_path = os.path.join(cfg.out_dir, "prompt_stat.jsonl")
 
         done = {r["question_id"] for r in read_jsonl(pred_path)}
+        pending = [s for s in dataset if s["id"] not in done]
+        batchable = (
+            cfg.batch_size > 1
+            and hasattr(self, "_prepare")
+            and cfg.dycoke_decode is None
+            and cfg.attn_sinks == 0
+            and cfg.attn_window == 0
+        )
+        if batchable:
+            self._evaluate_batched(pending, cfg, pred_path, rt_path, stat_path)
+            pending = []
         warmed_keys: set = set()
         n_done = 0
-        for sample in dataset:
-            if sample["id"] in done:
-                continue
+        for sample in pending:
             if cfg.warmup:  # one untimed warm-up per NEW compile key
                 key = self.compile_key(sample, cfg)
                 if key not in warmed_keys:

@@ -88,6 +88,10 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", default="outputs")
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--reproduce", action="store_true")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="samples per generate call (>1 = head-packed batched "
+                        "serving, grouped by compile key; beyond the "
+                        "reference's batch=1)")
     p.add_argument("--decode_chunk_size", type=int, default=1,
                    help="decode tokens per device dispatch (1 = per-step "
                         "reference-style timing; >1 = on-device chunked "
@@ -146,6 +150,7 @@ def _eval_config(args, name):
         dycoke_decode=(args.dycoke_l, args.dycoke_p) if args.sa_pattern == "dycoke" else None,
         frame_bucket=args.frame_bucket,
         decode_chunk_size=args.decode_chunk_size,
+        batch_size=args.batch_size,
         pad_multiple=32 if args.smoke else 128,
         eos_token_ids=() if args.smoke else (151645, 151643),
     )

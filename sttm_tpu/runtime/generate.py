@@ -815,7 +815,9 @@ def generate_batch(
     impl: str = "xla",
     position_ids=None,
     decode_chunk_size: int = 1,
-    decode_attn_kernel: bool = True,
+    decode_attn_kernel: bool = False,
+    pos_bases=None,
+    t_valids=None,
 ):
     """Batched greedy generation — beyond the reference's strict batch=1
     (eval_vidqa_by_feat_llavavideo.py:208). Samples share (s_full, spec);
@@ -862,7 +864,9 @@ def generate_batch(
     logits_rows, cache = [], None
     for i in range(b):
         p = None if position_ids is None else jnp.asarray(position_ids)[i]
-        out = prefill(params, embeds[i : i + 1], vl[i], vs[i], p)
+        pb = None if pos_bases is None else jnp.int32(pos_bases[i])
+        tv = None if t_valids is None else jnp.int32(t_valids[i])
+        out = prefill(params, embeds[i : i + 1], vl[i], vs[i], p, pb, tv)
         jax.block_until_ready(out[0])
         logits_rows.append(out[0])
         ci = out[1]

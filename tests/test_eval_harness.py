@@ -113,6 +113,46 @@ def test_eval_end_to_end_with_resume(tmp_path, synthetic_benchmark):
     assert "quadtree" in name and "thr-0.7" in name
 
 
+def test_eval_batched_matches_per_sample(tmp_path, synthetic_benchmark):
+    """batch_size > 1: samples grouped by compile key decode together
+    (head-packed batched serving) with answers identical to per-sample
+    evaluation; runtime rows record the batch size."""
+    anno_path, feat_dir, meta_dir, annos = synthetic_benchmark
+    cfg = LlavaConfig(decoder=TINY, vision_hidden_size=16, vision_patches_per_side=6)
+    dec_params = qwen2.init_params(TINY, jax.random.key(0))
+    mm_params = llava.init_multimodal_params(cfg, jax.random.key(1))
+    tok = MockTokenizer()
+    dcfg = DataConfig("videomme", str(anno_path), str(feat_dir), str(meta_dir))
+
+    def spec_factory(t, h, w):
+        return ReducerSpec(
+            kind="quadtree", layer_idx=1, t=t, h=h, w=w, video_budget=t * h * w // 2,
+            spatial_thresh=0.7, temporal_thresh=0.6, root_level=0,
+        )
+
+    ev = LlavaEvaluator(dec_params, TINY, cfg, mm_params, tok, spec_factory)
+    base = dict(dataset_name="videomme", max_new_tokens=3, pad_multiple=64,
+                attention_impl="xla", eos_token_ids=(), frame_bucket=4)
+    # frame counts 4/5/6 bucket to 4/8/8 -> q1+q2 share a compile key
+    ecfg1 = EvalConfig(out_dir=str(tmp_path / "per"), **base)
+    ev.evaluate(FeatureVidQADataset(dcfg, tok), ecfg1, gts=annos)
+    ecfg2 = EvalConfig(out_dir=str(tmp_path / "bat"), batch_size=2, **base)
+    ev.evaluate(FeatureVidQADataset(dcfg, tok), ecfg2, gts=annos)
+
+    p1 = {r["question_id"]: r["answer"] for r in read_jsonl(os.path.join(ecfg1.out_dir, "predictions.jsonl"))}
+    p2 = {r["question_id"]: r["answer"] for r in read_jsonl(os.path.join(ecfg2.out_dir, "predictions.jsonl"))}
+    assert p1 == p2
+    rts = read_jsonl(os.path.join(ecfg2.out_dir, "runtime.jsonl"))
+    assert len(rts) == 3
+    bs = {r["question_id"]: r["batch_size"] for r in rts}
+    assert bs["q1"] == 2 and bs["q2"] == 2 and bs["q0"] == 1
+    s2 = read_jsonl(os.path.join(ecfg2.out_dir, "prompt_stat.jsonl"))
+    s1 = read_jsonl(os.path.join(ecfg1.out_dir, "prompt_stat.jsonl"))
+    m1 = {r["question_id"]: r["visual_merged_ratio"] for r in s1}
+    m2 = {r["question_id"]: r["visual_merged_ratio"] for r in s2}
+    assert m1 == m2
+
+
 def test_egoschema_submission():
     preds = [
         {"question_id": "a", "answer": "The best answer is B."},
