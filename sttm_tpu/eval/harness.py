@@ -261,7 +261,7 @@ class LlavaEvaluator:
         groups = defaultdict(list)
         for s in samples:
             groups[self.compile_key(s, cfg)].append(s)
-        chunked = cfg.decode_chunk_size if cfg.decode_chunk_size > 1 else 8
+        chunked = cfg.decode_chunk_size  # 1 = per-step dispatch, as documented
         warmed: set = set()
         for key, grp in groups.items():
             for i in range(0, len(grp), cfg.batch_size):
@@ -270,7 +270,12 @@ class LlavaEvaluator:
                 spec = preps[0][4]
                 if not (spec is None or isinstance(spec, (ReducerSpec, tuple))):
                     # FrameFusion etc.: no batched path — per-sample fallback
+                    # (warmed per compile key like the unbatched loop, so the
+                    # first timed row doesn't absorb the jit compile)
                     for s in chunk:
+                        if cfg.warmup and ("sample", key) not in warmed:
+                            self.run_sample(s, cfg)
+                            warmed.add(("sample", key))
                         text, runtime, stat = self.run_sample(s, cfg)
                         append_jsonl(pred_path, {
                             "question_id": s["id"], "vid": s["vid"],
@@ -298,9 +303,13 @@ class LlavaEvaluator:
                         pos_bases=pb, t_valids=tv,
                     )
 
-                if cfg.warmup and key not in warmed:
+                # The traced batch size is part of the compiled program's
+                # shape (head-packed cache [Lg, 1, S, B*KV, hd]), so a tail
+                # chunk smaller than batch_size needs its own warm-up.
+                wkey = (key, len(chunk))
+                if cfg.warmup and wkey not in warmed:
                     run()
-                    warmed.add(key)
+                    warmed.add(wkey)
                 t0 = time.perf_counter()
                 ids_list, rt = run()
                 total = time.perf_counter() - t0

@@ -158,6 +158,15 @@ def _eval_config(args, name):
 
 def main(argv=None):
     args = parse_args(argv)
+    # Fail fast on missing inputs (the argparse defaults are '' so that
+    # --smoke / --input_mode video runs don't need them): a feature-mode run
+    # without --feature_dir would otherwise die mid-eval with an opaque
+    # FileNotFoundError from the dataset loader.
+    if not args.smoke:
+        if args.input_mode == "feature" and not args.feature_dir:
+            raise SystemExit("--feature_dir is required for --input_mode feature")
+        if args.input_mode == "video" and not args.video_dir:
+            raise SystemExit("--video_dir is required for --input_mode video")
     if args.reproduce:
         random.seed(42)
         np.random.seed(42)

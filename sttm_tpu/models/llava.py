@@ -260,8 +260,8 @@ def build_multimodal_embeds(
         feats, cfg.pooled_side, mm_params["image_newline"], cfg.newline_position
     ).astype(cfg.decoder.dtype)
 
-    pre_e = qwen2.embed_tokens(decoder_params, jnp.asarray(pre, jnp.int32))
-    post_e = qwen2.embed_tokens(decoder_params, jnp.asarray(post, jnp.int32))
+    pre_e = qwen2.embed_tokens(decoder_params, jnp.asarray(pre, jnp.int32), cfg.decoder)
+    post_e = qwen2.embed_tokens(decoder_params, jnp.asarray(post, jnp.int32), cfg.decoder)
     n_video = video.shape[0]
     valid = len(pre) + n_video + len(post)
     if valid > s_full:
@@ -301,7 +301,7 @@ def build_multimodal_embeds_multi(
     for p_i, img in zip(pos, image_token_seqs):
         txt = ids[cursor:p_i]
         if len(txt):
-            parts.append(qwen2.embed_tokens(decoder_params, jnp.asarray(txt, jnp.int32)))
+            parts.append(qwen2.embed_tokens(decoder_params, jnp.asarray(txt, jnp.int32), cfg.decoder))
             offset += len(txt)
         spans.append((offset, int(img.shape[0])))
         parts.append(img.astype(dt))
@@ -309,7 +309,7 @@ def build_multimodal_embeds_multi(
         cursor = p_i + 1
     txt = ids[cursor:]
     if len(txt):
-        parts.append(qwen2.embed_tokens(decoder_params, jnp.asarray(txt, jnp.int32)))
+        parts.append(qwen2.embed_tokens(decoder_params, jnp.asarray(txt, jnp.int32), cfg.decoder))
         offset += len(txt)
     valid = offset
     if valid > s_full:

@@ -82,6 +82,7 @@ def build_lnv_embeds(
     video_feats: jnp.ndarray,
     s_full: int,
     dtype=jnp.bfloat16,
+    cfg=None,
 ):
     """Replace the single VIDEO_TOKEN_INDEX placeholder with video features
     (the reference's _merge_input_ids_with_image_features for bs=1,
@@ -93,8 +94,8 @@ def build_lnv_embeds(
         raise ValueError(f"expected exactly one video token, got {len(pos)}")
     p = int(pos[0])
     pre, post = ids[:p], ids[p + 1 :]
-    pre_e = qwen2.embed_tokens(decoder_params, jnp.asarray(pre, jnp.int32))
-    post_e = qwen2.embed_tokens(decoder_params, jnp.asarray(post, jnp.int32))
+    pre_e = qwen2.embed_tokens(decoder_params, jnp.asarray(pre, jnp.int32), cfg)
+    post_e = qwen2.embed_tokens(decoder_params, jnp.asarray(post, jnp.int32), cfg)
     video = jnp.asarray(video_feats, pre_e.dtype)
     valid = len(pre) + video.shape[0] + len(post)
     if valid > s_full:

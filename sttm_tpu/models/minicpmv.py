@@ -67,6 +67,7 @@ def assemble_minicpmv_embeds(
     s_full: int,
     scale_emb: float | None = None,
     dtype=jnp.bfloat16,
+    cfg=None,
 ):
     """Token embeds with resampled vision slices scattered over image_bound
     ranges (modeling_minicpmv.py:70-86). vision_embeds: [n_img, Q, D] (one
@@ -79,7 +80,7 @@ def assemble_minicpmv_embeds(
     valid = len(ids)
     if valid > s_full:
         raise ValueError(f"sequence {valid} exceeds buffer {s_full}")
-    emb = qwen2.embed_tokens(decoder_params, jnp.asarray(ids, jnp.int32))
+    emb = qwen2.embed_tokens(decoder_params, jnp.asarray(ids, jnp.int32), cfg)
     if scale_emb is not None:
         emb = emb * scale_emb
     ib = np.asarray(image_bound, np.int64)

@@ -340,9 +340,16 @@ def decode_layers(
     mask = gap_ok if kv_mask is None else (gap_ok & kv_mask)
     if head_packed and mask.ndim == 2:  # per-row -> per-packed-KV-head rows
         mask = jnp.repeat(mask, cfg.num_kv_heads, axis=0)
-    if attn_kernel:  # the Pallas kernel takes the complete [B, S] mask
+    if attn_kernel:  # the Pallas kernel takes the complete visibility mask
         kmask = mask & (kpos <= write_slot)
-        if kmask.ndim == 1:
+        if head_packed:
+            # per-packed-KV-head [B*KV, S] under kernel batch dim 1
+            if kmask.ndim == 1:
+                kmask = jnp.broadcast_to(
+                    kmask[None], (x.shape[0] * cfg.num_kv_heads, kmask.shape[-1])
+                )
+            kmask = kmask[None]  # [1, B*KV, S]
+        elif kmask.ndim == 1:
             kmask = jnp.broadcast_to(kmask[None], (x.shape[0],) + kmask.shape)
 
     # The stacked caches ride the scan CARRY and are updated with an indexed
@@ -367,7 +374,19 @@ def decode_layers(
         else:
             ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
-        if head_packed:
+        kvh = cfg.num_kv_heads
+        g = cfg.num_heads // kvh
+        if head_packed and attn_kernel:
+            # Kernel sees one "row" whose KV-head axis carries B*KV packed
+            # heads; q follows the same r*KV + j packing order as k/v.
+            from ..ops.attention import flash_decode_mha
+
+            qk = (q[:, 0] * cfg.head_dim**-0.5).reshape(b, kvh, g, cfg.head_dim)
+            qk = qk.reshape(1, b * kvh, g, cfg.head_dim)
+            o = flash_decode_mha(qk, ck, cv, kmask).reshape(
+                b, 1, cfg.num_heads, cfg.head_dim
+            )
+        elif head_packed:
             qp = q.reshape(1, 1, b * cfg.num_heads, cfg.head_dim)
             o = mha(
                 qp, ck, cv,
@@ -380,8 +399,6 @@ def decode_layers(
         elif attn_kernel:
             from ..ops.attention import flash_decode_mha
 
-            kvh = cfg.num_kv_heads
-            g = cfg.num_heads // kvh
             qk = (q[:, 0] * cfg.head_dim**-0.5).reshape(b, kvh, g, cfg.head_dim)
             o = flash_decode_mha(qk, ck, cv, kmask).reshape(b, 1, cfg.q_dim)
         else:

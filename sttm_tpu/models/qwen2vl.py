@@ -68,7 +68,7 @@ def build_video_mrope_positions(
     return jnp.asarray(pos), delta
 
 
-def assemble_video_embeds(decoder_params, input_ids, video_feats, s_full: int):
+def assemble_video_embeds(decoder_params, input_ids, video_feats, s_full: int, cfg=None):
     """Embed a Qwen2-VL prompt whose ``<|video_pad|>`` run carries the video.
 
     input_ids: full token list where the video span is VIDEO_PAD_TOKEN_ID
@@ -87,7 +87,7 @@ def assemble_video_embeds(decoder_params, input_ids, video_feats, s_full: int):
     video_start = int(pad_pos[0]) if n_video else 0
 
     safe_ids = np.where(ids == VIDEO_PAD_TOKEN_ID, 0, ids)
-    emb = qwen2.embed_tokens(decoder_params, jnp.asarray(safe_ids, jnp.int32))
+    emb = qwen2.embed_tokens(decoder_params, jnp.asarray(safe_ids, jnp.int32), cfg)
     emb = emb.at[video_start : video_start + n_video].set(
         video_feats.astype(emb.dtype)
     )

@@ -62,7 +62,12 @@ def _pick_block(s: int, prefer: int) -> int:
     for cand in (prefer, 1024, 512, 256, 128):
         if cand <= s and s % cand == 0:
             return cand
-    return min(128, s)
+    # No candidate divides s (mha only routes here when s % 128 == 0, so
+    # this is a belt-and-braces path): largest power-of-two divisor <= 128.
+    blk = 1
+    while blk < 128 and s % (blk * 2) == 0:
+        blk *= 2
+    return blk
 
 
 @functools.partial(jax.named_call, name="splash_mha")
@@ -160,9 +165,11 @@ def flash_decode_mha(
     """Pallas single-token GQA decode attention (flash-decode).
 
     q: [B, KV, G, hd] (pre-scaled by 1/sqrt(hd)); k/v: [B, S, KV, hd] in the
-    cache's STORED layout; mask: [B, S] bool — the complete visibility set
-    (packed prefix, decode-tail bound, and any KV mask), computed by the
-    caller. Returns [B, KV, G, hd].
+    cache's STORED layout; mask: [B, S] bool shared across KV heads, or
+    [B, KV, S] per-KV-head (head-packed batched serving folds the batch into
+    the KV-head axis, so each packed head carries its own row's visibility) —
+    the complete visibility set (packed prefix, decode-tail bound, and any
+    KV mask), computed by the caller. Returns [B, KV, G, hd].
 
     Motivation: expressing decode attention as XLA einsums makes layout
     assignment want a (hd, S)-tiled cache while the cache update wants a
@@ -179,14 +186,16 @@ def flash_decode_mha(
         interpret = jax.default_backend() == "cpu"
     b, s, kvh, hd = k.shape
     g = q.shape[2]
+    if mask.ndim == 2:  # shared across KV heads -> per-head form
+        mask = jnp.broadcast_to(mask[:, None, :], (b, kvh, mask.shape[-1]))
     blk = min(block_kv, s)
     n_blk = (s + blk - 1) // blk
     if s % blk:  # pad S; padded keys are masked out
         pad = n_blk * blk - s
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad)))
-    mask3 = mask[:, None, :]  # [B, 1, S]: dummy dim satisfies TPU block tiling
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad)))
+    mask3 = mask  # [B, KV, S]
     kg = kvh * g
 
     # one program per (row, KV block) handles ALL KV heads: blocking the KV
@@ -204,20 +213,23 @@ def flash_decode_mha(
         qb = q_ref[0].astype(jnp.float32)  # [KV, G, hd]
         kb = k_ref[0].astype(jnp.float32)  # [blk, KV, hd]
         vb = v_ref[0].astype(jnp.float32)
-        mb = mask_ref[0, 0]  # [blk]
+        mb = mask_ref[0]  # [KV, blk] per-KV-head visibility
         # per-head unrolled dots (Mosaic's tpu.matmul requires batch dims in
         # matching positions, which [KV,G,hd] x [blk,KV,hd] is not)
         scores = jnp.concatenate(
             [
-                jax.lax.dot_general(
-                    qb[h], kb[:, h, :], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                jnp.where(
+                    mb[h][None, :],
+                    jax.lax.dot_general(
+                        qb[h], kb[:, h, :], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ),
+                    -1e30,
                 )
                 for h in range(kvh)
             ],
             axis=0,
         )  # [KV*G, blk]
-        scores = jnp.where(mb[None, :], scores, -1e30)
 
         m_prev = m_ref[0:kg, 0:1]  # [KV*G, 1]
         l_prev = l_ref[0:kg, 0:1]
@@ -253,7 +265,7 @@ def flash_decode_mha(
             pl.BlockSpec((1, kvh, g, hd), lambda bi, si: (bi, 0, 0, 0)),
             pl.BlockSpec((1, blk, kvh, hd), lambda bi, si: (bi, si, 0, 0)),
             pl.BlockSpec((1, blk, kvh, hd), lambda bi, si: (bi, si, 0, 0)),
-            pl.BlockSpec((1, 1, blk), lambda bi, si: (bi, 0, si)),
+            pl.BlockSpec((1, kvh, blk), lambda bi, si: (bi, 0, si)),
         ],
         out_specs=pl.BlockSpec((1, kvh, g, hd), lambda bi, si: (bi, 0, 0, 0)),
         scratch_shapes=[
@@ -284,8 +296,11 @@ def mha(
     kv_mask_per_head: bool = False,
 ) -> jnp.ndarray:
     sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    # The Pallas kernels need 128-tileable sequence lengths; odd sizes fall
+    # back to the (correct, slower) XLA path rather than mis-tiling the tail.
     if impl in ("flash", "flash_legacy") and q.shape[1] > 1 and causal \
-            and not (attn_sinks or attn_window) and kv_mask is None:
+            and not (attn_sinks or attn_window) and kv_mask is None \
+            and q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0:
         if impl == "flash_legacy":  # stock kernel with KV broadcast to q heads
             return _flash_mha(q, k, v, kv_valid_len, causal, sm_scale)
         return _splash_mha(q, k, v, kv_valid_len, sm_scale)

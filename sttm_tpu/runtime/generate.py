@@ -298,31 +298,42 @@ def build_decode_chunk(
 
     Amortizes per-step dispatch overhead — the host loop pays one round-trip
     per CHUNK instead of per token (decisive through high-RTT links, and a
-    real dispatch-overhead win on production serving too). Rows that hit EOS
-    are frozen (the cache keeps absorbing the frozen token's K/V writes at
-    advancing positions, which is harmless: those slots sit past the final
-    valid length and are never read by a live step). Returns
-    (params, token [1], cache, start_step, done0) ->
-    (last_token [1], cache, done, buf [chunk] int32 with -1 after EOS).
+    real dispatch-overhead win on production serving too). Steps past
+    ``n_steps`` or after EOS are skipped on-device via lax.cond (an identity
+    branch: no weight reads), so a tail chunk or an early EOS doesn't pay
+    for the unused steps; scan + cond keeps the compile behavior of a plain
+    layer stack (a while_loop variant compiled pathologically through
+    remote-compile tunnels). Returns
+    (params, token [1], cache, start_step, done0, eos_arr, n_steps) ->
+    (last_token [1], cache, done, buf [chunk] int32 with -1 after EOS,
+    n_run = steps actually decoded).
     """
     decode = build_decode_step(
         cfg, spec, jit=False, attn_sinks=attn_sinks, attn_window=attn_window
     )
 
-    def fn(params, token, cache, start_step, done0, eos_arr):
-        def body(carry, i):
-            tok, c, done = carry
+    def fn(params, token, cache, start_step, done0, eos_arr, n_steps):
+        def real(tok, c, done, i):
             logits, c2 = decode(params, tok, c, start_step + i)
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
             nxt = jnp.where(done, tok, nxt)  # freeze after EOS
             out = jnp.where(done, -1, nxt[0])
             done = done | jnp.any(nxt[0] == eos_arr)
-            return (nxt, c2, done), out
+            return nxt, c2, done, out
 
-        (tok, cache, done), buf = jax.lax.scan(
-            body, (token, cache, done0), jnp.arange(chunk, dtype=jnp.int32)
+        def skip(tok, c, done, i):
+            return tok, c, done, jnp.int32(-1)
+
+        def body(carry, i):
+            tok, c, done, n_run = carry
+            run = (i < n_steps) & ~done
+            tok, c, done, out = jax.lax.cond(run, real, skip, tok, c, done, i)
+            return (tok, c, done, n_run + run.astype(jnp.int32)), out
+
+        (tok, cache, done, n_run), buf = jax.lax.scan(
+            body, (token, cache, done0, jnp.int32(0)), jnp.arange(chunk, dtype=jnp.int32)
         )
-        return tok, cache, done, buf
+        return tok, cache, done, buf, n_run
 
     return jax.jit(fn, donate_argnums=(2,))
 
@@ -369,7 +380,7 @@ def build_decode_chunk_batch(
     if chunk == 1:
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_chunk(p, token, cache, start_step, done0):
+        def decode_chunk(p, token, cache, start_step, done0, n_steps):
             eos_arr = jnp.asarray(eos_arr_np)
             lg, c2 = decode(p, token, cache, start_step)  # [B, V]
             nxt = jnp.argmax(lg, -1).astype(jnp.int32)
@@ -379,24 +390,38 @@ def build_decode_chunk_batch(
             return nxt, c2, done, buf, jnp.int32(1)
 
     else:
+        # Steps past n_steps or after every row hit EOS run the identity
+        # lax.cond branch (no weight reads): a tail chunk doesn't waste
+        # bandwidth-bound decode steps, and time_decoding stays honest.
+        # scan + cond, not while_loop: the round-1 while_loop variant
+        # compiled pathologically through remote-compile tunnels.
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_chunk(p, token, cache, start_step, done0):
+        def decode_chunk(p, token, cache, start_step, done0, n_steps):
             eos_arr = jnp.asarray(eos_arr_np)
 
-            def body(carry, i):
-                tok, c, done = carry
+            def real(tok, c, done, i):
                 lg, c2 = decode(p, tok, c, start_step + i)
                 nxt = jnp.argmax(lg, -1).astype(jnp.int32)
                 nxt = jnp.where(done, tok, nxt)  # freeze finished rows
                 out = jnp.where(done, -1, nxt)
                 done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
-                return (nxt, c2, done), out
+                return nxt, c2, done, out
 
-            (tok, c, done), buf = jax.lax.scan(
-                body, (token, cache, done0), jnp.arange(chunk, dtype=jnp.int32)
+            def skip(tok, c, done, i):
+                return tok, c, done, jnp.full_like(tok, -1)
+
+            def body(carry, i):
+                tok, c, done, n_run = carry
+                run = (i < n_steps) & ~jnp.all(done)
+                tok, c, done, out = jax.lax.cond(run, real, skip, tok, c, done, i)
+                return (tok, c, done, n_run + run.astype(jnp.int32)), out
+
+            (tok, c, done, n_run), buf = jax.lax.scan(
+                body, (token, cache, done0, jnp.int32(0)),
+                jnp.arange(chunk, dtype=jnp.int32),
             )
-            return tok, c, done, buf.T, jnp.int32(chunk)
+            return tok, c, done, buf.T, n_run
 
     return insert_row, decode_chunk
 
@@ -564,15 +589,16 @@ def generate(
         )
         eos_arr = jnp.asarray(list(gen.eos_token_ids) or [-1], jnp.int32)
         done = jnp.asarray(ids[-1] in gen.eos_token_ids)
-        while step + chunk <= gen.max_new_tokens - 1 and not bool(done):
+        while step < gen.max_new_tokens - 1 and not bool(done):
+            n_this = min(chunk, gen.max_new_tokens - 1 - step)
             t0 = time.perf_counter()
-            token, cache, done, buf = dchunk(
-                params, token, cache, jnp.int32(step), done, eos_arr
+            token, cache, done, buf, n_run = dchunk(
+                params, token, cache, jnp.int32(step), done, eos_arr, jnp.int32(n_this)
             )
             buf = np.asarray(buf)  # host sync
             time_decoding += time.perf_counter() - t0
             ids.extend(int(t) for t in buf if t >= 0)
-            step += chunk
+            step += int(n_run)
     while len(ids) < gen.max_new_tokens and ids[-1] not in gen.eos_token_ids:
         t0 = time.perf_counter()
         if dycoke is not None:
@@ -889,11 +915,13 @@ def generate_batch(
     while step < gen.max_new_tokens - 1 and not bool(jnp.all(done)):
         n_this = min(chunk, gen.max_new_tokens - 1 - step)
         t0 = time.perf_counter()
-        token, cache, done, buf, n = decode_chunk(params, token, cache, jnp.int32(step), done)
+        token, cache, done, buf, n = decode_chunk(
+            params, token, cache, jnp.int32(step), done, jnp.int32(n_this)
+        )
         buf = np.asarray(buf)  # host sync
         time_decoding += time.perf_counter() - t0
         for i in range(b):
-            for j in range(min(int(n), n_this)):
+            for j in range(int(n)):
                 if buf[i, j] >= 0 and len(ids[i]) < gen.max_new_tokens:
                     ids[i].append(int(buf[i, j]))
         step += int(n)

@@ -116,6 +116,7 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     order = length_grouped_indices(dataset.lengths(), args.batch_size, 1, rng)
     cursor = 0
+    loss = float("nan")  # resume past args.steps: loop body never runs
     for step in range(start_step, args.steps):
         if cursor + args.batch_size > len(order):  # new epoch
             order = length_grouped_indices(dataset.lengths(), args.batch_size, 1, rng)

@@ -81,8 +81,10 @@ def test_generate_batch_chunked_matches_per_step():
 
 
 def test_generate_batch_flash_decode_kernel_token_exact():
-    """The Pallas flash-decode kernel path (decode_attn_kernel=True, the
-    batched default) is token-exact vs the XLA einsum attention path."""
+    """The Pallas flash-decode kernel path (decode_attn_kernel=True, opt-in)
+    is token-exact vs the default head-packed XLA attention path. Both runs
+    are head-packed; the kernel sees the batch folded into the KV-head axis
+    with a per-packed-head mask."""
     from sttm_tpu.runtime.generate import generate_batch
 
     params, emb, valid, vs, spec = _case(seed=11)

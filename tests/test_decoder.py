@@ -402,3 +402,30 @@ def test_int4_quantized_matches_bf16(hf_pair):
                        GenerateConfig(max_new_tokens=4, eos_token_ids=()),
                        decode_chunk_size=2)
     assert len(out) == 4 and rt["merged_len"] == 33
+
+
+def test_decode_unroll_matches_scan(hf_pair):
+    """The unrolled decode-layer loop (static layer indices, zero-copy cache
+    views — decode_layers unroll=True) is logit-exact vs the scan form."""
+    _, params = hf_pair
+    rng = np.random.default_rng(9)
+    s_full = 48
+    ids = rng.integers(0, TINY.vocab_size, size=(1, 29))
+    embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+    embeds = jnp.pad(embeds, ((0, 0), (0, s_full - 29), (0, 0)))
+    prefill = build_prefill(TINY, None, s_full, "xla")
+    logits, cache0 = prefill(params, embeds, jnp.int32(29), jnp.int32(0))
+
+    scan_step = build_decode_step(TINY, None)
+    unroll_step = build_decode_step(TINY, None, unroll=True)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    # real copies: both steps donate their cache argument
+    c_scan = jax.tree.map(jnp.copy, cache0)
+    c_unr = jax.tree.map(jnp.copy, cache0)
+    for step in range(3):
+        l_s, c_scan = scan_step(params, tok, c_scan, jnp.int32(step))
+        l_u, c_unr = unroll_step(params, tok, c_unr, jnp.int32(step))
+        np.testing.assert_allclose(
+            np.asarray(l_s), np.asarray(l_u), rtol=1e-5, atol=1e-5
+        )
+        tok = jnp.argmax(l_s, -1).astype(jnp.int32)

@@ -237,3 +237,27 @@ def test_multi_image_splice():
 
     with pytest.raises(ValueError):
         build_multimodal_embeds_multi(params, cfg, ids, [img1], 32)
+
+
+def test_build_multimodal_embeds_gemma_scale():
+    """Text embeddings in the multimodal splice carry Gemma's sqrt(hidden)
+    embed scale — the same scaling decode steps apply (a mismatch would make
+    prefill text embeds ~sqrt(D)x smaller than decode-step embeds)."""
+    import jax
+
+    from sttm_tpu.models.config import TINY_GEMMA
+
+    cfg = LlavaConfig(decoder=TINY_GEMMA, vision_hidden_size=16, vision_patches_per_side=6)
+    dec_params = qwen2.init_params(TINY_GEMMA, jax.random.key(0))
+    mm_params = llava.init_multimodal_params(cfg, jax.random.key(1))
+    rng = np.random.default_rng(3)
+    vis = jnp.asarray(rng.normal(size=(2, 36, 16)).astype(np.float32))
+    ids = [3, 5, 7, IMAGE_TOKEN_INDEX, 11, 13]
+    embeds, valid, video_start, n_video = llava.build_multimodal_embeds(
+        dec_params, cfg, mm_params, ids, vis, s_full=64
+    )
+    want = qwen2.embed_tokens(dec_params, jnp.asarray([3, 5, 7]), TINY_GEMMA)
+    np.testing.assert_allclose(np.asarray(embeds[0, :3]), np.asarray(want), rtol=1e-6)
+    # and the scale really is sqrt(hidden), not 1
+    unscaled = qwen2.embed_tokens(dec_params, jnp.asarray([3, 5, 7]))
+    assert not np.allclose(np.asarray(want), np.asarray(unscaled))

@@ -95,6 +95,10 @@ def test_run_sft_smoke_with_resume(tmp_path):
     loss2 = sft_main(common + ["--steps", "4"])
     assert np.isfinite(loss2)
     assert os.path.isdir(out / "checkpoint_4")
+    # re-running a COMPLETED job exits cleanly (no steps left -> nan loss,
+    # not an UnboundLocalError)
+    loss3 = sft_main(common + ["--steps", "4"])
+    assert np.isnan(loss3)
 
 
 def test_run_dpo_smoke(tmp_path):
