@@ -59,6 +59,11 @@ class EvalConfig:
     # amortizes dispatch overhead at the cost of per-chunk timing
     # granularity — runtime/generate.py build_decode_chunk).
     decode_chunk_size: int = 1
+    # >= 2 enables greedy speculative decoding (token-exact): an n-gram
+    # prompt-lookup drafter proposes k-1 tokens and one verify dispatch
+    # scores them all — runtime/generate.py build_verify_step. Takes
+    # precedence over decode_chunk_size; per-sample path only.
+    spec_decode_k: int = 0
     # Samples per generate call (1 = reference-style per-sample eval;
     # > 1 = head-packed batched serving: samples are grouped by compile key
     # (same padded length / spec) and decoded together — runtime/generate.py
@@ -131,6 +136,9 @@ class Qwen2VLEvaluator:
             impl=cfg.attention_impl, position_ids=pos,
             attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window,
             decode_chunk_size=cfg.decode_chunk_size,
+            spec_decode_k=cfg.spec_decode_k,
+            prompt_ids=[int(i) for i in sample["input_ids"]]
+            if cfg.spec_decode_k > 1 else None,
         )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(
@@ -214,6 +222,9 @@ class LlavaEvaluator:
             attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window, dycoke=dyc,
             pos_base=pos_base, t_valid=t_valid,
             decode_chunk_size=cfg.decode_chunk_size,
+            spec_decode_k=cfg.spec_decode_k,
+            prompt_ids=[int(i) for i in sample["input_ids"]]
+            if cfg.spec_decode_k > 1 else None,
         )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(

@@ -96,6 +96,10 @@ def parse_args(argv=None):
                    help="decode tokens per device dispatch (1 = per-step "
                         "reference-style timing; >1 = on-device chunked "
                         "decode, token-exact, lower dispatch overhead)")
+    p.add_argument("--spec_decode_k", type=int, default=0,
+                   help=">=2 enables greedy speculative decoding (token-"
+                        "exact): n-gram prompt-lookup drafts k-1 tokens, "
+                        "one verify dispatch scores them all")
     p.add_argument("--frame_bucket", type=int, default=0,
                    help="bucket frame counts to multiples of N (bounds jit "
                         "recompiles); exact for sa_start_layer_idx 0")
@@ -150,6 +154,7 @@ def _eval_config(args, name):
         dycoke_decode=(args.dycoke_l, args.dycoke_p) if args.sa_pattern == "dycoke" else None,
         frame_bucket=args.frame_bucket,
         decode_chunk_size=args.decode_chunk_size,
+        spec_decode_k=args.spec_decode_k,
         batch_size=args.batch_size,
         pad_multiple=32 if args.smoke else 128,
         eos_token_ids=() if args.smoke else (151645, 151643),

@@ -292,9 +292,15 @@ def decode_layers(
     attn_kernel: bool = False,
     head_packed: bool = False,
 ):
-    """One-token decode through layers [lo, hi). cache_k/v:
+    """Decode through layers [lo, hi) for x [B, s, D] new tokens. cache_k/v:
     [hi-lo, B, S_c, KV, hd] where the last ``S_c - tail_start`` slots are the
-    reserved decode tail.
+    reserved decode tail. s == 1 is the normal decode step; s > 1 is the
+    speculative-verify window: the s tokens land in consecutive tail slots
+    starting at ``tail_start + step_idx`` and attend causally within the
+    window (query row j sees prefix + tail slots <= step_idx + j), so one
+    dispatch scores all s draft tokens for ~the weight-read cost of one
+    (decode is weight-bandwidth-bound; the MXU is idle at batch 1).
+    head_packed/attn_kernel are single-token modes (s == 1 only).
 
     ``head_packed=True`` is the batched-serving mode: the cache carries the
     batch FOLDED INTO THE KV-HEAD AXIS ([Lg, 1, S_c, B*KV, hd]) and x is
@@ -326,9 +332,12 @@ def decode_layers(
     queries q_all [Lg, B, 1, H, hd].
     """
     if hi <= lo:
-        b = x.shape[0]
-        empty_q = jnp.zeros((0, b, 1, cfg.num_heads, cfg.head_dim), x.dtype)
+        b, s_new = x.shape[:2]
+        empty_q = jnp.zeros((0, b, s_new, cfg.num_heads, cfg.head_dim), x.dtype)
         return x, cache_k, cache_v, empty_q
+    s_new = x.shape[1]
+    if s_new > 1 and (head_packed or attn_kernel):
+        raise ValueError("multi-token decode (s > 1) supports the plain XLA path only")
 
     write_slot = tail_start + step_idx
     kpos = jnp.arange(cache_k.shape[2])
@@ -401,11 +410,23 @@ def decode_layers(
 
             qk = (q[:, 0] * cfg.head_dim**-0.5).reshape(b, kvh, g, cfg.head_dim)
             o = flash_decode_mha(qk, ck, cv, kmask).reshape(b, 1, cfg.q_dim)
-        else:
+        elif s == 1:
             o = mha(
                 q, ck, cv,
                 kv_valid_len=write_slot + 1,
                 causal=False,
+                impl="xla",
+                kv_mask=mask,
+            )
+        else:
+            # verify window: causal over PHYSICAL slots via q_offset —
+            # query row j allows kpos <= write_slot + j (prefix slots sit
+            # below tail_start <= write_slot; the gap is masked by kv_mask)
+            o = mha(
+                q, ck, cv,
+                kv_valid_len=write_slot + s,
+                causal=True,
+                q_offset=write_slot,
                 impl="xla",
                 kv_mask=mask,
             )

@@ -286,6 +286,77 @@ def build_decode_step(
 
 
 @functools.lru_cache(maxsize=16)
+def build_verify_step(cfg: DecoderConfig, spec, k: int):
+    """Speculative-decode verify step: score ``k`` candidate tokens in ONE
+    dispatch. (params, tokens [k], cache, step) -> (logits [k, V] fp32,
+    cache). Feeding [last_accepted, d_1, .., d_{k-1}] writes their K/V into
+    tail slots step..step+k-1 and returns next-token logits after each —
+    logits[j] scores draft d_{j+1} (greedy acceptance in generate()).
+
+    Rationale: decode is weight-bandwidth-bound and the MXU is idle at
+    batch 1 (GAPS.md #3), so verifying k tokens costs ~the HBM traffic of
+    one plain step; accepted drafts amortize the weight read. Rejected
+    tail slots are never visible (attention bounds reads at the current
+    write position) and are simply overwritten by the next dispatch.
+    """
+    specs = _normalize_specs(spec)
+    bounds = _group_bounds(cfg, specs)
+
+    def fn(params, tokens, cache, step):
+        layers = params["layers"]
+        x = qwen2.embed_tokens(params, tokens, cfg)[None]  # [1, k, D]
+        pos = (cache.pos_base + step + jnp.arange(k)).astype(jnp.int32)  # [k]
+        if cfg.mrope_section:  # all three M-RoPE rows advance together
+            pos = jnp.broadcast_to(pos[None], (3, k))
+        cos, sin = qwen2.rope_cos_sin(cfg, pos)
+        new_ks, new_vs = [], []
+        for gi, (lo, hi) in enumerate(bounds):
+            s_c = cache.ks[gi].shape[2]
+            tail_start = s_c - MAX_DECODE
+            x, ck, cv, _ = qwen2.decode_layers(
+                layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
+                cache.lens[gi], step, tail_start, cfg,
+            )
+            new_ks.append(ck)
+            new_vs.append(cv)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
+        logits = qwen2.lm_head(params, cfg, h)[0]  # [k, V]
+        new_cache = dataclasses.replace(cache, ks=tuple(new_ks), vs=tuple(new_vs))
+        return logits, new_cache
+
+    return jax.jit(fn, donate_argnums=(2,))
+
+
+def ngram_draft(ids: list, n: int, max_ngram: int = 3) -> list:
+    """Training-free drafter: longest-suffix n-gram lookup over the token
+    history (prompt-lookup decoding, Saxon/PLD-style). Finds the most recent
+    earlier occurrence of the current suffix (longest first) and proposes
+    the tokens that followed it; pads with the last token if short. The
+    verify step makes any drafter token-exact, so a weak drafter only costs
+    acceptance rate, never correctness. ``ids`` may include prompt token
+    ids followed by generated ids (the harness passes both; generate()
+    alone has only embeddings for the prompt, so it drafts from the
+    generated history)."""
+    if n <= 0:
+        return []
+    out: list = []
+    for g in range(min(max_ngram, len(ids) - 1), 0, -1):
+        if len(ids) <= g:
+            continue
+        suffix = ids[-g:]
+        # most recent earlier occurrence
+        for st in range(len(ids) - g - 1, -1, -1):
+            if ids[st : st + g] == suffix:
+                out = ids[st + g : st + g + n]
+                break
+        if out:
+            break
+    while len(out) < n:
+        out.append(out[-1] if out else ids[-1])
+    return out[:n]
+
+
+@functools.lru_cache(maxsize=16)
 def build_decode_chunk(
     cfg: DecoderConfig,
     spec,
@@ -522,6 +593,9 @@ def generate(
     pos_base=None,
     t_valid=None,
     decode_chunk_size: int = 1,
+    spec_decode_k: int = 0,
+    draft_fn=None,
+    prompt_ids=None,
 ):
     """Greedy generation. Returns (token_ids list, runtime dict).
 
@@ -533,6 +607,16 @@ def generate(
     token-exact vs the per-step loop, but ``time_decoding`` is then measured
     per chunk rather than per step. The final sub-chunk tail falls back to
     per-step dispatch so exactly max_new_tokens are respected.
+
+    ``spec_decode_k`` >= 2 enables greedy speculative decoding: a drafter
+    proposes k-1 tokens, one verify dispatch scores all of them
+    (build_verify_step), and the accepted prefix plus the model's own
+    correction advance the sequence — TOKEN-EXACT vs plain greedy decode by
+    construction, with up to k tokens per weight-read when drafts hit.
+    ``draft_fn(history_ids, n) -> list[n]`` defaults to n-gram prompt-lookup
+    over ``prompt_ids`` (if given) + generated ids (ngram_draft). Takes
+    precedence over decode_chunk_size; unsupported with dycoke/StreamingLLM
+    windows (falls back to their paths).
     """
     from .framefusion import FrameFusionSpec
 
@@ -582,8 +666,48 @@ def generate(
 
     time_decoding = 0.0
     step = 0
+    spec_stats = None
+    speculative = (
+        spec_decode_k > 1 and dycoke is None and attn_sinks == 0 and attn_window == 0
+    )
+    if speculative:
+        k = max(2, min(spec_decode_k, MAX_DECODE))
+        verify = build_verify_step(cfg, spec_key, k)
+        drafter = draft_fn or ngram_draft
+        history = (list(prompt_ids) if prompt_ids is not None else []) + ids
+        n_drafted = n_hit = 0
+        while (
+            len(ids) < gen.max_new_tokens
+            and ids[-1] not in gen.eos_token_ids
+            and step + k <= MAX_DECODE
+        ):
+            drafts = [int(t) for t in drafter(history, k - 1)]
+            feed = jnp.asarray([ids[-1]] + drafts, jnp.int32)
+            t0 = time.perf_counter()
+            logits, cache = verify(params, feed, cache, jnp.int32(step))
+            preds = np.asarray(jnp.argmax(logits, -1))  # host sync
+            time_decoding += time.perf_counter() - t0
+            # preds[j] = model's next token after feed[j]; accept drafts
+            # while they match, then append the model's own token (the
+            # correction, or the bonus token when every draft matched)
+            a = 0
+            while a < k - 1 and drafts[a] == int(preds[a]):
+                a += 1
+            n_drafted += k - 1
+            n_hit += a
+            for t in (int(preds[j]) for j in range(a + 1)):
+                ids.append(t)
+                history.append(t)
+                if t in gen.eos_token_ids or len(ids) >= gen.max_new_tokens:
+                    break
+            # feed[0..a] hold real history in slots step..step+a; the next
+            # feed's first token (preds[a]) writes at step+a+1. Rejected
+            # slots beyond sit past the next write bound and are overwritten.
+            step += a + 1
+        token = jnp.asarray([ids[-1]], jnp.int32)  # per-step tail fallback
+        spec_stats = {"spec_drafted": n_drafted, "spec_accepted": n_hit}
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens - 1))
-    if chunk > 1 and dycoke is None:
+    if chunk > 1 and dycoke is None and not speculative:
         dchunk = build_decode_chunk(
             cfg, spec_key, chunk, attn_sinks=attn_sinks, attn_window=attn_window
         )
@@ -621,6 +745,8 @@ def generate(
         "full_len": int(valid_len),
         "budget_overflow": overflow,
     }
+    if spec_stats is not None:
+        runtime.update(spec_stats)
     return ids, runtime
 
 
