@@ -611,12 +611,18 @@ def generate(
     ``spec_decode_k`` >= 2 enables greedy speculative decoding: a drafter
     proposes k-1 tokens, one verify dispatch scores all of them
     (build_verify_step), and the accepted prefix plus the model's own
-    correction advance the sequence — TOKEN-EXACT vs plain greedy decode by
-    construction, with up to k tokens per weight-read when drafts hit.
-    ``draft_fn(history_ids, n) -> list[n]`` defaults to n-gram prompt-lookup
-    over ``prompt_ids`` (if given) + generated ids (ngram_draft). Takes
-    precedence over decode_chunk_size; unsupported with dycoke/StreamingLLM
-    windows (falls back to their paths).
+    correction advance the sequence — every emitted token is the model's
+    own argmax, for any drafter, with up to k tokens per weight-read when
+    drafts hit. Exactness caveat: the verify program's attention reduces in
+    a different order than the single-step program (exactly like prefill vs
+    decode), so argmax NEAR-TIES can resolve differently — bit-exact on the
+    CPU fp32 tests; measured on v5e int8w8a with random weights (margins
+    near zero) ~1 flipped token per 30 (logit deltas ~0.3 vs margins ~0.02,
+    BENCH_EXTRA speculative_decode_round2); real checkpoints have decisive
+    margins. ``draft_fn(history_ids, n) -> list[n]`` defaults to n-gram
+    prompt-lookup over ``prompt_ids`` (if given) + generated ids
+    (ngram_draft). Takes precedence over decode_chunk_size; unsupported
+    with dycoke/StreamingLLM windows (falls back to their paths).
     """
     from .framefusion import FrameFusionSpec
 

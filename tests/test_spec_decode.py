@@ -1,6 +1,11 @@
 """Greedy speculative decoding (build_verify_step): token-exact vs plain
 greedy for any drafter — the verify step accepts only drafts that match the
-model's own argmax, so a weak drafter costs acceptance rate, never tokens."""
+model's own argmax, so a weak drafter costs acceptance rate, never tokens.
+
+These CPU tests run fp32-exact, so spec output == per-step output bitwise.
+On-device, the verify program's reductions order differently than the
+single-step program's (like prefill vs decode), so argmax NEAR-ties can
+resolve differently — see generate()'s docstring."""
 
 import numpy as np
 
