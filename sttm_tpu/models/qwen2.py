@@ -291,6 +291,7 @@ def decode_layers(
     unroll: bool = False,
     attn_kernel: bool = False,
     head_packed: bool = False,
+    tail_min=None,
 ):
     """Decode through layers [lo, hi) for x [B, s, D] new tokens. cache_k/v:
     [hi-lo, B, S_c, KV, hd] where the last ``S_c - tail_start`` slots are the
@@ -343,9 +344,18 @@ def decode_layers(
     kpos = jnp.arange(cache_k.shape[2])
     kv = jnp.asarray(kv_len)
     if kv.ndim == 1:  # per-row packed lengths (batched decode)
-        gap_ok = (kpos[None, :] < kv[:, None]) | (kpos[None, :] >= tail_start)
+        tail_ok = kpos[None, :] >= tail_start
+        if tail_min is not None:
+            # continuous batching: a row admitted at global decode step
+            # tail_min[i] must not see earlier rows' (zeroed) tail slots —
+            # zero K/V still takes softmax mass and dilutes attention
+            tail_ok = kpos[None, :] >= tail_start + jnp.asarray(tail_min)[:, None]
+        gap_ok = (kpos[None, :] < kv[:, None]) | tail_ok
     else:
-        gap_ok = (kpos < kv) | (kpos >= tail_start)
+        tail_ok = kpos >= tail_start
+        if tail_min is not None:
+            tail_ok = kpos >= tail_start + jnp.asarray(tail_min)
+        gap_ok = (kpos < kv) | tail_ok
     mask = gap_ok if kv_mask is None else (gap_ok & kv_mask)
     if head_packed and mask.ndim == 2:  # per-row -> per-packed-KV-head rows
         mask = jnp.repeat(mask, cfg.num_kv_heads, axis=0)

@@ -244,11 +244,14 @@ def build_decode_step(
     if attn_sinks == 0 and attn_window == 0 and cfg.sliding_window:
         attn_window = cfg.sliding_window  # Mistral-family architectural window
 
-    def fn(params, token, cache, step):
+    def fn(params, token, cache, step, tail_min=None):
         layers = params["layers"]
         x = qwen2.embed_tokens(params, token, cfg)[:, None, :]  # [B, 1, D]
         if jnp.ndim(cache.pos_base) == 1:  # natively batched: per-row bases
-            pos = (cache.pos_base + step)[:, None].astype(jnp.int32)  # [B, 1]
+            # continuous batching: a row admitted at global step tail_min[i]
+            # is at LOCAL step (step - tail_min[i]) for rope purposes
+            local = step if tail_min is None else step - jnp.asarray(tail_min)
+            pos = (cache.pos_base + local)[:, None].astype(jnp.int32)  # [B, 1]
             if cfg.mrope_section:  # all three M-RoPE rows advance together
                 pos = jnp.broadcast_to(pos[:, None, :], (pos.shape[0], 3, 1))
             cos, sin = jax.vmap(lambda p: qwen2.rope_cos_sin(cfg, p))(pos)
@@ -274,6 +277,7 @@ def build_decode_step(
                 layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
                 kv_len, step, tail_start, cfg, kv_mask=kv_mask, unroll=unroll,
                 attn_kernel=attn_kernel, head_packed=head_packed,
+                tail_min=tail_min,
             )
             new_ks.append(ck)
             new_vs.append(cv)
@@ -325,6 +329,15 @@ def build_verify_step(cfg: DecoderConfig, spec, k: int):
         return logits, new_cache
 
     return jax.jit(fn, donate_argnums=(2,))
+
+
+def _batched_like(x, b: int):
+    """Zero-filled head-packed batched buffer shaped like one sample's cache
+    leaf: [Lg, 1, S, KV, hd] -> [Lg, 1, S, B*KV, hd]; scalar leaves -> [B]."""
+    x = jnp.asarray(x)
+    if x.ndim >= 2:
+        return jnp.zeros(x.shape[:3] + (b * x.shape[3],) + x.shape[4:], x.dtype)
+    return jnp.zeros((b,), x.dtype)
 
 
 def ngram_draft(ids: list, n: int, max_ngram: int = 3) -> list:
@@ -451,9 +464,9 @@ def build_decode_chunk_batch(
     if chunk == 1:
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_chunk(p, token, cache, start_step, done0, n_steps):
+        def decode_chunk(p, token, cache, start_step, done0, n_steps, tail_min=None):
             eos_arr = jnp.asarray(eos_arr_np)
-            lg, c2 = decode(p, token, cache, start_step)  # [B, V]
+            lg, c2 = decode(p, token, cache, start_step, tail_min)  # [B, V]
             nxt = jnp.argmax(lg, -1).astype(jnp.int32)
             nxt = jnp.where(done0, token, nxt)
             buf = jnp.where(done0, -1, nxt)[:, None]
@@ -468,11 +481,11 @@ def build_decode_chunk_batch(
         # compiled pathologically through remote-compile tunnels.
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_chunk(p, token, cache, start_step, done0, n_steps):
+        def decode_chunk(p, token, cache, start_step, done0, n_steps, tail_min=None):
             eos_arr = jnp.asarray(eos_arr_np)
 
             def real(tok, c, done, i):
-                lg, c2 = decode(p, tok, c, start_step + i)
+                lg, c2 = decode(p, tok, c, start_step + i, tail_min)
                 nxt = jnp.argmax(lg, -1).astype(jnp.int32)
                 nxt = jnp.where(done, tok, nxt)  # freeze finished rows
                 out = jnp.where(done, -1, nxt)
@@ -1013,10 +1026,7 @@ def generate_batch(
     # at 2x the batched-cache footprint — which OOMs one v5e chip at the
     # full 28-layer 7B point.
     def _batched_init(x):
-        x = jnp.asarray(x)
-        if x.ndim >= 2:  # [Lg, 1, S, KV, hd] -> [Lg, 1, S, B*KV, hd]
-            return jnp.zeros(x.shape[:3] + (b * x.shape[3],) + x.shape[4:], x.dtype)
-        return jnp.zeros((b,), x.dtype)
+        return _batched_like(x, b)
 
     t0 = time.perf_counter()
     logits_rows, cache = [], None

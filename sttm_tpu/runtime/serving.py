@@ -1,0 +1,189 @@
+"""Continuous batching: admit new requests into retired batch slots.
+
+Beyond the reference (strict batch=1 eval) and beyond ``generate_batch``
+(grouped static batches): a fixed pool of B head-packed slots decodes
+together, and whenever a slot's sequence hits EOS (or max_new_tokens) at a
+chunk boundary, the next pending request is prefilled and inserted into
+that slot while the other slots keep decoding — the production serving
+pattern (vLLM-style continuous batching, expressed with static shapes).
+
+TPU-shaped constraints and how they are honored:
+- One compiled program: all requests share a compile key (same padded
+  s_full and reducer spec), the batched decode program is keyed on the
+  constant pool size B (head packing folds B into the KV-head axis), and
+  admission happens only at chunk boundaries — no recompiles mid-stream.
+- Fixed-slot tail writes: decode step ``s`` writes tail slot ``s`` for
+  every row (models/qwen2.py decode_layers). A request admitted at global
+  step ``s0`` therefore starts writing at tail slot ``s0`` and must not
+  attend to slots < s0 (its inserted cache has zeros there, and zero K/V
+  still takes softmax mass): the per-row ``tail_min`` mask handles this.
+- The decode tail is a shared ring of MAX_DECODE slots indexed by the
+  global step, so a request is admitted only when the remaining tail can
+  hold its full max_new_tokens. When no pending request fits and every
+  live slot finished, the global step resets and a fresh wave starts —
+  the only idle moment; mid-wave retirements refill immediately.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models import qwen2
+from ..models.config import DecoderConfig
+from .generate import (
+    MAX_DECODE,
+    GenerateConfig,
+    build_decode_chunk_batch,
+    build_prefill,
+    _batched_like,
+)
+from .reducer import ReducerSpec
+
+
+@dataclasses.dataclass
+class Request:
+    """One serving request: pre-assembled multimodal embeds (same layout as
+    generate(): [1, s_full, D]) plus its prompt geometry."""
+
+    rid: object
+    embeds: jnp.ndarray
+    valid_len: int
+    video_start: int
+    pos_base: int | None = None
+    t_valid: int | None = None
+
+
+def serve_continuous(
+    params,
+    cfg: DecoderConfig,
+    requests: list,
+    spec,
+    gen: GenerateConfig = GenerateConfig(),
+    batch_slots: int = 4,
+    impl: str = "xla",
+    decode_chunk_size: int = 8,
+):
+    """Run ``requests`` (same compile key) through a continuously batched
+    decode pool. Returns ({rid: token_ids}, stats dict). Token-level
+    behavior matches per-sample generate() for every request (CPU-exact;
+    on-TPU modulo argmax near-ties between batch sizes, as everywhere).
+    """
+    if not requests:
+        return {}, {}
+    if gen.max_new_tokens - 1 > MAX_DECODE:
+        raise ValueError(
+            f"max_new_tokens {gen.max_new_tokens} exceeds the decode tail "
+            f"({MAX_DECODE + 1}) — no admission window could ever fit it"
+        )
+    b = batch_slots
+    s_full = requests[0].embeds.shape[1]
+    spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
+    prefill = build_prefill(cfg, spec_key, s_full, impl)
+    chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
+    insert_row, decode_chunk = build_decode_chunk_batch(
+        cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads
+    )
+
+    pending = list(requests)
+    results: dict = {}
+    # per-slot host state
+    slot_rid = [None] * b
+    slot_ids: list = [None] * b
+    admit_step = np.zeros(b, np.int32)
+    cache = None
+    token = jnp.zeros((b,), jnp.int32)
+    done = jnp.ones((b,), bool)  # empty slots are frozen
+    step = 0
+    t_start = time.perf_counter()
+    n_prefills = n_chunks = 0
+
+    def admit(i: int, req: Request):
+        nonlocal cache, token, n_prefills
+        p = None
+        pb = None if req.pos_base is None else jnp.int32(req.pos_base)
+        tv = None if req.t_valid is None else jnp.int32(req.t_valid)
+        logits, row = prefill(
+            params, req.embeds, jnp.int32(req.valid_len), jnp.int32(req.video_start),
+            p, pb, tv,
+        )
+        if cache is None:
+            cache_init = jax.tree.map(lambda x: _batched_like(x, b), row)
+        else:
+            cache_init = cache
+        new_cache = insert_row(cache_init, row, jnp.int32(i))
+        first = int(jnp.argmax(logits, -1)[0])
+        del logits, row
+        slot_rid[i] = req.rid
+        slot_ids[i] = [first]
+        admit_step[i] = step
+        token = token.at[i].set(first)
+        n_prefills += 1
+        return new_cache, first in gen.eos_token_ids
+
+    def retire(i: int):
+        results[slot_rid[i]] = slot_ids[i]
+        slot_rid[i] = None
+        slot_ids[i] = None
+
+    for r in requests:
+        if r.embeds.shape[1] != s_full:
+            raise ValueError(
+                "continuous batching requires one compile key: all requests "
+                f"must share s_full ({r.embeds.shape[1]} != {s_full})"
+            )
+
+    while pending or any(r is not None for r in slot_rid):
+        # retire rows finished by the last chunk (EOS or token budget), then
+        # refill their slots in the same pass so they never idle a chunk
+        d = np.array(done)  # writable copy (np.asarray of a jax array is RO)
+        for i in range(b):
+            if slot_rid[i] is not None and (
+                len(slot_ids[i]) >= gen.max_new_tokens
+                or slot_ids[i][-1] in gen.eos_token_ids
+            ):
+                retire(i)
+                d[i] = True
+        for i in range(b):
+            if slot_rid[i] is None and pending and step + gen.max_new_tokens - 1 <= MAX_DECODE:
+                cache, is_eos = admit(i, pending.pop(0))
+                d[i] = is_eos
+        done = jnp.asarray(d)
+
+        live = [i for i in range(b) if slot_rid[i] is not None]
+        if not live:
+            # nothing fits the remaining tail: wave reset
+            step = 0
+            continue
+        if step >= MAX_DECODE:  # safety: live rows always fit by admission rule
+            raise RuntimeError("decode tail overrun")
+
+        n_this = min(chunk, MAX_DECODE - step,
+                     max(gen.max_new_tokens - len(slot_ids[i]) for i in live))
+        token_d = jnp.asarray(token)
+        token_d, cache, done, buf, n_run = decode_chunk(
+            params, token_d, cache, jnp.int32(step), done, jnp.int32(n_this),
+            jnp.asarray(admit_step),
+        )
+        token = token_d
+        buf = np.asarray(buf)
+        n_chunks += 1
+        for i in live:
+            for j in range(int(n_run)):
+                if buf[i, j] >= 0 and len(slot_ids[i]) < gen.max_new_tokens:
+                    slot_ids[i].append(int(buf[i, j]))
+        step += int(n_run)
+
+    stats = {
+        "wall_s": time.perf_counter() - t_start,
+        "n_requests": len(requests),
+        "n_prefills": n_prefills,
+        "n_decode_chunks": n_chunks,
+        "total_tokens": sum(len(v) for v in results.values()),
+    }
+    return results, stats
