@@ -64,6 +64,12 @@ class EvalConfig:
     # scores them all — runtime/generate.py build_verify_step. Takes
     # precedence over decode_chunk_size; per-sample path only.
     spec_decode_k: int = 0
+    # Sequence-parallel prefill devices (1 = off): ring-attention prefill
+    # over an sp mesh for prompts beyond one chip's HBM (>128-frame
+    # prefills), merged/decoded on device 0 — parallel/ring.py sp_generate.
+    # Supports the origin pattern and single non-scoring reducers (quadtree/
+    # octree/tome/dycoke-stage1) with 1D RoPE; per-sample path only.
+    sp: int = 1
     # Samples per generate call (1 = reference-style per-sample eval;
     # > 1 = head-packed batched serving: samples are grouped by compile key
     # (same padded length / spec) and decoded together — runtime/generate.py
@@ -216,16 +222,28 @@ class LlavaEvaluator:
                 img_len=spec.video_out_len(),
             )
         t0 = time.perf_counter()
-        ids, runtime = generate(
-            self.decoder_params, self.decoder_cfg, embeds, valid, video_start, spec,
-            GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids), impl=cfg.attention_impl,
-            attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window, dycoke=dyc,
-            pos_base=pos_base, t_valid=t_valid,
-            decode_chunk_size=cfg.decode_chunk_size,
-            spec_decode_k=cfg.spec_decode_k,
-            prompt_ids=[int(i) for i in sample["input_ids"]]
-            if cfg.spec_decode_k > 1 else None,
-        )
+        if cfg.sp > 1:
+            from ..parallel.ring import create_sp_mesh, sp_generate
+
+            if dyc is not None or cfg.attn_sinks or cfg.attn_window:
+                raise ValueError("--sp is unsupported with dycoke decode / streamingllm")
+            ids, runtime = sp_generate(
+                self.decoder_params, self.decoder_cfg, embeds, valid, video_start,
+                spec, create_sp_mesh(cfg.sp),
+                gen=GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids),
+                impl=cfg.attention_impl, pos_base=pos_base, t_valid=t_valid,
+            )
+        else:
+            ids, runtime = generate(
+                self.decoder_params, self.decoder_cfg, embeds, valid, video_start, spec,
+                GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids), impl=cfg.attention_impl,
+                attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window, dycoke=dyc,
+                pos_base=pos_base, t_valid=t_valid,
+                decode_chunk_size=cfg.decode_chunk_size,
+                spec_decode_k=cfg.spec_decode_k,
+                prompt_ids=[int(i) for i in sample["input_ids"]]
+                if cfg.spec_decode_k > 1 else None,
+            )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(
             [i for i in ids if i not in cfg.eos_token_ids], skip_special_tokens=True

@@ -42,6 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--mm_newline_position", default="no_token")
     p.add_argument("--rope_scaling_factor", type=float, default=1.0)
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel devices")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel prefill devices (ring attention "
+                        "over an sp mesh; for >128-frame prefills beyond one "
+                        "chip's HBM). origin / single non-scoring reducer "
+                        "patterns, llava family, batch_size 1 only")
     # data
     p.add_argument("--dataset_name", required=True)
     p.add_argument("--anno_filepath", required=True)
@@ -156,6 +161,7 @@ def _eval_config(args, name):
         decode_chunk_size=args.decode_chunk_size,
         spec_decode_k=args.spec_decode_k,
         batch_size=args.batch_size,
+        sp=args.sp,
         pad_multiple=32 if args.smoke else 128,
         eos_token_ids=() if args.smoke else (151645, 151643),
     )
@@ -172,6 +178,16 @@ def main(argv=None):
             raise SystemExit("--feature_dir is required for --input_mode feature")
         if args.input_mode == "video" and not args.video_dir:
             raise SystemExit("--video_dir is required for --input_mode video")
+    if args.sp > 1:
+        ok_patterns = {"origin", "quadtree", "tome", "dycoke-stage1", "octree"}
+        if args.sa_pattern not in ok_patterns:
+            raise SystemExit(f"--sp supports sa_pattern in {sorted(ok_patterns)}")
+        if args.model_family != "llava":
+            raise SystemExit("--sp supports the llava family only (1D RoPE)")
+        if args.batch_size > 1 or args.spec_decode_k > 1 or args.decode_chunk_size > 1:
+            raise SystemExit("--sp is per-sample, per-step decode only")
+        if args.tp > 1:
+            raise SystemExit("--sp and --tp are mutually exclusive")
     if args.reproduce:
         random.seed(42)
         np.random.seed(42)

@@ -304,6 +304,29 @@ def test_cli_smoke_both_families(tmp_path, synthetic_benchmark):
             assert len(rows) == 1, (run, f)
 
 
+def test_cli_smoke_sp(tmp_path, synthetic_benchmark):
+    """run_vidqa --sp 2 drives the sequence-parallel prefill path end-to-end
+    (ring-attention prefill over a 2-device mesh, merge + decode on device 0)
+    and produces the same JSONL outputs as the single-device path."""
+    from sttm_tpu.eval.run_vidqa import main as cli_main
+
+    anno_path, feat_dir, meta_dir, annos = synthetic_benchmark
+    out_dir = tmp_path / "sp_out"
+    cli_main([
+        "--dataset_name", "videomme",
+        "--anno_filepath", str(anno_path), "--metadata_dir", str(meta_dir),
+        "--smoke", "--first_sample", "--max_new_tokens", "2",
+        "--attention_impl", "xla", "--output_dir", str(out_dir),
+        "--sa_pattern", "quadtree", "--sa_start_layer_idx", "1",
+        "--sa_tree_thresh", "0.7", "--sa_tree_temporal_thresh", "0.6",
+        "--model_name_or_path", "ckpts/tiny-llava",
+        "--feature_dir", str(feat_dir), "--sp", "2",
+    ])
+    (run,) = os.listdir(out_dir)
+    rows = read_jsonl(os.path.join(out_dir, run, "runtime.jsonl"))
+    assert len(rows) == 1 and rows[0]["sp"] == 2
+
+
 def test_cli_smoke_raw_video(tmp_path):
     """run_vidqa --input_mode video drives native decode -> tower -> eval
     (reference entry: eval_vidqa_by_video_llavavideo.py)."""

@@ -45,6 +45,40 @@ def test_ring_attention_matches_single_device():
     )
 
 
+def test_sp_generate_token_parity():
+    """Sequence-parallel generate == single-device generate, token for token,
+    with and without a quadtree reducer at the group boundary."""
+    from sttm_tpu.parallel.ring import sp_generate
+    from sttm_tpu.runtime.generate import GenerateConfig, generate
+    from sttm_tpu.runtime.reducer import ReducerSpec
+
+    cfg = TINY
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(3)
+    t, h, w = 4, 4, 4
+    nv = t * h * w
+    sys_len, inst_len = 4, 8
+    valid = sys_len + nv + inst_len
+    s_full = 96
+    emb = np.zeros((1, s_full, cfg.hidden_size), np.float32)
+    emb[0, :valid] = rng.normal(size=(valid, cfg.hidden_size)) * 0.2
+    emb = jnp.asarray(emb, cfg.dtype)
+    gen = GenerateConfig(max_new_tokens=6, eos_token_ids=())
+    mesh = _mesh()
+    quadtree = ReducerSpec(
+        kind="quadtree", layer_idx=2, t=t, h=h, w=w, video_budget=nv // 2,
+        spatial_thresh=0.85, temporal_thresh=0.65, root_level=0,
+    )
+    tome = ReducerSpec(kind="tome", layer_idx=2, t=t, h=h, w=w, prune_ratio=0.5)
+    dycoke = ReducerSpec(kind="dycoke", layer_idx=2, t=t, h=h, w=w, prune_ratio=0.7)
+    for spec in (None, quadtree, tome, dycoke):
+        ref_ids, ref_rt = generate(params, cfg, emb, valid, sys_len, spec, gen)
+        sp_ids, rt = sp_generate(params, cfg, emb, valid, sys_len, spec, mesh, gen=gen)
+        assert sp_ids == ref_ids, (spec and spec.kind, sp_ids, ref_ids)
+        assert rt["merged_len"] == ref_rt["merged_len"]
+        assert rt["sp"] == 8
+
+
 def test_sp_prefill_matches_single_device():
     """Full sequence-parallel decoder prefill == single-device prefill."""
     from sttm_tpu.runtime.generate import build_prefill
