@@ -53,6 +53,17 @@ class DecoderConfig:
     hidden_act: str = "silu"
     rms_offset: bool = False
     embed_scale: bool = False
+    # Sparse Mixture-of-Experts MLP (Qwen2-MoE family — the reference's
+    # llava_qwen_moe shim, llava/model/language_model/llava_qwen_moe.py).
+    # num_experts == 0 selects the dense MLP. When > 0, every layer is the
+    # sparse block (HF decoder_sparse_step == 1, mlp_only_layers == [] — the
+    # Qwen1.5-MoE-A2.7B configuration; non-uniform layouts are unsupported
+    # by the stacked-layer scan and rejected at init).
+    num_experts: int = 0
+    num_experts_per_tok: int = 4
+    moe_intermediate_size: int = 0
+    shared_expert_intermediate_size: int = 0
+    norm_topk_prob: bool = False
 
     @property
     def q_dim(self) -> int:
@@ -129,6 +140,23 @@ GEMMA_7B = DecoderConfig(
     embed_scale=True,
 )
 
+# Qwen1.5-MoE-A2.7B (the llava_qwen_moe shim's backbone): 60 experts, top-4
+# routing, SiLU shared expert with a sigmoid gate, every layer sparse
+QWEN15_MOE_A27B = DecoderConfig(
+    vocab_size=151936,
+    hidden_size=2048,
+    intermediate_size=5632,
+    num_layers=24,
+    num_heads=16,
+    num_kv_heads=16,
+    head_dim=128,
+    max_position_embeddings=8192,
+    num_experts=60,
+    num_experts_per_tok=4,
+    moe_intermediate_size=1408,
+    shared_expert_intermediate_size=5632,
+)
+
 # Tiny config for CPU tests
 TINY = DecoderConfig(
     vocab_size=256,
@@ -139,6 +167,12 @@ TINY = DecoderConfig(
     num_kv_heads=2,
     head_dim=16,
     dtype=jnp.float32,
+)
+
+# Tiny Qwen2-MoE-architecture config (8 experts, top-2, shared expert)
+TINY_MOE = dataclasses.replace(
+    TINY, num_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+    shared_expert_intermediate_size=128, norm_topk_prob=False,
 )
 
 # mrope_section sums to head_dim/2 (Qwen2-VL convention: 16+24+24 == 128/2)

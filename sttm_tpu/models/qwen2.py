@@ -58,10 +58,19 @@ def init_params(cfg: DecoderConfig, key: jax.Array) -> dict:
         "wk": w(ks[2], (l, d, kvd)),
         "wv": w(ks[3], (l, d, kvd)),
         "wo": w(ks[4], (l, qd, d)),
-        "wg": w(ks[5], (l, d, f)),
-        "wu": w(ks[6], (l, d, f)),
-        "wd": w(ks[7], (l, f, d)),
     }
+    if cfg.num_experts > 0:  # Qwen2-MoE family: sparse MoE block per layer
+        from .moe import init_moe_layer_params
+
+        layers.update(init_moe_layer_params(cfg, ks[9], w))
+    else:
+        layers.update(
+            {
+                "wg": w(ks[5], (l, d, f)),
+                "wu": w(ks[6], (l, d, f)),
+                "wd": w(ks[7], (l, f, d)),
+            }
+        )
     if cfg.attention_bias:  # Qwen2 family; Llama/Vicuna trunks have none
         layers["bq"] = jnp.zeros((l, qd), cfg.dtype)
         layers["bk"] = jnp.zeros((l, kvd), cfg.dtype)
@@ -200,6 +209,17 @@ def qkv_proj(lp: dict, h, cfg: DecoderConfig):
     )
 
 
+def mlp_block(lp: dict, h: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
+    """The per-layer MLP: dense SwiGLU, or the sparse MoE block when the
+    layer params carry a router (cfg.num_experts > 0)."""
+    if "router" in lp:
+        from .moe import moe_mlp
+
+        return moe_mlp(lp, h, cfg)
+    aq = cfg.act_quant
+    return _mat(mlp_act(_mat(h, lp["wg"], aq), cfg) * _mat(h, lp["wu"], aq), lp["wd"], aq)
+
+
 def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend, return_q: bool = False):
     """One decoder layer; ``attend(q, k, v) -> o`` supplied by the caller."""
     b, s, d = x.shape
@@ -211,7 +231,7 @@ def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend, return_q: boo
     aq = cfg.act_quant
     x = x + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
     h = rms_norm(x, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
-    x = x + _mat(mlp_act(_mat(h, lp["wg"], aq), cfg) * _mat(h, lp["wu"], aq), lp["wd"], aq)
+    x = x + mlp_block(lp, h, cfg)
     if return_q:
         return x, k, v, q
     return x, k, v
@@ -443,7 +463,7 @@ def decode_layers(
         aq = cfg.act_quant
         y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
         h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
-        y = y + _mat(mlp_act(_mat(h, lp["wg"], aq), cfg) * _mat(h, lp["wu"], aq), lp["wd"], aq)
+        y = y + mlp_block(lp, h, cfg)
         return y, ck_all, cv_all, q
 
     if unroll:

@@ -30,6 +30,21 @@ _LAYER_MAP = {
     "mlp.down_proj.weight": ("wd", True),
 }
 
+# Qwen2-MoE sparse block (HF Qwen2MoeSparseMoeBlock): router + shared expert
+# submodules; the per-expert weights are handled separately (nested index)
+_MOE_LAYER_MAP = {
+    "mlp.gate.weight": ("router", True),
+    "mlp.shared_expert.gate_proj.weight": ("ws_g", True),
+    "mlp.shared_expert.up_proj.weight": ("ws_u", True),
+    "mlp.shared_expert.down_proj.weight": ("ws_d", True),
+    "mlp.shared_expert_gate.weight": ("wsg", True),
+}
+_MOE_EXPERT_MAP = {
+    "gate_proj.weight": "we_g",
+    "up_proj.weight": "we_u",
+    "down_proj.weight": "we_d",
+}
+
 
 def merge_lora_state_dict(tensors: dict, alpha: float | None = None) -> dict:
     """Fold LoRA adapters into base weights: W + (alpha/r) * B @ A.
@@ -70,10 +85,19 @@ def params_from_state_dict(cfg, tensors: dict, prefix: str = "model.") -> dict:
     tensors first). HF linear weights are [out, in] and get transposed.
     """
     l = cfg.num_layers
+    moe = getattr(cfg, "num_experts", 0) > 0
+    layer_map = dict(_LAYER_MAP)
     keys = {k for k, _ in _LAYER_MAP.values()}
+    if moe:  # Qwen2-MoE: sparse block replaces the dense MLP
+        keys -= {"wg", "wu", "wd"}
+        layer_map.update(_MOE_LAYER_MAP)
+        keys |= {k for k, _ in _MOE_LAYER_MAP.values()}
     if not cfg.attention_bias:  # Llama/Vicuna family: no QKV biases
         keys -= {"bq", "bk", "bv"}
     layer_stacks: dict[str, list] = {k: [None] * l for k in keys}
+    expert_stacks: dict[str, list] = {
+        k: [[None] * cfg.num_experts for _ in range(l)] for k in _MOE_EXPERT_MAP.values()
+    } if moe else {}
     params = {"layers": {}}
     for name, val in tensors.items():
         if name == f"{prefix}embed_tokens.weight":
@@ -85,8 +109,14 @@ def params_from_state_dict(cfg, tensors: dict, prefix: str = "model.") -> dict:
         elif name.startswith(f"{prefix}layers."):
             rest = name[len(f"{prefix}layers.") :]
             idx_str, sub = rest.split(".", 1)
-            if sub in _LAYER_MAP:
-                key, transpose = _LAYER_MAP[sub]
+            if moe and sub.startswith("mlp.experts."):
+                e_str, esub = sub[len("mlp.experts.") :].split(".", 1)
+                if esub in _MOE_EXPERT_MAP:
+                    expert_stacks[_MOE_EXPERT_MAP[esub]][int(idx_str)][int(e_str)] = (
+                        np.asarray(val).T
+                    )
+            elif sub in layer_map:
+                key, transpose = layer_map[sub]
                 if key not in layer_stacks:
                     continue
                 arr = np.asarray(val)
@@ -96,6 +126,12 @@ def params_from_state_dict(cfg, tensors: dict, prefix: str = "model.") -> dict:
             missing = [i for i, s in enumerate(stack) if s is None]
             raise ValueError(f"missing layer weights for {key}: layers {missing}")
         params["layers"][key] = jnp.asarray(np.stack(stack), cfg.dtype)
+    for key, stack in expert_stacks.items():
+        if any(s is None for row in stack for s in row):
+            raise ValueError(f"missing expert weights for {key}")
+        params["layers"][key] = jnp.asarray(
+            np.stack([np.stack(row) for row in stack]), cfg.dtype
+        )
     if cfg.tie_word_embeddings:
         params.pop("lm_head", None)
     elif "lm_head" not in params:

@@ -24,16 +24,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["create_mesh", "param_specs", "shard_params", "batch_spec"]
 
 
-def create_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+def create_mesh(dp: int = 1, tp: int = 1, ep: int = 1, devices=None) -> Mesh:
+    """(dp, tp[, ep]) device mesh. The ``ep`` axis appears only when > 1
+    (expert parallelism for the MoE trunk); existing dp x tp call sites keep
+    their two-axis mesh."""
     devices = devices if devices is not None else jax.devices()
-    if dp * tp > len(devices):
-        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {len(devices)}")
-    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    n = dp * tp * ep
+    if n > len(devices):
+        raise ValueError(f"mesh {dp}x{tp}x{ep} needs {n} devices, have {len(devices)}")
+    if ep > 1:
+        arr = np.asarray(devices[:n]).reshape(dp, tp, ep)
+        return Mesh(arr, ("dp", "tp", "ep"))
+    arr = np.asarray(devices[:n]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 
 
-def param_specs(params: dict) -> dict:
-    """PartitionSpec pytree matching the qwen2 params layout."""
+def param_specs(params: dict, ep: bool = False) -> dict:
+    """PartitionSpec pytree matching the qwen2 params layout.
+
+    ``ep=True`` shards the MoE expert axis over the mesh's "ep" axis: every
+    device computes its local experts at full density and the combine
+    einsum's expert-sum becomes one psum (dense-masked expert parallelism,
+    models/moe.py). Router / shared-expert weights stay replicated or
+    tp-sharded like the dense MLP.
+    """
+    e_ax = "ep" if ep else None
     layer_specs = {
         "ln1": P(None, None),
         "ln2": P(None, None),
@@ -47,6 +62,15 @@ def param_specs(params: dict) -> dict:
         "wg": P(None, None, "tp"),
         "wu": P(None, None, "tp"),
         "wd": P(None, "tp", None),
+        # MoE (Qwen2-MoE family): experts on ep, shared expert on tp
+        "router": P(None, None, None),
+        "we_g": P(None, e_ax, None, None),
+        "we_u": P(None, e_ax, None, None),
+        "we_d": P(None, e_ax, None, None),
+        "ws_g": P(None, None, "tp"),
+        "ws_u": P(None, None, "tp"),
+        "ws_d": P(None, "tp", None),
+        "wsg": P(None, None, None),
     }
     def lspec(k, v):
         base = layer_specs[k]
@@ -69,7 +93,7 @@ def param_specs(params: dict) -> dict:
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
-    specs = param_specs(params)
+    specs = param_specs(params, ep="ep" in mesh.axis_names)
 
     def rec(p, s):
         if isinstance(p, dict):
