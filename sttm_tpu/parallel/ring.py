@@ -131,10 +131,7 @@ def _build_sp_prefill(cfg, s_full: int, mesh: Mesh, axis: str, hi: int | None = 
             aq = cfg.act_quant
             x = x + qwen2._mat(o.reshape(1, sl, cfg.q_dim), lp["wo"], aq)
             h = qwen2.rms_norm(x, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
-            x = x + qwen2._mat(
-                qwen2.mlp_act(qwen2._mat(h, lp["wg"], aq), cfg) * qwen2._mat(h, lp["wu"], aq),
-                lp["wd"], aq,
-            )
+            x = x + qwen2.mlp_block(lp, h, cfg)  # dense SwiGLU or MoE trunk
             ks.append(k)
             vs.append(v)
         if hi is not None and hi < cfg.num_layers:

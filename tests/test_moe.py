@@ -155,3 +155,25 @@ def test_moe_random_init_generate_smoke():
         GenerateConfig(max_new_tokens=4, eos_token_ids=()),
     )
     assert len(gen_ids) == 4
+
+
+def test_moe_sp_prefill_matches_single_device(hf_moe_pair):
+    """Sequence-parallel ring prefill supports the MoE trunk: last-token
+    logits match the single-device prefill."""
+    from sttm_tpu.parallel.ring import create_sp_mesh, sp_prefill
+
+    _, params = hf_moe_pair
+    rng = np.random.default_rng(5)
+    valid, s_full = 29, 32
+    emb = np.zeros((1, s_full, TINY_MOE.hidden_size), np.float32)
+    emb[0, :valid] = rng.normal(size=(valid, TINY_MOE.hidden_size)) * 0.2
+    emb = jnp.asarray(emb)
+
+    prefill = build_prefill(TINY_MOE, None, s_full, "xla")
+    ref_logits, _ = prefill(params, emb, jnp.int32(valid), jnp.int32(0))
+
+    mesh = create_sp_mesh(8)
+    logits, _, _ = sp_prefill(params, TINY_MOE, emb, jnp.int32(valid), mesh)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
