@@ -132,6 +132,10 @@ def make_spec_factory(args, head_dim: int):
             sa_pyrd_loc_list=args.sa_pyrd_loc_list,
             sa_pyrd_size_list=args.sa_pyrd_size_list,
             sa_framefusion_cost=args.sa_framefusion_cost,
+            # merged buffers tile for the splash kernel (matches the
+            # harness's s_full padding; non-128-multiples would silently
+            # fall back to XLA attention for the post-merge layer group)
+            pad_multiple=32 if args.smoke else 128,
         )
 
     return factory

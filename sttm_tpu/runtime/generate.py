@@ -934,6 +934,7 @@ def spec_from_pattern(pattern: str, t: int, h: int, w: int, **kw):
 
     nv = t * h * w
     layer = kw.get("sa_start_layer_idx", 2)
+    pad = kw.get("pad_multiple", 1)
     if pattern == "origin" or pattern == "streamingllm":
         return None
     if pattern == "quadtree":
@@ -946,27 +947,32 @@ def spec_from_pattern(pattern: str, t: int, h: int, w: int, **kw):
             weighted_avg=kw.get("sa_tree_weighted_avg", False),
             sim_head_dim=kw.get("sim_head_dim"),
             pos_emb_ver=kw.get("pos_emb_ver", 0),
+            pad_multiple=pad,
         )
     if pattern == "tome":
         return ReducerSpec(kind="tome", layer_idx=layer, t=t, h=h, w=w,
                            prune_ratio=kw.get("sa_prune_ratio", 0.5),
-                           tome_per=kw.get("sa_tome_ver", "video"))
+                           tome_per=kw.get("sa_tome_ver", "video"),
+                           pad_multiple=pad)
     if pattern in ("dycoke-stage1", "dycoke"):
         return ReducerSpec(kind="dycoke", layer_idx=layer, t=t, h=h, w=w,
-                           prune_ratio=kw.get("sa_prune_ratio", 0.7))
+                           prune_ratio=kw.get("sa_prune_ratio", 0.7),
+                           pad_multiple=pad)
     if pattern == "fastv":
         return ReducerSpec(kind="fastv", layer_idx=layer, t=t, h=h, w=w,
-                           prune_ratio=kw.get("sa_fastv_evict_ratio", 0.5))
+                           prune_ratio=kw.get("sa_fastv_evict_ratio", 0.5),
+                           pad_multiple=pad)
     if pattern == "octree":
         return ReducerSpec(kind="octree", layer_idx=layer, t=t, h=h, w=w,
                            video_budget=kw.get("video_budget", int(0.6 * nv)),
                            spatial_thresh=kw.get("sa_tree_thresh", 0.9),
-                           root_level=kw.get("sa_tree_root_level", 0))
+                           root_level=kw.get("sa_tree_root_level", 0),
+                           pad_multiple=pad)
     if pattern == "pyrd":
         specs, hh, ww = [], h, w
         for loc, size in zip(kw["sa_pyrd_loc_list"], kw["sa_pyrd_size_list"]):
             specs.append(ReducerSpec(kind="pyrd", layer_idx=loc, t=t, h=hh, w=ww,
-                                     pyrd_size=size))
+                                     pyrd_size=size, pad_multiple=pad))
             hh = ww = size
         return tuple(specs)
     if pattern in ("framefusion", "merging"):

@@ -56,6 +56,11 @@ class ReducerSpec:
     # (quadtree_attn_monkey_patch_for_abl_pos.py:100-136)
     pos_emb_ver: int = 0
     pos_emb_weighted_avg: bool = False
+    # Round the merged BUFFER length up to this multiple (semantics
+    # unchanged — the extra slots are padding past the valid length, masked
+    # everywhere). Non-128-multiple merged lengths silently fall back from
+    # the splash attention kernel to the XLA path; the harness pads to 128+.
+    pad_multiple: int = 1
 
     @property
     def n_video(self) -> int:
@@ -104,7 +109,9 @@ class ReducerSpec:
 
 
 def merged_buffer_len(spec: ReducerSpec, s_full: int) -> int:
-    return s_full - spec.n_video + spec.video_out_len()
+    m = s_full - spec.n_video + spec.video_out_len()
+    pm = spec.pad_multiple
+    return ((m + pm - 1) // pm) * pm
 
 
 def apply_reducer(
@@ -235,7 +242,7 @@ def apply_reducer(
     if spec.kind not in ("quadtree", "octree"):
         n_raw = n_kept  # fixed-output kinds can't overflow
     budget = vid_feat.shape[0]
-    s_merged = s_full - nv + budget
+    s_merged = merged_buffer_len(spec, s_full)  # incl. pad_multiple rounding
     new_valid = valid_len - nv + n_kept
 
     # Re-pack [sys | merged video | inst] with one scatter per part.

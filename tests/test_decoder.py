@@ -429,3 +429,41 @@ def test_decode_unroll_matches_scan(hf_pair):
             np.asarray(l_s), np.asarray(l_u), rtol=1e-5, atol=1e-5
         )
         tok = jnp.argmax(l_s, -1).astype(jnp.int32)
+
+
+def test_padded_merged_buffer_token_exact(hf_pair):
+    """pad_multiple rounds the merged buffer up for kernel tiling; tokens
+    and merged_len must be identical to the unpadded run (pads are masked
+    everywhere, including across the decode-tail gap)."""
+    import dataclasses as _dc
+
+    from sttm_tpu.runtime.generate import GenerateConfig
+
+    _, params = hf_pair
+    rng = np.random.default_rng(9)
+    t, h, w = 6, 4, 4
+    nv = t * h * w
+    sys_len, inst_len = 8, 12
+    valid = sys_len + nv + inst_len
+    s_full = 128
+    base_tok = rng.normal(size=(1, 1, TINY.hidden_size))
+    video = base_tok + 0.3 * rng.normal(size=(nv, TINY.hidden_size))
+    embeds = np.zeros((1, s_full, TINY.hidden_size), np.float32)
+    embeds[0, :sys_len] = rng.normal(size=(sys_len, TINY.hidden_size))
+    embeds[0, sys_len : sys_len + nv] = video
+    embeds[0, sys_len + nv : valid] = rng.normal(size=(inst_len, TINY.hidden_size))
+
+    spec = ReducerSpec(
+        kind="quadtree", layer_idx=1, t=t, h=h, w=w, video_budget=nv // 2,
+        spatial_thresh=0.5, temporal_thresh=0.4, root_level=0,
+    )
+    # unpadded merged buffer: 128 - 96 + 48 = 80; padded to 32 -> 96
+    spec_pad = _dc.replace(spec, pad_multiple=32)
+    assert merged_buffer_len(spec, s_full) == 80
+    assert merged_buffer_len(spec_pad, s_full) == 96
+
+    gcfg = GenerateConfig(max_new_tokens=6, eos_token_ids=())
+    ids_ref, rt_ref = generate(params, TINY, jnp.asarray(embeds), valid, sys_len, spec, gcfg)
+    ids_pad, rt_pad = generate(params, TINY, jnp.asarray(embeds), valid, sys_len, spec_pad, gcfg)
+    assert ids_pad == ids_ref
+    assert rt_pad["merged_len"] == rt_ref["merged_len"]

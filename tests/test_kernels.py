@@ -46,3 +46,20 @@ def test_splash_mha_interpret_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out)[:, :200], np.asarray(ref)[:, :200], rtol=2e-3, atol=2e-3
     )
+
+def test_splash_mha_kv_compute_subblock_matches():
+    """The kv-compute sub-block (block_kv_compute < block_kv, the swept
+    production config's shape) is numerically identical."""
+    from sttm_tpu.ops.attention import _splash_mha, _xla_mha
+
+    rng = np.random.default_rng(1)
+    b, sq, hq, hkv, hd = 1, 256, 8, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, sq, hq, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, sq, hkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, sq, hkv, hd)), jnp.float32)
+    valid = jnp.int32(256)
+    sm_scale = hd**-0.5
+    ref = _xla_mha(q, k, v, valid, True, 0, sm_scale)
+    out = _splash_mha(q, k, v, valid, sm_scale, interpret=True,
+                      block_q=128, block_kv=256, block_kv_compute=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
