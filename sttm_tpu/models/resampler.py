@@ -4,9 +4,9 @@ The reference builder (llava/model/multimodal_resampler/builder.py:21-35)
 dispatches over: ``spatial_pool`` (LLaVA-NeXT-Video's per-frame 2D pooling,
 spatial_pool.py:6-42), ``masked_drop`` (training-time random token masking,
 masked_drop.py:7-43), ``perceiver`` (flamingo-style latent resampler,
-perceiver.py:74-130), ``qformer``, and the IdentityMap default used by every
-STTM experiment. We implement the first three functionally (qformer stays
-descoped: a vendored BERT stack unused by any evaluated model family), plus
+perceiver.py:74-130), ``qformer`` (BLIP-2 query-only BERT — see
+``sttm_tpu.models.qformer``), and the IdentityMap default used by every
+STTM experiment. This module implements the first three functionally, plus
 the MiniCPM-V 2.6-style cross-attention resampler that FrameFusion's MiniCPM-V
 front-end feeds through (framefusion/models/minicpmv/modeling_minicpmv.py:47
 calls ``self.resampler(vision_embedding, tgt_sizes)``; the module itself lives

@@ -144,3 +144,88 @@ def test_minicpmv_resampler_shapes_and_position_sensitivity():
     perm = rng.permutation(12)
     out3 = minicpmv_resample(params, cfg, jnp.asarray(feats[perm]), (3, 4))
     assert not np.allclose(np.asarray(out), np.asarray(out3), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Q-Former (BLIP-2 query-only BERT) — parity vs the vendored reference module
+# ---------------------------------------------------------------------------
+
+
+def test_qformer_init_shapes_and_finite():
+    from sttm_tpu.models.qformer import QFormerConfig, init_qformer_params, qformer_resample
+
+    cfg = QFormerConfig(hidden_size=32, num_heads=4, intermediate_size=64, num_layers=3,
+                        num_latents=6, encoder_width=20, cross_attention_freq=2)
+    params = init_qformer_params(cfg, jax.random.key(0))
+    # cross-attention only on layers 0 and 2 (freq=2, qformer.py:343)
+    assert "cross" in params["layers"][0] and "cross" in params["layers"][2]
+    assert "cross" not in params["layers"][1]
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 11, 20)).astype(np.float32))
+    out = qformer_resample(params, cfg, feats)
+    assert out.shape == (2, 6, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
+def test_qformer_matches_reference_torch_module():
+    torch = pytest.importorskip("torch")
+    from sttm_tpu.models.qformer import QFormerConfig, qformer_params_from_torch, qformer_resample
+
+    # the vendored module imports helpers that newer transformers moved to
+    # pytorch_utils — shim them back before exec'ing the file
+    import transformers.modeling_utils as mu
+    import transformers.pytorch_utils as pu
+
+    for name in ("apply_chunking_to_forward", "find_pruneable_heads_and_indices", "prune_linear_layer"):
+        if not hasattr(mu, name):
+            setattr(mu, name, getattr(pu, name))
+    path = os.path.join(REFERENCE, "llava/model/multimodal_resampler/qformer.py")
+    spec_ = importlib.util.spec_from_file_location("ref_qformer", path)
+    mod = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(mod)
+    from transformers.models.bert.configuration_bert import BertConfig
+
+    torch.manual_seed(0)
+    # small geometry; construction mirrors build_Qformer (qformer.py:1119-1135)
+    H, NH, F, L, NQ, DV, FREQ = 64, 4, 128, 5, 8, 48, 2
+    bcfg = BertConfig(hidden_size=H, num_attention_heads=NH, intermediate_size=F,
+                      num_hidden_layers=L, vocab_size=128, max_position_embeddings=32)
+    bcfg.encoder_width = DV
+    bcfg.add_cross_attention = True
+    bcfg.cross_attention_freq = FREQ
+    bcfg.query_length = NQ
+    qf = mod.BertLMHeadModel(config=bcfg)
+    query_tokens = torch.nn.Parameter(torch.zeros(1, NQ, H))
+    query_tokens.data.normal_(mean=0.0, std=bcfg.initializer_range)
+    qf.cls = None
+    qf.bert.embeddings.word_embeddings = None
+    qf.bert.embeddings.position_embeddings = None
+    for layer in qf.bert.encoder.layer:
+        layer.output = None
+        layer.intermediate = None
+    ln_vision = torch.nn.LayerNorm(DV)
+    with torch.no_grad():  # non-identity LN so the test exercises its params
+        ln_vision.weight.normal_(1.0, 0.1)
+        ln_vision.bias.normal_(0.0, 0.1)
+    qf.eval()
+
+    B, N = 2, 17
+    x = torch.randn(B, N, DV)
+    with torch.no_grad():  # Qformer.forward (qformer.py:1137-1148)
+        feats = ln_vision(x)
+        image_atts = torch.ones(feats.size()[:-1], dtype=torch.long)
+        qt = query_tokens.expand(feats.shape[0], -1, -1)
+        out = qf.bert(query_embeds=qt, encoder_hidden_states=feats,
+                      encoder_attention_mask=image_atts, return_dict=True)
+        want = out.last_hidden_state.numpy()
+
+    jcfg = QFormerConfig(hidden_size=H, num_heads=NH, intermediate_size=F, num_layers=L,
+                         num_latents=NQ, encoder_width=DV, cross_attention_freq=FREQ)
+    sd = {("Qformer." + k): v.numpy() for k, v in qf.state_dict().items()}
+    sd["query_tokens"] = query_tokens.detach().numpy()
+    sd["ln_vision.weight"] = ln_vision.weight.detach().numpy()
+    sd["ln_vision.bias"] = ln_vision.bias.detach().numpy()
+    params = qformer_params_from_torch(jcfg, sd)
+    got = qformer_resample(params, jcfg, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
