@@ -103,3 +103,33 @@ def framefusion_spec_minicpmv(
 
     pt, _, _, _, _ = minicpmv_patch_types(s_full, image_bound, num_frames)
     return FrameFusionSpec(cost=cost, patch_type=tuple(int(v) for v in pt), **kw)
+
+
+def encode_minicpmv_slices(
+    vpm_params: dict,
+    resampler_params: dict,
+    patches,
+    tgt_sizes,
+    vpm_cfg=None,
+    resampler_cfg=None,
+):
+    """Pixels -> per-slice resampled vision embeds (get_vllm_embedding's
+    vision half, modeling_minicpmv.py:16-47): packed patch slices through the
+    NaViT SigLIP tower (``self.vpm``, models/navit_siglip.py), then the
+    cross-attention resampler per slice with its (th, tw) grid.
+
+    patches: [n_img, N_max, 3*p*p]; tgt_sizes: [n_img, 2] int.
+    Returns [n_img, num_queries, embed_dim] ready for
+    ``assemble_minicpmv_embeds``.
+    """
+    from .navit_siglip import NAVIT_SIGLIP_MINICPMV, navit_siglip_encode
+    from .resampler import minicpmv_resample
+
+    vpm_cfg = vpm_cfg or NAVIT_SIGLIP_MINICPMV
+    feats = navit_siglip_encode(vpm_params, vpm_cfg, jnp.asarray(patches), jnp.asarray(tgt_sizes, jnp.int32))
+    out = []
+    tg = np.asarray(tgt_sizes, np.int64)
+    for i in range(feats.shape[0]):
+        th, tw = int(tg[i, 0]), int(tg[i, 1])
+        out.append(minicpmv_resample(resampler_params, resampler_cfg, feats[i, : th * tw], (th, tw)))
+    return jnp.stack(out)
