@@ -64,6 +64,10 @@ class DecoderConfig:
     moe_intermediate_size: int = 0
     shared_expert_intermediate_size: int = 0
     norm_topk_prob: bool = False
+    # Expert dispatch: "auto" (gather for tiny N, dense otherwise — safe
+    # under ep sharding), "dense", "gather", or "sort" (dropless sorted
+    # grouped-GEMM via lax.ragged_dot; single-device prefill only).
+    moe_dispatch: str = "auto"
 
     @property
     def q_dim(self) -> int:

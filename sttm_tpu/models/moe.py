@@ -125,6 +125,29 @@ def moe_mlp(lp: dict, h: jnp.ndarray, cfg, mode: str = "auto") -> jnp.ndarray:
         u = jnp.einsum("nd,nkdf->nkf", x, wu)
         o = jnp.einsum("nkf,nkfd->nkd", mlp_act(g, cfg) * u, wd)
         y = jnp.einsum("nkd,nk->nd", o, topv)
+    elif mode == "sort":
+        # dropless sorted dispatch (MegaBlocks-style): sort the N*k
+        # (token, expert) assignments by expert, run grouped matmuls via
+        # lax.ragged_dot (TPU grouped-GEMM primitive), scatter-add back.
+        # FLOPs = N*k assignment rows vs the dense form's N*E — E/k fewer
+        # (15x at Qwen2-MoE's E=60, k=4) with no capacity factor and no
+        # dropped tokens. Single-device dispatch: under an "ep"-sharded mesh
+        # use dense (its einsums partition over the expert axis; ragged
+        # group sizes do not).
+        k = cfg.num_experts_per_tok
+        flat_e = topi.reshape(-1)
+        order = jnp.argsort(flat_e)  # stable: preserves token order per expert
+        tok = order // k
+        xs = x[tok]  # [N*k, D]
+        group_sizes = jnp.bincount(flat_e, length=cfg.num_experts)
+        we_g = dequantize(lp["we_g"], x.dtype)
+        we_u = dequantize(lp["we_u"], x.dtype)
+        we_d = dequantize(lp["we_d"], x.dtype)
+        g = jax.lax.ragged_dot(xs, we_g, group_sizes)
+        u = jax.lax.ragged_dot(xs, we_u, group_sizes)
+        o = jax.lax.ragged_dot(mlp_act(g, cfg) * u, we_d, group_sizes)
+        w = topv.reshape(-1)[order]
+        y = jnp.zeros((n, d), x.dtype).at[tok].add(o * w[:, None])
     else:
         raise ValueError(f"unknown moe dispatch mode {mode!r}")
 

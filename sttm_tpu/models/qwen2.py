@@ -215,7 +215,7 @@ def mlp_block(lp: dict, h: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
     if "router" in lp:
         from .moe import moe_mlp
 
-        return moe_mlp(lp, h, cfg)
+        return moe_mlp(lp, h, cfg, getattr(cfg, "moe_dispatch", "auto"))
     aq = cfg.act_quant
     return _mat(mlp_act(_mat(h, lp["wg"], aq), cfg) * _mat(h, lp["wu"], aq), lp["wd"], aq)
 

@@ -119,6 +119,39 @@ def test_moe_gather_matches_dense(hf_moe_pair):
     )
 
 
+def test_moe_sort_matches_dense(hf_moe_pair):
+    """The dropless sorted ragged-dot dispatch matches the dense-masked form
+    at prefill scale (same selected-expert math; different grouping and
+    combine order, hence tolerance)."""
+    from sttm_tpu.models.moe import moe_mlp
+
+    _, params = hf_moe_pair
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    rng = np.random.default_rng(3)
+    # enough tokens that every expert gets a non-trivial, uneven group
+    h = jnp.asarray(rng.normal(size=(2, 37, TINY_MOE.hidden_size)) * 0.3, jnp.float32)
+    y_dense = moe_mlp(lp, h, TINY_MOE, mode="dense")
+    y_sort = moe_mlp(lp, h, TINY_MOE, mode="sort")
+    np.testing.assert_allclose(
+        np.asarray(y_dense), np.asarray(y_sort), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_moe_sort_empty_expert_groups(hf_moe_pair):
+    """Sort dispatch with few tokens: most experts get zero-size groups."""
+    from sttm_tpu.models.moe import moe_mlp
+
+    _, params = hf_moe_pair
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    rng = np.random.default_rng(4)
+    h = jnp.asarray(rng.normal(size=(1, 1, TINY_MOE.hidden_size)) * 0.3, jnp.float32)
+    y_dense = moe_mlp(lp, h, TINY_MOE, mode="dense")
+    y_sort = moe_mlp(lp, h, TINY_MOE, mode="sort")
+    np.testing.assert_allclose(
+        np.asarray(y_dense), np.asarray(y_sort), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_moe_expert_parallel_sharding(hf_moe_pair):
     """EP over the 8-device CPU mesh: one expert per device, prefill logits
     match the unsharded run (the expert-sum becomes a psum under the hood)."""
