@@ -65,8 +65,10 @@ class DecoderConfig:
     shared_expert_intermediate_size: int = 0
     norm_topk_prob: bool = False
     # Expert dispatch: "auto" (gather for tiny N, dense otherwise — safe
-    # under ep sharding), "dense", "gather", or "sort" (dropless sorted
-    # grouped-GEMM via lax.ragged_dot; single-device prefill only).
+    # under ep sharding), "dense", "gather", "sort" (dropless sorted
+    # grouped-GEMM via lax.ragged_dot), or "gmm" (same layout through the
+    # Pallas grouped-GEMM kernel, ops/gmm.py). sort/gmm: single-device
+    # prefill only.
     moe_dispatch: str = "auto"
 
     @property

@@ -148,6 +148,28 @@ def moe_mlp(lp: dict, h: jnp.ndarray, cfg, mode: str = "auto") -> jnp.ndarray:
         o = jax.lax.ragged_dot(mlp_act(g, cfg) * u, we_d, group_sizes)
         w = topv.reshape(-1)[order]
         y = jnp.zeros((n, d), x.dtype).at[tok].add(o * w[:, None])
+    elif mode == "gmm":
+        # same dropless sorted dispatch, but through the Pallas grouped-GEMM
+        # (ops/gmm.py): groups padded to tm-multiples so every m-tile is one
+        # expert and the MXU runs full tiles — built because ragged_dot's XLA
+        # lowering measures ~16 TFLOP/s on the selected FLOPs (GAPS.md #9).
+        # Single-device prefill path, like "sort".
+        from ..ops.gmm import gmm, grouped_layout
+
+        k = cfg.num_experts_per_tok
+        flat_e = topi.reshape(-1)
+        tm = 256 if n * k >= 2048 else 8
+        order, row_dst, tile_group, m_pad = grouped_layout(flat_e, cfg.num_experts, tm)
+        tok = order // k
+        xs = jnp.zeros((m_pad, d), x.dtype).at[row_dst].set(x[tok])
+        we_g = dequantize(lp["we_g"], x.dtype)
+        we_u = dequantize(lp["we_u"], x.dtype)
+        we_d = dequantize(lp["we_d"], x.dtype)
+        g = gmm(xs, we_g, tile_group, tm)
+        u = gmm(xs, we_u, tile_group, tm)
+        o = gmm(mlp_act(g, cfg) * u, we_d, tile_group, tm)
+        w = topv.reshape(-1)[order]
+        y = jnp.zeros((n, d), x.dtype).at[tok].add(o[row_dst] * w[:, None])
     else:
         raise ValueError(f"unknown moe dispatch mode {mode!r}")
 
