@@ -148,13 +148,14 @@ def moe_mlp(lp: dict, h: jnp.ndarray, cfg, mode: str = "auto") -> jnp.ndarray:
         o = jax.lax.ragged_dot(mlp_act(g, cfg) * u, we_d, group_sizes)
         w = topv.reshape(-1)[order]
         y = jnp.zeros((n, d), x.dtype).at[tok].add(o * w[:, None])
-    elif mode == "gmm":
+    elif mode in ("gmm", "gmm_fused"):
         # same dropless sorted dispatch, but through the Pallas grouped-GEMM
         # (ops/gmm.py): groups padded to tm-multiples so every m-tile is one
         # expert and the MXU runs full tiles — built because ragged_dot's XLA
         # lowering measures ~16 TFLOP/s on the selected FLOPs (GAPS.md #9).
-        # Single-device prefill path, like "sort".
-        from ..ops.gmm import gmm, grouped_layout
+        # "gmm_fused" runs the whole SwiGLU in one kernel (one HBM pass over
+        # all three expert matrices). Single-device prefill paths, like "sort".
+        from ..ops.gmm import gmm, gmm_mlp_fused, grouped_layout
 
         k = cfg.num_experts_per_tok
         flat_e = topi.reshape(-1)
@@ -165,9 +166,14 @@ def moe_mlp(lp: dict, h: jnp.ndarray, cfg, mode: str = "auto") -> jnp.ndarray:
         we_g = dequantize(lp["we_g"], x.dtype)
         we_u = dequantize(lp["we_u"], x.dtype)
         we_d = dequantize(lp["we_d"], x.dtype)
-        g = gmm(xs, we_g, tile_group, tm)
-        u = gmm(xs, we_u, tile_group, tm)
-        o = gmm(mlp_act(g, cfg) * u, we_d, tile_group, tm)
+        if mode == "gmm_fused":
+            if cfg.hidden_act != "silu":
+                raise ValueError("gmm_fused supports SiLU only")
+            o = gmm_mlp_fused(xs, we_g, we_u, we_d, tile_group, tm)
+        else:
+            g = gmm(xs, we_g, tile_group, tm)
+            u = gmm(xs, we_u, tile_group, tm)
+            o = gmm(mlp_act(g, cfg) * u, we_d, tile_group, tm)
         w = topv.reshape(-1)[order]
         y = jnp.zeros((n, d), x.dtype).at[tok].add(o[row_dst] * w[:, None])
     else:

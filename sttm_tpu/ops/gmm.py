@@ -29,7 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["grouped_layout", "gmm", "pick_tile_n"]
+__all__ = ["grouped_layout", "gmm", "gmm_mlp_fused", "pick_tile_n"]
 
 
 def grouped_layout(flat_g: jnp.ndarray, n_groups: int, tm: int):
@@ -101,6 +101,83 @@ def _gmm_call(xs, w, tile_group, tm, tf, interpret):
         out_shape=jax.ShapeDtypeStruct((m, f), xs.dtype),
         interpret=interpret,
     )(tile_group, xs, w)
+
+
+def _gmm_mlp_kernel(tg_ref, x_ref, wg_ref, wu_ref, wd_ref, o_ref, acc_ref):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    g = jax.lax.dot_general(x, wg_ref[0], dn, preferred_element_type=jnp.float32)
+    u = jax.lax.dot_general(x, wu_ref[0], dn, preferred_element_type=jnp.float32)
+    h = (g * jax.lax.logistic(g) * u).astype(x.dtype)  # SiLU in f32 (Mosaic: no bf16 ALU)
+    acc_ref[...] += jax.lax.dot_general(h, wd_ref[0], dn, preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tf", "interpret"))
+def _gmm_mlp_call(xs, wg, wu, wd, tile_group, tm, tf, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, d = xs.shape
+    f = wg.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // tm, f // tf),
+        in_specs=[
+            pl.BlockSpec((tm, d), lambda i, j, tg: (i, 0)),
+            pl.BlockSpec((1, d, tf), lambda i, j, tg: (tg[i], 0, j)),
+            pl.BlockSpec((1, d, tf), lambda i, j, tg: (tg[i], 0, j)),
+            pl.BlockSpec((1, tf, d), lambda i, j, tg: (tg[i], j, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, d), lambda i, j, tg: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((tm, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _gmm_mlp_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, d), xs.dtype),
+        interpret=interpret,
+    )(tile_group, xs, wg, wu, wd)
+
+
+def gmm_mlp_fused(
+    xs: jnp.ndarray,
+    wg: jnp.ndarray,
+    wu: jnp.ndarray,
+    wd: jnp.ndarray,
+    tile_group: jnp.ndarray,
+    tm: int = 256,
+    tf: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Whole grouped SwiGLU MLP in ONE kernel: per m-tile, sweep the expert's
+    hidden width in tf-chunks computing gate/up/SiLU and accumulating the
+    down-projection — one HBM pass over all three weight matrices, no [M, F]
+    intermediates in HBM. SiLU only (the Qwen2-MoE activation).
+
+    xs: [M, D] grouped_layout rows; wg/wu: [E, D, F]; wd: [E, F, D].
+    Returns [M, D] in xs.dtype.
+    """
+    m, d = xs.shape
+    if m % tm:
+        raise ValueError(f"gmm rows {m} not a multiple of tm={tm}")
+    f = wg.shape[-1]
+    if tf is None:
+        tf = pick_tile_n(f, cap=256)  # three weight blocks live at once
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _gmm_mlp_call(xs, wg, wu, wd, tile_group, tm, tf, interpret)
 
 
 def gmm(

@@ -89,7 +89,8 @@ def test_pick_tile_n():
     assert pick_tile_n(96) == 96      # no 128-multiple divides -> whole width
 
 
-def test_moe_gmm_matches_dense():
+@pytest.mark.parametrize("mode", ["gmm", "gmm_fused"])
+def test_moe_gmm_matches_dense(mode):
     from sttm_tpu.models.config import TINY_MOE
     from sttm_tpu.models.moe import init_moe_layer_params, moe_mlp
 
@@ -101,7 +102,27 @@ def test_moe_gmm_matches_dense():
     rng = np.random.default_rng(5)
     h = jnp.asarray(rng.normal(size=(2, 37, TINY_MOE.hidden_size)) * 0.3, jnp.float32)
     y_dense = moe_mlp(lp, h, TINY_MOE, mode="dense")
-    y_gmm = moe_mlp(lp, h, TINY_MOE, mode="gmm")
+    y_gmm = moe_mlp(lp, h, TINY_MOE, mode=mode)
     np.testing.assert_allclose(
         np.asarray(y_dense), np.asarray(y_gmm), rtol=1e-4, atol=1e-5
     )
+
+
+def test_gmm_mlp_fused_matches_unfused_multi_ftile():
+    """Fused SwiGLU kernel with several f-tiles per expert (accumulation path)."""
+    from sttm_tpu.ops.gmm import gmm_mlp_fused
+
+    tm, d, f, e = 8, 16, 48, 3
+    rng = np.random.default_rng(6)
+    flat_g = rng.integers(0, e, size=40).astype(np.int32)
+    order, row_dst, tile_group, m_pad = grouped_layout(jnp.asarray(flat_g), e, tm)
+    xs = jnp.asarray(rng.normal(size=(m_pad, d)).astype(np.float32))
+    wg = jnp.asarray(rng.normal(size=(e, d, f)).astype(np.float32) * 0.2)
+    wu = jnp.asarray(rng.normal(size=(e, d, f)).astype(np.float32) * 0.2)
+    wd = jnp.asarray(rng.normal(size=(e, f, d)).astype(np.float32) * 0.2)
+
+    got = gmm_mlp_fused(xs, wg, wu, wd, tile_group, tm, tf=16, interpret=True)
+    g = gmm(xs, wg, tile_group, tm, interpret=True)
+    u = gmm(xs, wu, tile_group, tm, interpret=True)
+    want = gmm(jax.nn.silu(g) * u, wd, tile_group, tm, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
