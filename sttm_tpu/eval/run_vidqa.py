@@ -105,6 +105,12 @@ def parse_args(argv=None):
                    help=">=2 enables greedy speculative decoding (token-"
                         "exact): n-gram prompt-lookup drafts k-1 tokens, "
                         "one verify dispatch scores them all")
+    p.add_argument("--prefix_cache", action="store_true",
+                   help="reuse the [sys|video] prefill cache across "
+                        "questions of the same video (token-exact; ttft_llm "
+                        "becomes the per-question extension cost, the "
+                        "group's first runtime row carries "
+                        "prefix_prefill_time)")
     p.add_argument("--frame_bucket", type=int, default=0,
                    help="bucket frame counts to multiples of N (bounds jit "
                         "recompiles); exact for sa_start_layer_idx 0")
@@ -166,6 +172,7 @@ def _eval_config(args, name):
         spec_decode_k=args.spec_decode_k,
         batch_size=args.batch_size,
         sp=args.sp,
+        prefix_cache=args.prefix_cache,
         pad_multiple=32 if args.smoke else 128,
         eos_token_ids=() if args.smoke else (151645, 151643),
     )
@@ -182,6 +189,18 @@ def main(argv=None):
             raise SystemExit("--feature_dir is required for --input_mode feature")
         if args.input_mode == "video" and not args.video_dir:
             raise SystemExit("--video_dir is required for --input_mode video")
+    if args.prefix_cache:
+        if args.model_family != "llava":
+            raise SystemExit("--prefix_cache supports the llava family only")
+        if (
+            args.batch_size > 1 or args.sp > 1 or args.spec_decode_k > 1
+            or args.decode_chunk_size > 1 or args.frame_bucket > 0
+            or args.sa_pattern in ("streamingllm", "dycoke")
+        ):
+            raise SystemExit(
+                "--prefix_cache is per-sample per-step decode only and "
+                "excludes streamingllm / dycoke decode pruning"
+            )
     if args.sp > 1:
         ok_patterns = {"origin", "quadtree", "tome", "dycoke-stage1", "octree"}
         if args.sa_pattern not in ok_patterns:

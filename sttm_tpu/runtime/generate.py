@@ -331,6 +331,166 @@ def build_verify_step(cfg: DecoderConfig, spec, k: int):
     return jax.jit(fn, donate_argnums=(2,))
 
 
+@functools.lru_cache(maxsize=16)
+def build_extend(cfg: DecoderConfig, spec, s_suffix: int):
+    """Prefix-cache extension: run ``s_suffix`` suffix tokens (padded; first
+    ``suffix_valid`` real) against an existing prefill cache, writing their
+    K/V contiguously after each group's packed length. (params, cache,
+    suffix_embeds [1, s_suffix, D], suffix_valid) -> (logits [1, V], cache).
+
+    Rationale: the benchmark access pattern is many questions per video
+    (multiple qids share one vid in every annotation set — the reference
+    re-prefills [sys|video|question] from scratch per question,
+    eval_vidqa_by_feat_llavavideo.py:236-244). The merge at layer k depends
+    only on tokens BEFORE the question (causal attention: video hidden
+    states cannot see the suffix), so the [sys|video] prefill — merge
+    included — is question-independent and its cache is exactly reusable;
+    only the question tokens (~tens) need computing. The cache argument is
+    NOT donated: the same prefix cache serves every question of the video.
+
+    Positions: the HF-default truncate+recompute policy gives group gi's
+    suffix tokens positions lens[gi] + i (group 0 = unmerged continuation,
+    later groups = merged continuation — what the reference's recomputed
+    rotary does for the instruction segment); M-RoPE / position-gathering
+    specs keep ORIGINAL positions for all groups: cache.pos_base + i.
+    StreamingLLM windows and DyCoke decode pruning are out of scope here.
+    """
+    specs = _normalize_specs(spec)
+    bounds = _group_bounds(cfg, specs)
+    mrope = bool(cfg.mrope_section)
+    original_pos = mrope or any(sp.gathers_positions for sp in specs)
+
+    def fn(params, cache, suffix_embeds, suffix_valid):
+        layers = params["layers"]
+        x = suffix_embeds
+        new_ks, new_vs = [], []
+        for gi, (lo, hi) in enumerate(bounds):
+            if original_pos:
+                pos = (cache.pos_base + jnp.arange(s_suffix)).astype(jnp.int32)
+            else:
+                pos = (cache.lens[gi] + jnp.arange(s_suffix)).astype(jnp.int32)
+            if mrope:
+                pos = jnp.broadcast_to(pos[None], (3, s_suffix))
+            cos, sin = qwen2.rope_cos_sin(cfg, pos)
+            # tail_start=0 + step_idx=lens[gi] lands the suffix at the main
+            # region's packed end; the verify-window attention (causal with
+            # q_offset) bounds row j's reads to prefix + suffix[:j+1]
+            x, ck, cv, _ = qwen2.decode_layers(
+                layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
+                cache.lens[gi], cache.lens[gi], 0, cfg,
+            )
+            new_ks.append(ck)
+            new_vs.append(cv)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
+        last = jax.lax.dynamic_slice(
+            h, (0, suffix_valid - 1, 0), (1, 1, cfg.hidden_size)
+        )
+        logits = qwen2.lm_head(params, cfg, last)[:, 0]
+        base = cache.pos_base if original_pos else cache.lens[0]
+        new_cache = dataclasses.replace(
+            cache,
+            ks=tuple(new_ks),
+            vs=tuple(new_vs),
+            lens=tuple(l + suffix_valid for l in cache.lens),
+            pos_base=(base + suffix_valid).astype(jnp.int32),
+        )
+        return logits, new_cache
+
+    return jax.jit(fn)
+
+
+def prefix_prefill(
+    params,
+    cfg: DecoderConfig,
+    embeds: jnp.ndarray,
+    prefix_valid: int,
+    video_start: int,
+    spec,
+    impl: str = "xla",
+    position_ids=None,
+    t_valid=None,
+):
+    """Prefill the question-independent [sys|video] prefix once, merge
+    included. ``embeds`` must be padded to the FULL prompt buffer (s_full
+    covering the longest suffix) so the cache has room for any question's
+    tokens and decode reuses the normal compiled programs. Returns the
+    reusable cache (pass to generate_from_prefix for each question)."""
+    s_full = embeds.shape[1]
+    spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
+    prefill = build_prefill(cfg, spec_key, s_full, impl)
+    specs = _normalize_specs(spec_key)
+    # Position-gathering specs (M-RoPE, FastV) keep ORIGINAL token positions
+    # through the merge, so in the full path the suffix starts at one past the
+    # max UNMERGED prefix position (get_rope_index rope-delta semantics,
+    # modeling_qwen2vl.py:1779). The prefill's own pos_base is max KEPT
+    # position + 1, which undershoots whenever the merge drops the
+    # raster-last token — override it with the unmerged base.
+    pos_base = None
+    if bool(cfg.mrope_section) or any(sp.gathers_positions for sp in specs):
+        if position_ids is None:
+            pos_base = jnp.int32(prefix_valid)
+        else:
+            pos_base = (
+                jnp.max(position_ids[..., :prefix_valid]) + 1
+            ).astype(jnp.int32)
+    _, cache = prefill(
+        params, embeds, jnp.int32(prefix_valid), jnp.int32(video_start),
+        position_ids, pos_base, None if t_valid is None else jnp.int32(t_valid),
+    )
+    return cache
+
+
+def generate_from_prefix(
+    params,
+    cfg: DecoderConfig,
+    prefix_cache,
+    suffix_embeds: jnp.ndarray,
+    suffix_valid: int,
+    spec,
+    gen: GenerateConfig = GenerateConfig(),
+):
+    """Greedy generation for one question against a shared prefix cache
+    (prefix_prefill). suffix_embeds: [1, s_suffix, D] (bucket-padded).
+    Returns (token_ids, runtime dict) like generate(); ttft_llm here is the
+    EXTENSION cost — the per-question prefill work under prefix caching."""
+    s_suffix = suffix_embeds.shape[1]
+    spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
+    extend = build_extend(cfg, spec_key, s_suffix)
+    decode = build_decode_step(cfg, spec_key)
+
+    t0 = time.perf_counter()
+    logits, cache = extend(
+        params, prefix_cache, suffix_embeds, jnp.int32(suffix_valid)
+    )
+    logits.block_until_ready()
+    ttft = time.perf_counter() - t0
+
+    token = jnp.argmax(logits, -1).astype(jnp.int32)
+    ids = [int(token[0])]
+    merged_len = int(cache.merged_len)
+    time_decoding = 0.0
+    step = 0
+    while len(ids) < gen.max_new_tokens and ids[-1] not in gen.eos_token_ids:
+        t0 = time.perf_counter()
+        logits, cache = decode(params, token, cache, jnp.int32(step))
+        logits = jax.block_until_ready(logits)
+        time_decoding += time.perf_counter() - t0
+        token = jnp.argmax(logits, -1).astype(jnp.int32)
+        ids.append(int(token[0]))
+        step += 1
+
+    runtime = {
+        "ttft_llm": ttft,
+        "time_decoding": time_decoding,
+        "num_dec_token": len(ids),
+        "merged_len": merged_len,
+        "full_len": int(cache.lens[0]),
+        "budget_overflow": 0 if cache.budget_overflow is None else int(cache.budget_overflow),
+        "prefix_cached": True,
+    }
+    return ids, runtime
+
+
 def _batched_like(x, b: int):
     """Zero-filled head-packed batched buffer shaped like one sample's cache
     leaf: [Lg, 1, S, KV, hd] -> [Lg, 1, S, B*KV, hd]; scalar leaves -> [B]."""
