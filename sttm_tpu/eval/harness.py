@@ -85,8 +85,10 @@ class EvalConfig:
     # token-exactly reusable (runtime/generate.py prefix_prefill). ttft_llm
     # then reports the per-question EXTENSION cost; each group's first row
     # additionally carries prefix_prefill_time (paid once per video).
-    # LLaVA per-sample path only; ignored when combined with batch/sp/
-    # spec-decode/chunked-decode/dycoke-decode/streaming/frame_bucket.
+    # LLaVA + Qwen2-VL. Composes with batch_size > 1 (each video's questions
+    # run head-packed-batched over the shared cache) and, when batched, with
+    # decode_chunk_size. Ignored when combined with sp/spec-decode/
+    # dycoke-decode/streaming/frame_bucket.
     prefix_cache: bool = False
 
 
@@ -175,7 +177,64 @@ class Qwen2VLEvaluator:
         s_full = math.ceil(raw_len / cfg.pad_multiple) * cfg.pad_multiple
         return (s_full, self.spec_factory(*sample["grid"]))
 
-    evaluate = None  # assigned below (shares LlavaEvaluator.evaluate)
+    def _prefix_key(self, sample: dict):
+        """Prefix-cache grouping key: (vid, tokens up to and including the
+        <|video_pad|> run). Tokens after the video are the question suffix."""
+        from ..models.qwen2vl import VIDEO_PAD_TOKEN_ID
+
+        ids = np.asarray(sample["input_ids"]).reshape(-1)
+        pad_pos = np.nonzero(ids == VIDEO_PAD_TOKEN_ID)[0]
+        if len(pad_pos) == 0 or pad_pos[-1] - pad_pos[0] + 1 != len(pad_pos):
+            return None
+        return (sample["vid"], tuple(ids[: int(pad_pos[-1]) + 1].tolist()))
+
+    def _prefix_plan(self, key, grp, cfg: EvalConfig):
+        """Qwen2-VL prefix plan: scatter features over the video-pad run of
+        the shared prefix, build M-RoPE positions for it, and embed each
+        question's post-video tokens as the suffix. The extension's
+        pos_base = max unmerged prefix position + 1 (prefix_prefill), which
+        is exactly where get_rope_index puts post-video text
+        (modeling_qwen2vl.py:1452-1581), so positions match the full path."""
+        from ..models.qwen2vl import assemble_video_embeds, build_video_mrope_positions
+        from ..runtime.generate import prefix_prefill
+
+        t, gh, gw = grp[0]["grid"]
+        spec = self.spec_factory(t, gh, gw)
+        if not (spec is None or isinstance(spec, (ReducerSpec, tuple))):
+            return None
+        prefix_ids = np.asarray(key[1], np.int32)
+        prefix_valid = len(prefix_ids)
+        insts = [np.asarray(s["input_ids"]).reshape(-1)[prefix_valid:] for s in grp]
+        s_sfx = max(16, math.ceil(max(len(i) for i in insts) / 16) * 16)
+        s_full = math.ceil((prefix_valid + s_sfx) / cfg.pad_multiple) * cfg.pad_multiple
+        embeds, _, video_start, n_video = assemble_video_embeds(
+            self.decoder_params, prefix_ids, jnp.asarray(grp[0]["feature"]), s_full
+        )
+        pos, _ = build_video_mrope_positions(video_start, t, gh, gw, 0, s_full)
+
+        def suffix_embeds(inst):
+            e = qwen2.embed_tokens(
+                self.decoder_params, jnp.asarray(inst, jnp.int32), self.decoder_cfg
+            )
+            return jnp.pad(e, ((0, s_sfx - len(inst)), (0, 0)))[None]
+
+        def run_prefill():
+            return prefix_prefill(
+                self.decoder_params, self.decoder_cfg, embeds, prefix_valid,
+                video_start, spec, impl=cfg.attention_impl, position_ids=pos,
+            )
+
+        return dict(
+            spec=spec, sys_len=video_start, n_video=n_video,
+            prefix_valid=prefix_valid, insts=insts, s_sfx=s_sfx, s_full=s_full,
+            run_prefill=run_prefill, suffix_embeds=suffix_embeds,
+        )
+
+    # assigned below (share LlavaEvaluator's loops)
+    evaluate = None
+    _evaluate_prefix_cached = None
+    _emit = None
+    _sample_features = None
 
 
 class LlavaEvaluator:
@@ -300,41 +359,84 @@ class LlavaEvaluator:
         append_jsonl(rt_path, {"question_id": sample["id"], **runtime})
         append_jsonl(stat_path, {"question_id": sample["id"], **stat})
 
+    def _prefix_key(self, sample: dict):
+        """Grouping key for prefix caching: (vid, the question-independent
+        token prefix — everything up to and including the image token).
+        None = no shareable prefix (run the sample on the normal path)."""
+        from ..models.llava import IMAGE_TOKEN_INDEX
+
+        ids = np.asarray(sample["input_ids"]).reshape(-1)
+        img_pos = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
+        if len(img_pos) != 1:
+            return None
+        return (sample["vid"], tuple(ids[: int(img_pos[0]) + 1].tolist()))
+
+    def _prefix_plan(self, key, grp, cfg: EvalConfig):
+        """Build a group's prefix-prefill plan, or None to fall back to the
+        per-sample path (e.g. FrameFusion specs, which merge layerwise and
+        have no question-independent prefix cache)."""
+        from ..runtime.generate import prefix_prefill
+
+        feats = self._sample_features(grp[0])
+        side = self.llava_cfg.pooled_side
+        spec = self.spec_factory(feats.shape[0], side, side)
+        if not (spec is None or isinstance(spec, (ReducerSpec, tuple))):
+            return None
+        prefix_ids = np.asarray(key[1], np.int32)
+        sys_len = len(prefix_ids) - 1  # prefix = sys tokens + image token
+        n_video = feats.shape[0] * self.llava_cfg.tokens_per_frame()
+        prefix_valid = sys_len + n_video
+        insts = [np.asarray(s["input_ids"]).reshape(-1)[sys_len + 1 :] for s in grp]
+        s_sfx = max(16, math.ceil(max(len(i) for i in insts) / 16) * 16)
+        s_full = math.ceil((prefix_valid + s_sfx) / cfg.pad_multiple) * cfg.pad_multiple
+        embeds, _, video_start, _ = llava.build_multimodal_embeds(
+            self.decoder_params, self.llava_cfg, self.mm_params,
+            prefix_ids, feats, s_full,
+        )
+
+        def suffix_embeds(inst):
+            e = qwen2.embed_tokens(
+                self.decoder_params, jnp.asarray(inst, jnp.int32), self.decoder_cfg
+            )
+            return jnp.pad(e, ((0, s_sfx - len(inst)), (0, 0)))[None]
+
+        def run_prefill():
+            return prefix_prefill(
+                self.decoder_params, self.decoder_cfg, embeds, prefix_valid,
+                video_start, spec, impl=cfg.attention_impl,
+            )
+
+        return dict(
+            spec=spec, sys_len=sys_len, n_video=n_video, prefix_valid=prefix_valid,
+            insts=insts, s_sfx=s_sfx, s_full=s_full,
+            run_prefill=run_prefill, suffix_embeds=suffix_embeds,
+        )
+
     def _evaluate_prefix_cached(self, samples, cfg: EvalConfig, pred_path, rt_path, stat_path):
         """Prefix-cached serving: questions grouped by (vid, system prefix);
-        each group prefills [sys|video] once (merge included) and every
-        question runs as a cache extension + decode. Token-exact vs the
-        per-question full prefill (tests/test_prefix_cache.py)."""
+        each group prefills the question-independent prefix once (merge
+        included) and every question runs as a cache extension + decode.
+        Token-exact vs the per-question full prefill
+        (tests/test_prefix_cache.py); family specifics live in
+        _prefix_key/_prefix_plan."""
         from collections import defaultdict
 
         import jax
 
-        from ..models.llava import IMAGE_TOKEN_INDEX
-        from ..runtime.generate import generate_from_prefix, prefix_prefill
+        from ..runtime.generate import generate_from_prefix
 
         groups: dict = defaultdict(list)
         for s in samples:
-            ids = np.asarray(s["input_ids"]).reshape(-1)
-            img_pos = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
-            if len(img_pos) != 1:
-                groups[("solo", s["id"])].append(s)
-                continue
-            groups[(s["vid"], tuple(ids[: int(img_pos[0]) + 1].tolist()))].append(s)
+            key = self._prefix_key(s)
+            groups[key if key is not None else ("solo", s["id"])].append(s)
 
         gen = GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids)
         warmed: set = set()
         for key, grp in groups.items():
-            spec = None
-            if key[0] != "solo":
-                t = self._sample_features(grp[0]).shape[0]
-                side = self.llava_cfg.pooled_side
-                spec = self.spec_factory(t, side, side)
-            prefix_ok = (
-                key[0] != "solo"
-                and len(grp) > 1
-                and (spec is None or isinstance(spec, (ReducerSpec, tuple)))
-            )
-            if not prefix_ok:
+            plan = None
+            if key[0] != "solo" and len(grp) > 1:
+                plan = self._prefix_plan(key, grp, cfg)
+            if plan is None:
                 # singletons / FrameFusion etc.: normal per-sample path,
                 # warmed per compile key like the unbatched loop
                 for s in grp:
@@ -345,37 +447,17 @@ class LlavaEvaluator:
                     self._emit(s, *self.run_sample(s, cfg), pred_path, rt_path, stat_path)
                 continue
 
-            feats = self._sample_features(grp[0])
-            prefix_ids = np.asarray(key[1], np.int32)
-            sys_len = len(prefix_ids) - 1  # prefix = sys tokens + image token
-            n_video = feats.shape[0] * self.llava_cfg.tokens_per_frame()
-            prefix_valid = sys_len + n_video
-            insts = [
-                np.asarray(s["input_ids"]).reshape(-1)[sys_len + 1 :] for s in grp
-            ]
-            s_sfx = max(16, math.ceil(max(len(i) for i in insts) / 16) * 16)
-            s_full = math.ceil(
-                (prefix_valid + s_sfx) / cfg.pad_multiple
-            ) * cfg.pad_multiple
-            embeds, _, video_start, _ = llava.build_multimodal_embeds(
-                self.decoder_params, self.llava_cfg, self.mm_params,
-                prefix_ids, feats, s_full,
-            )
-
-            def suffix_embeds(inst):
-                e = qwen2.embed_tokens(
-                    self.decoder_params, jnp.asarray(inst, jnp.int32),
-                    self.decoder_cfg,
+            if cfg.batch_size > 1:
+                self._run_prefix_group_batched(
+                    grp, plan, cfg, gen, warmed, pred_path, rt_path, stat_path
                 )
-                return jnp.pad(e, ((0, s_sfx - len(inst)), (0, 0)))[None]
+                continue
 
-            def run_prefill():
-                return prefix_prefill(
-                    self.decoder_params, self.decoder_cfg, embeds, prefix_valid,
-                    video_start, spec, impl=cfg.attention_impl,
-                )
-
-            wkey = ("prefix", s_full, s_sfx, spec)
+            spec = plan["spec"]
+            run_prefill = plan["run_prefill"]
+            suffix_embeds = plan["suffix_embeds"]
+            insts = plan["insts"]
+            wkey = ("prefix", plan["s_full"], plan["s_sfx"], spec)
             if cfg.warmup and wkey not in warmed:
                 generate_from_prefix(
                     self.decoder_params, self.decoder_cfg, run_prefill(),
@@ -400,12 +482,96 @@ class LlavaEvaluator:
                     skip_special_tokens=True,
                 ).strip()
                 merged_input = runtime["merged_len"]
-                valid = prefix_valid + len(inst)
+                valid = plan["prefix_valid"] + len(inst)
                 stat = prompt_stat_ratios({
-                    "sys": sys_len, "video": n_video, "inst": len(inst),
-                    "merged_video": merged_input - (valid - n_video),
+                    "sys": plan["sys_len"], "video": plan["n_video"],
+                    "inst": len(inst),
+                    "merged_video": merged_input - (valid - plan["n_video"]),
                     "merged_input": merged_input,
                 })
+                self._emit(s, text, runtime, stat, pred_path, rt_path, stat_path)
+
+    def _run_prefix_group_batched(
+        self, grp, plan, cfg: EvalConfig, gen, warmed, pred_path, rt_path, stat_path
+    ):
+        """The two serving levers composed for one video's question group:
+        prefix prefill once, then the questions run in head-packed batches of
+        ``cfg.batch_size`` over the shared cache (generate_batch_from_prefix,
+        token-exact). Timing rows carry batch totals divided by the batch
+        (like _evaluate_batched) plus prefix_prefill_time on the first row."""
+        import jax
+
+        from ..runtime.generate import generate_batch_from_prefix
+
+        spec = plan["spec"]
+        run_prefill = plan["run_prefill"]
+        suffix_embeds = plan["suffix_embeds"]
+        insts = plan["insts"]
+
+        def run_batch(cache, chunk_insts):
+            sfx = jnp.concatenate([suffix_embeds(i) for i in chunk_insts])
+            return generate_batch_from_prefix(
+                self.decoder_params, self.decoder_cfg, cache, sfx,
+                [len(i) for i in chunk_insts], spec, gen,
+                decode_chunk_size=cfg.decode_chunk_size,
+            )
+
+        # The traced batch size is part of the compiled program (head-packed
+        # cache [Lg, 1, S, B*KV, hd]), so each distinct chunk size (incl. the
+        # tail) warms separately; the warm-up prefill also compiles the
+        # prefix program untimed.
+        if cfg.warmup:
+            wcache = None
+            for i in range(0, len(grp), cfg.batch_size):
+                bsz = len(grp[i : i + cfg.batch_size])
+                wkey = ("prefix-batch", plan["s_full"], plan["s_sfx"], spec,
+                        bsz, cfg.decode_chunk_size)
+                if wkey in warmed:
+                    continue
+                if wcache is None:
+                    wcache = run_prefill()
+                run_batch(wcache, [insts[0]] * bsz)
+                warmed.add(wkey)
+            del wcache
+
+        t0 = time.perf_counter()
+        cache = jax.block_until_ready(run_prefill())
+        prefill_time = time.perf_counter() - t0
+        first = True
+        for i in range(0, len(grp), cfg.batch_size):
+            chunk_s = grp[i : i + cfg.batch_size]
+            chunk_i = insts[i : i + cfg.batch_size]
+            b = len(chunk_s)
+            t0 = time.perf_counter()
+            ids_list, rt = run_batch(cache, chunk_i)
+            total = time.perf_counter() - t0
+            for bi, (s, inst) in enumerate(zip(chunk_s, chunk_i)):
+                text = self.tokenizer.decode(
+                    [t for t in ids_list[bi] if t not in cfg.eos_token_ids],
+                    skip_special_tokens=True,
+                ).strip()
+                merged_input = rt["merged_len"][bi]
+                valid = plan["prefix_valid"] + len(inst)
+                stat = prompt_stat_ratios({
+                    "sys": plan["sys_len"], "video": plan["n_video"],
+                    "inst": len(inst),
+                    "merged_video": merged_input - (valid - plan["n_video"]),
+                    "merged_input": merged_input,
+                })
+                runtime = {
+                    "ttft_llm": rt["ttft_llm"] / b,
+                    "time_decoding": rt["time_decoding"] / b,
+                    "num_dec_token": rt["num_dec_token"][bi],
+                    "merged_len": merged_input,
+                    "full_len": rt["full_len"][bi],
+                    "budget_overflow": rt["budget_overflow"][bi],
+                    "all": total / b,
+                    "batch_size": b,
+                    "prefix_cached": True,
+                }
+                if first:
+                    runtime["prefix_prefill_time"] = prefill_time
+                    first = False
                 self._emit(s, text, runtime, stat, pred_path, rt_path, stat_path)
 
     def _evaluate_batched(self, samples, cfg: EvalConfig, pred_path, rt_path, stat_path):
@@ -519,22 +685,23 @@ class LlavaEvaluator:
             and cfg.attn_sinks == 0
             and cfg.attn_window == 0
         )
-        if batchable:
-            self._evaluate_batched(pending, cfg, pred_path, rt_path, stat_path)
-            pending = []
-        elif (
+        prefix_ok = (
             cfg.prefix_cache
-            and hasattr(self, "_evaluate_prefix_cached")
-            and cfg.batch_size == 1
+            and getattr(self, "_evaluate_prefix_cached", None) is not None
             and cfg.sp == 1
             and cfg.dycoke_decode is None
             and cfg.attn_sinks == 0
             and cfg.attn_window == 0
             and cfg.spec_decode_k <= 1
-            and cfg.decode_chunk_size == 1
+            # chunked decode composes with the batched prefix path only
+            and (cfg.batch_size > 1 or cfg.decode_chunk_size == 1)
             and cfg.frame_bucket == 0
-        ):
+        )
+        if prefix_ok:
             self._evaluate_prefix_cached(pending, cfg, pred_path, rt_path, stat_path)
+            pending = []
+        elif batchable:
+            self._evaluate_batched(pending, cfg, pred_path, rt_path, stat_path)
             pending = []
         warmed_keys: set = set()
         n_done = 0
@@ -564,6 +731,10 @@ class LlavaEvaluator:
 
 # Qwen2VLEvaluator shares the resumable-JSONL evaluation loop.
 Qwen2VLEvaluator.evaluate = LlavaEvaluator.evaluate
+Qwen2VLEvaluator._evaluate_prefix_cached = LlavaEvaluator._evaluate_prefix_cached
+Qwen2VLEvaluator._run_prefix_group_batched = LlavaEvaluator._run_prefix_group_batched
+Qwen2VLEvaluator._emit = LlavaEvaluator._emit
+Qwen2VLEvaluator._sample_features = LlavaEvaluator._sample_features
 
 
 class RawVideoLlavaEvaluator(LlavaEvaluator):

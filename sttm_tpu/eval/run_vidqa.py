@@ -110,7 +110,9 @@ def parse_args(argv=None):
                         "questions of the same video (token-exact; ttft_llm "
                         "becomes the per-question extension cost, the "
                         "group's first runtime row carries "
-                        "prefix_prefill_time)")
+                        "prefix_prefill_time). With --batch_size N each "
+                        "video's questions also decode head-packed-batched "
+                        "over the shared cache")
     p.add_argument("--frame_bucket", type=int, default=0,
                    help="bucket frame counts to multiples of N (bounds jit "
                         "recompiles); exact for sa_start_layer_idx 0")
@@ -190,16 +192,18 @@ def main(argv=None):
         if args.input_mode == "video" and not args.video_dir:
             raise SystemExit("--video_dir is required for --input_mode video")
     if args.prefix_cache:
-        if args.model_family != "llava":
-            raise SystemExit("--prefix_cache supports the llava family only")
         if (
-            args.batch_size > 1 or args.sp > 1 or args.spec_decode_k > 1
-            or args.decode_chunk_size > 1 or args.frame_bucket > 0
+            args.sp > 1 or args.spec_decode_k > 1 or args.frame_bucket > 0
             or args.sa_pattern in ("streamingllm", "dycoke")
         ):
             raise SystemExit(
-                "--prefix_cache is per-sample per-step decode only and "
-                "excludes streamingllm / dycoke decode pruning"
+                "--prefix_cache excludes sp / speculative decoding / "
+                "frame_bucket / streamingllm / dycoke decode pruning"
+            )
+        if args.decode_chunk_size > 1 and args.batch_size == 1:
+            raise SystemExit(
+                "--prefix_cache composes with --decode_chunk_size only "
+                "when batched (--batch_size > 1)"
             )
     if args.sp > 1:
         ok_patterns = {"origin", "quadtree", "tome", "dycoke-stage1", "octree"}

@@ -1212,10 +1212,28 @@ def generate_batch(
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
 
-    token = jnp.argmax(logits, -1).astype(jnp.int32)  # [B]
-    ids = [[int(t)] for t in token]
     merged_lens = [int(m) for m in cache.merged_len]
+    ids, time_decoding = _batched_greedy_decode(
+        params, logits, cache, gen, decode_chunk, chunk
+    )
 
+    runtime = {
+        "ttft_llm": ttft,
+        "time_decoding": time_decoding,
+        "num_dec_token": [len(x) for x in ids],
+        "merged_len": merged_lens,
+        "full_len": [int(v) for v in vl],
+    }
+    return ids, runtime
+
+
+def _batched_greedy_decode(params, logits, cache, gen: GenerateConfig, decode_chunk, chunk: int):
+    """Shared batched greedy-decode loop (generate_batch /
+    generate_batch_from_prefix): chunked head-packed decode with
+    freeze-after-EOS. Returns (ids list-of-lists, time_decoding)."""
+    token = jnp.argmax(logits, -1).astype(jnp.int32)  # [B]
+    b = token.shape[0]
+    ids = [[int(t)] for t in token]
     eos = set(gen.eos_token_ids)
     done = jnp.asarray([ids[i][-1] in eos for i in range(b)])
     time_decoding = 0.0
@@ -1233,12 +1251,74 @@ def generate_batch(
                 if buf[i, j] >= 0 and len(ids[i]) < gen.max_new_tokens:
                     ids[i].append(int(buf[i, j]))
         step += int(n)
+    return ids, time_decoding
+
+
+def generate_batch_from_prefix(
+    params,
+    cfg: DecoderConfig,
+    prefix_cache,
+    suffix_embeds: jnp.ndarray,
+    suffix_valids,
+    spec,
+    gen: GenerateConfig = GenerateConfig(),
+    decode_chunk_size: int = 1,
+    decode_attn_kernel: bool = False,
+):
+    """Batched greedy generation for several questions that share one prefix
+    cache (prefix_prefill) — the two serving levers composed: the [sys|video]
+    prefill is paid ONCE for the whole batch, each question runs as a cheap
+    cache extension (build_extend, sequential — tens of tokens each), and
+    decode runs head-packed batched (one weight read per step for all B
+    rows, generate_batch's layout). suffix_embeds: [B, s_sfx, D];
+    suffix_valids: [B]. Token-exact vs per-question generate(): the
+    extension rows are the same caches the single-sample path decodes from.
+    Returns (ids list-of-lists, runtime dict); ttft_llm covers all B
+    extensions (the per-batch prefill work under prefix caching).
+    """
+    b, s_sfx, _ = suffix_embeds.shape
+    spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
+    extend = build_extend(cfg, spec_key, s_sfx)
+    chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
+    insert_row, decode_chunk = build_decode_chunk_batch(
+        cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads,
+        attn_kernel=decode_attn_kernel,
+    )
+
+    t0 = time.perf_counter()
+    logits_rows, cache = [], None
+    for i in range(b):
+        lg, row = extend(
+            params, prefix_cache, suffix_embeds[i : i + 1],
+            jnp.int32(int(suffix_valids[i])),
+        )
+        jax.block_until_ready(lg)
+        logits_rows.append(lg)
+        if cache is None:
+            cache = jax.tree.map(lambda x: _batched_like(x, b), row)
+        cache = insert_row(cache, row, jnp.int32(i))
+        del row
+    logits = jnp.concatenate(logits_rows)  # [B, V]
+    logits.block_until_ready()
+    ttft = time.perf_counter() - t0
+
+    merged_lens = [int(m) for m in cache.merged_len]
+    full_lens = [int(l) for l in cache.lens[0]]
+    budget_overflow = (
+        [0] * b if cache.budget_overflow is None
+        else [int(o) for o in cache.budget_overflow]
+    )
+    ids, time_decoding = _batched_greedy_decode(
+        params, logits, cache, gen, decode_chunk, chunk
+    )
 
     runtime = {
         "ttft_llm": ttft,
         "time_decoding": time_decoding,
         "num_dec_token": [len(x) for x in ids],
         "merged_len": merged_lens,
-        "full_len": [int(v) for v in vl],
+        "full_len": full_lens,
+        "budget_overflow": budget_overflow,
+        "prefix_cached": True,
     }
     return ids, runtime

@@ -100,6 +100,38 @@ def test_prefix_cached_matches_full_mrope():
     assert want == got
 
 
+def test_batched_from_prefix_matches_per_sample():
+    """generate_batch_from_prefix: all questions of a video batched over one
+    shared prefix cache (head-packed decode) — token-exact vs per-question
+    full prefill, at decode chunk sizes 1 and 3."""
+    from sttm_tpu.runtime.generate import generate_batch_from_prefix
+
+    cfg = TINY
+    spec = _spec("quadtree")
+    params, rng, video, sys_e = _setup(cfg, seed=5)
+    insts = [rng.normal(size=(n, cfg.hidden_size)) * 0.2 for n in (7, 12, 9)]
+
+    wants = []
+    for inst in insts:
+        full = _full_embeds(cfg, sys_e, video, inst, cfg.dtype)
+        ids, _ = generate(params, cfg, full, SYS + NV + len(inst), SYS, spec, GEN)
+        wants.append(ids)
+
+    cache = prefix_prefill(
+        params, cfg,
+        _full_embeds(cfg, sys_e, video, np.zeros((0, cfg.hidden_size)), cfg.dtype),
+        SYS + NV, SYS, spec,
+    )
+    sfx = jnp.concatenate([_suffix_embeds(cfg, i, cfg.dtype) for i in insts])
+    for chunk in (1, 3):
+        got, rt = generate_batch_from_prefix(
+            params, cfg, cache, sfx, [len(i) for i in insts], spec, GEN,
+            decode_chunk_size=chunk,
+        )
+        assert got == wants, f"chunk={chunk}"
+        assert rt["prefix_cached"] and len(rt["merged_len"]) == 3
+
+
 def test_prefix_cache_reuse_is_pure():
     """One prefix cache, three questions; re-asking question 1 after
     question 2 must reproduce its answer (no cache mutation leaks)."""

@@ -125,7 +125,135 @@ def test_cli_smoke_prefix_cache(tmp_path):
     assert len(rows) == 5
     assert sum(1 for r in rows if r.get("prefix_cached")) == 4
 
+    with pytest.raises(SystemExit):  # chunked decode needs the batched path
+        cli_main(args + ["--decode_chunk_size", "4"])
     with pytest.raises(SystemExit):
-        cli_main(args + ["--batch_size", "2"])
-    with pytest.raises(SystemExit):
-        cli_main(args + ["--model_family", "qwen2vl"])
+        cli_main(args + ["--sp", "2"])
+
+
+def test_prefix_cached_batched_matches_per_sample(tmp_path):
+    """--prefix_cache + batch_size 2: each video's questions decode
+    head-packed-batched over the shared prefix cache; answers must match the
+    per-sample full-prefill path."""
+    anno_path, feat_dir, meta_dir, annos = _benchmark(tmp_path)
+    cfg = LlavaConfig(decoder=TINY, vision_hidden_size=16, vision_patches_per_side=6)
+    dec_params = qwen2.init_params(TINY, jax.random.key(0))
+    mm_params = llava.init_multimodal_params(cfg, jax.random.key(1))
+    tok = MockTokenizer()
+    dcfg = DataConfig("videomme", str(anno_path), str(feat_dir), str(meta_dir))
+
+    ev = LlavaEvaluator(dec_params, TINY, cfg, mm_params, tok, _spec_factory)
+    base = dict(dataset_name="videomme", max_new_tokens=4, pad_multiple=64,
+                attention_impl="xla", eos_token_ids=())
+    ecfg1 = EvalConfig(out_dir=str(tmp_path / "bper"), **base)
+    ev.evaluate(FeatureVidQADataset(dcfg, tok), ecfg1, gts=annos)
+    ecfg2 = EvalConfig(out_dir=str(tmp_path / "bpfx"), prefix_cache=True,
+                       batch_size=2, decode_chunk_size=2, **base)
+    ev.evaluate(FeatureVidQADataset(dcfg, tok), ecfg2, gts=annos)
+
+    p1 = {r["question_id"]: r["answer"]
+          for r in read_jsonl(os.path.join(ecfg1.out_dir, "predictions.jsonl"))}
+    p2 = {r["question_id"]: r["answer"]
+          for r in read_jsonl(os.path.join(ecfg2.out_dir, "predictions.jsonl"))}
+    assert p1 == p2 and len(p2) == 5
+    rts = {r["question_id"]: r
+           for r in read_jsonl(os.path.join(ecfg2.out_dir, "runtime.jsonl"))}
+    assert rts["q0"]["batch_size"] == 2 and rts["q0"]["prefix_cached"]
+    assert rts["q0"]["prefix_prefill_time"] > 0
+    assert "prefix_prefill_time" not in rts["q1"]
+    # the single-question video fell back to the per-sample path
+    assert "batch_size" not in rts["q4"] and "prefix_cached" not in rts["q4"]
+
+
+def _qwen2vl_benchmark(tmp_path):
+    """2 videos x 2 questions + 1 single-question video, qwen2vl feature
+    layout ([t, gh/2, gw/2, C] + grid metadata pkl)."""
+    import pickle
+
+    from sttm_tpu.models.config import TINY_MROPE
+
+    rng = np.random.default_rng(1)
+    annos = []
+    feat_dir = tmp_path / "qfeatures"
+    meta_dir = tmp_path / "qmetadata"
+    feat_dir.mkdir()
+    meta_dir.mkdir()
+    qid = 0
+    for i, (vid, t, nq) in enumerate([("vidA", 4, 2), ("vidB", 6, 2), ("vidC", 4, 1)]):
+        gh, gw = 4, 6
+        np.save(feat_dir / f"{vid}.npy",
+                rng.normal(size=(t, gh // 2, gw // 2, TINY_MROPE.hidden_size))
+                .astype(np.float32) * 0.2)
+        with open(meta_dir / f"{vid}.pkl", "wb") as fp:
+            pickle.dump({"video_grid_thw": [t, gh, gw]}, fp)
+        for j in range(nq):
+            annos.append({
+                "question_id": f"q{qid}", "videoID": vid,
+                "question": f"What happens in part {j} of clip {i}?"[: 20 + 3 * j],
+                "options": ["A. cat", "B. dog", "C. bird", "D. fish"],
+                "answer": "A", "duration": "short", "domain": "test",
+                "task_type": "tt",
+            })
+            qid += 1
+    anno_path = tmp_path / "qannos.json"
+    anno_path.write_text(json.dumps(annos))
+    return anno_path, feat_dir, meta_dir, annos
+
+
+def test_prefix_cached_qwen2vl_matches_per_sample(tmp_path):
+    """Qwen2-VL family: prefix-cached eval (M-RoPE positions, 3D position
+    gather through the merge) produces the same answers as per-sample."""
+    from sttm_tpu.data.datasets import Qwen2VLFeatureDataset
+    from sttm_tpu.eval.harness import Qwen2VLEvaluator
+    from sttm_tpu.models.config import TINY_MROPE
+
+    anno_path, feat_dir, meta_dir, annos = _qwen2vl_benchmark(tmp_path)
+    params = qwen2.init_params(TINY_MROPE, jax.random.key(0))
+    tok = MockTokenizer()
+    dcfg = DataConfig("videomme", str(anno_path), str(feat_dir), str(meta_dir))
+
+    ev = Qwen2VLEvaluator(params, TINY_MROPE, tok, _spec_factory)
+    base = dict(dataset_name="videomme", max_new_tokens=3, pad_multiple=64,
+                attention_impl="xla", eos_token_ids=())
+    ecfg1 = EvalConfig(out_dir=str(tmp_path / "qper"), **base)
+    ev.evaluate(Qwen2VLFeatureDataset(dcfg, tok), ecfg1, gts=annos)
+    ecfg2 = EvalConfig(out_dir=str(tmp_path / "qpfx"), prefix_cache=True, **base)
+    ev.evaluate(Qwen2VLFeatureDataset(dcfg, tok), ecfg2, gts=annos)
+
+    p1 = {r["question_id"]: r["answer"]
+          for r in read_jsonl(os.path.join(ecfg1.out_dir, "predictions.jsonl"))}
+    p2 = {r["question_id"]: r["answer"]
+          for r in read_jsonl(os.path.join(ecfg2.out_dir, "predictions.jsonl"))}
+    assert p1 == p2 and len(p2) == 5
+    rts = {r["question_id"]: r
+           for r in read_jsonl(os.path.join(ecfg2.out_dir, "runtime.jsonl"))}
+    assert all(rts[f"q{i}"].get("prefix_cached") for i in range(4))
+    assert "prefix_cached" not in rts["q4"]
+    s1 = {r["question_id"]: r["visual_merged_ratio"]
+          for r in read_jsonl(os.path.join(ecfg1.out_dir, "prompt_stat.jsonl"))}
+    s2 = {r["question_id"]: r["visual_merged_ratio"]
+          for r in read_jsonl(os.path.join(ecfg2.out_dir, "prompt_stat.jsonl"))}
+    assert s1 == s2
+
+
+def test_cli_smoke_prefix_cache_qwen2vl(tmp_path):
+    """--prefix_cache --model_family qwen2vl drives the CLI end to end."""
+    from sttm_tpu.eval.run_vidqa import main as cli_main
+
+    anno_path, feat_dir, meta_dir, _ = _qwen2vl_benchmark(tmp_path)
+    out_dir = tmp_path / "qcli_out"
+    cli_main([
+        "--dataset_name", "videomme",
+        "--anno_filepath", str(anno_path), "--metadata_dir", str(meta_dir),
+        "--smoke", "--max_new_tokens", "2",
+        "--attention_impl", "xla", "--output_dir", str(out_dir),
+        "--sa_pattern", "quadtree", "--sa_start_layer_idx", "1",
+        "--sa_tree_thresh", "0.7", "--sa_tree_temporal_thresh", "0.6",
+        "--model_name_or_path", "ckpts/tiny-qwen2vl",
+        "--feature_dir", str(feat_dir), "--model_family", "qwen2vl",
+        "--prefix_cache",
+    ])
+    (run,) = os.listdir(out_dir)
+    rows = read_jsonl(os.path.join(out_dir, run, "runtime.jsonl"))
+    assert len(rows) == 5
+    assert sum(1 for r in rows if r.get("prefix_cached")) == 4
