@@ -90,6 +90,12 @@ class EvalConfig:
     # decode_chunk_size. Ignored when combined with sp/spec-decode/
     # dycoke-decode/streaming/frame_bucket.
     prefix_cache: bool = False
+    # With prefix_cache + batch_size > 1: keep ONE shared read-only prefix
+    # cache in HBM (cascade KV layout, qwen2.cascade_attention) instead of a
+    # copy per batch slot — decode reads the prefix once per step for the
+    # whole group and (B-1) prefix copies of HBM are freed. Exact online-
+    # softmax combine (math equals the flat path up to fp reassociation).
+    prefix_cascade: bool = False
 
 
 def run_name(model_name: str, dataset: str, spec: ReducerSpec | None, frames: int) -> str:
@@ -514,6 +520,7 @@ class LlavaEvaluator:
                 self.decoder_params, self.decoder_cfg, cache, sfx,
                 [len(i) for i in chunk_insts], spec, gen,
                 decode_chunk_size=cfg.decode_chunk_size,
+                cascade=cfg.prefix_cascade,
             )
 
         # The traced batch size is part of the compiled program (head-packed
@@ -525,7 +532,7 @@ class LlavaEvaluator:
             for i in range(0, len(grp), cfg.batch_size):
                 bsz = len(grp[i : i + cfg.batch_size])
                 wkey = ("prefix-batch", plan["s_full"], plan["s_sfx"], spec,
-                        bsz, cfg.decode_chunk_size)
+                        bsz, cfg.decode_chunk_size, cfg.prefix_cascade)
                 if wkey in warmed:
                     continue
                 if wcache is None:

@@ -113,6 +113,12 @@ def parse_args(argv=None):
                         "prefix_prefill_time). With --batch_size N each "
                         "video's questions also decode head-packed-batched "
                         "over the shared cache")
+    p.add_argument("--prefix_cascade", action="store_true",
+                   help="with --prefix_cache --batch_size N: cascade KV "
+                        "layout — keep ONE shared prefix cache in HBM "
+                        "(decode reads it once per step for the whole group) "
+                        "instead of a copy per batch slot; exact online-"
+                        "softmax combine")
     p.add_argument("--frame_bucket", type=int, default=0,
                    help="bucket frame counts to multiples of N (bounds jit "
                         "recompiles); exact for sa_start_layer_idx 0")
@@ -175,6 +181,7 @@ def _eval_config(args, name):
         batch_size=args.batch_size,
         sp=args.sp,
         prefix_cache=args.prefix_cache,
+        prefix_cascade=args.prefix_cascade,
         pad_multiple=32 if args.smoke else 128,
         eos_token_ids=() if args.smoke else (151645, 151643),
     )
@@ -205,6 +212,10 @@ def main(argv=None):
                 "--prefix_cache composes with --decode_chunk_size only "
                 "when batched (--batch_size > 1)"
             )
+    if args.prefix_cascade and not (args.prefix_cache and args.batch_size > 1):
+        raise SystemExit(
+            "--prefix_cascade requires --prefix_cache and --batch_size > 1"
+        )
     if args.sp > 1:
         ok_patterns = {"origin", "quadtree", "tome", "dycoke-stage1", "octree"}
         if args.sa_pattern not in ok_patterns:

@@ -501,6 +501,138 @@ def decode_logical_kpos(s_c: int, tail_start: int, kv_len):
     return jnp.where(kpos < tail_start, kpos, kv + (kpos - tail_start))
 
 
+def cascade_attention(q, pk, pv, pfx_mask, sk, sv, sfx_mask, cfg: DecoderConfig):
+    """Single-token decode attention over a CASCADED KV layout: one shared
+    read-only prefix cache (all rows attend to the same [sys|video] keys) plus
+    a small head-packed per-row suffix/decode cache. The two partial softmaxes
+    are merged exactly with the online-softmax identity (flash attention's
+    combine step): softmax over [P | S] equals the lse-weighted average of the
+    per-source attention outputs — no approximation.
+
+    q: [B, 1, H, hd] (roped); pk/pv: [S_p, KV, hd] shared prefix;
+    sk/sv: [S_s, B*KV, hd] head-packed suffix; pfx_mask: [S_p] (shared);
+    sfx_mask: [B, S_s] per-row. Numerics mirror ops/attention._xla_mha:
+    fp32 score accumulation (HIGHEST) without materializing fp32 K/V copies.
+
+    Why it exists: batched prefix-cache serving otherwise carries B copies of
+    the prefix in HBM and re-reads all B per decode step; sharing the prefix
+    cuts decode KV traffic from B*S_p to S_p (decode is bandwidth-bound) and
+    frees (B-1)*S_p cache HBM. The prefix matmul also feeds the MXU B*G query
+    rows per KV head instead of G.
+    """
+    b = q.shape[0]
+    kvh, hd = cfg.num_kv_heads, cfg.head_dim
+    g = cfg.num_heads // kvh
+    qh = q[:, 0].reshape(b, kvh, g, hd)
+    scale = hd**-0.5
+
+    sp = jnp.einsum(
+        "bkgd,skd->bkgs", qh, pk,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) * scale
+    sp = jnp.where(pfx_mask[None, None, None, :], sp, -1e30)
+    mp = jnp.max(sp, -1)  # [B, KV, G]
+    ep = jnp.exp(sp - mp[..., None])
+    lp = jnp.sum(ep, -1)
+    op = jnp.einsum(
+        "bkgs,skd->bkgd", ep, pv,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    skr = sk.reshape(-1, b, kvh, hd)
+    svr = sv.reshape(-1, b, kvh, hd)
+    ss = jnp.einsum(
+        "bkgd,sbkd->bkgs", qh, skr,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) * scale
+    ss = jnp.where(sfx_mask[:, None, None, :], ss, -1e30)
+    ms = jnp.max(ss, -1)
+    es = jnp.exp(ss - ms[..., None])
+    ls = jnp.sum(es, -1)
+    os_ = jnp.einsum(
+        "bkgs,sbkd->bkgd", es, svr,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    # exact combine; an all-masked source gets weight exp(-1e30 - m) == 0
+    m = jnp.maximum(mp, ms)
+    wp = jnp.exp(mp - m)
+    ws = jnp.exp(ms - m)
+    out = (op * wp[..., None] + os_ * ws[..., None]) / (
+        lp * wp + ls * ws
+    )[..., None]
+    return out.reshape(b, 1, cfg.num_heads, hd).astype(q.dtype)
+
+
+def cascade_decode_layers(
+    layers: dict,
+    lo: int,
+    hi: int,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    pfx_k_all: jnp.ndarray,
+    pfx_v_all: jnp.ndarray,
+    pfx_len,
+    sfx_k_all: jnp.ndarray,
+    sfx_v_all: jnp.ndarray,
+    sfx_lens,
+    step_idx,
+    tail_start: int,
+    cfg: DecoderConfig,
+):
+    """Decode through layers [lo, hi) with the cascaded KV layout (one shared
+    prefix cache + per-row head-packed suffix caches — see cascade_attention).
+    x: [B, 1, D]. pfx_k_all/pfx_v_all: [Lg, 1, S_p, KV, hd] read-only (NOT
+    carried through the scan — indexed per layer; XLA fuses the gather into
+    the consuming matmuls). sfx_k_all/sfx_v_all: [Lg, 1, S_s, B*KV, hd]; the
+    new token's K/V lands at fixed slot ``tail_start + step_idx`` (same
+    batch-invariant DUS as decode_layers). sfx_lens: [B] per-row suffix valid
+    lengths. Returns (x, sfx_k_all, sfx_v_all)."""
+    if hi <= lo:
+        return x, sfx_k_all, sfx_v_all
+    b = x.shape[0]
+    kvh = cfg.num_kv_heads
+    write_slot = tail_start + step_idx
+    kpos_s = jnp.arange(sfx_k_all.shape[2])
+    sfx_mask = (kpos_s[None, :] < jnp.asarray(sfx_lens)[:, None]) | (
+        (kpos_s[None, :] >= tail_start) & (kpos_s[None, :] <= write_slot)
+    )
+    pfx_mask = jnp.arange(pfx_k_all.shape[2]) < pfx_len
+
+    def body(y, sk_all, sv_all, li):
+        lp = _take_layer(layers, lo + li)
+        h = rms_norm(y, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
+        q, k, v = qkv_proj(lp, h, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kp = k.reshape(1, 1, b * kvh, cfg.head_dim)
+        vp = v.reshape(1, 1, b * kvh, cfg.head_dim)
+        sk_all = jax.lax.dynamic_update_slice(sk_all, kp[None], (li, 0, write_slot, 0, 0))
+        sv_all = jax.lax.dynamic_update_slice(sv_all, vp[None], (li, 0, write_slot, 0, 0))
+        sk = jax.lax.dynamic_index_in_dim(sk_all, li, 0, keepdims=False)
+        sv = jax.lax.dynamic_index_in_dim(sv_all, li, 0, keepdims=False)
+        pk = jax.lax.dynamic_index_in_dim(pfx_k_all, li, 0, keepdims=False)
+        pv = jax.lax.dynamic_index_in_dim(pfx_v_all, li, 0, keepdims=False)
+        o = cascade_attention(q, pk[0], pv[0], pfx_mask, sk[0], sv[0], sfx_mask, cfg)
+        y = y + _mat(o.reshape(b, 1, cfg.q_dim), lp["wo"], cfg.act_quant)
+        h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
+        y = y + mlp_block(lp, h, cfg)
+        return y, sk_all, sv_all
+
+    def step(carry, li):
+        return body(*carry, li), None
+
+    (x, sfx_k_all, sfx_v_all), _ = jax.lax.scan(
+        step, (x, sfx_k_all, sfx_v_all), jnp.arange(hi - lo, dtype=jnp.int32)
+    )
+    return x, sfx_k_all, sfx_v_all
+
+
 # ---------------------------------------------------------------------------
 # KV cache (two groups around the reduction layer)
 # ---------------------------------------------------------------------------

@@ -500,6 +500,159 @@ def _batched_like(x, b: int):
     return jnp.zeros((b,), x.dtype)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CascadeTail:
+    """Mutable per-question state for CASCADE batched prefix serving: the
+    shared [sys|video] prefix cache stays a single read-only copy in HBM
+    (the KVCache from prefix_prefill, passed alongside), and only these
+    small head-packed suffix/decode buffers are carried + donated through
+    the decode loop. vs the plain batched prefix path (B full cache copies):
+    decode KV reads drop from B*S_p to S_p and (B-1)*S_p cache HBM is freed
+    (qwen2.cascade_attention)."""
+
+    sfx_ks: tuple  # per group: [Lg, 1, s_sfx + MAX_DECODE, B*KV, hd]
+    sfx_vs: tuple
+    sfx_lens: jnp.ndarray  # [B] per-row suffix valid lengths
+    pos_base: jnp.ndarray  # [B] per-row decode position bases
+
+
+def _cascade_tail_like(row, b: int, s_sfx: int) -> CascadeTail:
+    """Empty cascade tail buffers shaped from one extension row's cache."""
+
+    def zf(x):
+        lg, _, _, kv, hd = x.shape
+        return jnp.zeros((lg, 1, s_sfx + MAX_DECODE, b * kv, hd), x.dtype)
+
+    return CascadeTail(
+        sfx_ks=tuple(zf(k) for k in row.ks),
+        sfx_vs=tuple(zf(v) for v in row.vs),
+        sfx_lens=jnp.zeros((b,), jnp.int32),
+        pos_base=jnp.zeros((b,), jnp.int32),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def build_decode_chunk_cascade(
+    cfg: DecoderConfig,
+    spec,
+    chunk: int,
+    eos_ids: tuple,
+    kvh: int,
+    s_sfx: int,
+):
+    """Cached builders for cascade batched prefix decoding (one shared prefix
+    cache + head-packed per-row suffix tails — CascadeTail). Returns
+    (pack_row, decode_chunk):
+
+    pack_row(tail, row, pfx_lens, suffix_valid, i) copies one extension row's
+    suffix K/V slice (the s_sfx slots build_extend wrote at each group's
+    prefix length) into the packed tail buffers at KV-head offset i*kvh and
+    records its suffix length / position base. The full row cache is then
+    dropped — the batched state never holds a prefix copy per question.
+
+    decode_chunk(params, token, tail, prefix_cache, start_step, done0,
+    n_steps) greedily decodes ``chunk`` tokens (freeze-after-EOS), donating
+    only the tail; the prefix cache is read-only and reusable afterwards."""
+    specs = _normalize_specs(spec)
+    bounds = _group_bounds(cfg, specs)
+    eos_arr_np = np.asarray(list(eos_ids) or [-1], np.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def pack_row(tail: CascadeTail, row, pfx_lens, suffix_valid, i):
+        new_ks, new_vs = [], []
+        for gi in range(len(bounds)):
+            rk, rv = row.ks[gi], row.vs[gi]
+            lg, _, _, kv, hd = rk.shape
+            if lg == 0:
+                new_ks.append(tail.sfx_ks[gi])
+                new_vs.append(tail.sfx_vs[gi])
+                continue
+            start = (0, 0, pfx_lens[gi], 0, 0)
+            ksl = jax.lax.dynamic_slice(rk, start, (lg, 1, s_sfx, kv, hd))
+            vsl = jax.lax.dynamic_slice(rv, start, (lg, 1, s_sfx, kv, hd))
+            at = (0, 0, 0, i * kvh, 0)
+            new_ks.append(jax.lax.dynamic_update_slice(tail.sfx_ks[gi], ksl, at))
+            new_vs.append(jax.lax.dynamic_update_slice(tail.sfx_vs[gi], vsl, at))
+        return CascadeTail(
+            sfx_ks=tuple(new_ks),
+            sfx_vs=tuple(new_vs),
+            sfx_lens=jax.lax.dynamic_update_index_in_dim(
+                tail.sfx_lens, jnp.asarray(suffix_valid, jnp.int32), i, 0
+            ),
+            pos_base=jax.lax.dynamic_update_index_in_dim(
+                tail.pos_base, jnp.asarray(row.pos_base, jnp.int32), i, 0
+            ),
+        )
+
+    def decode(params, token, tail: CascadeTail, pfx, step):
+        layers = params["layers"]
+        x = qwen2.embed_tokens(params, token, cfg)[:, None, :]  # [B, 1, D]
+        pos = (tail.pos_base + step)[:, None].astype(jnp.int32)  # [B, 1]
+        if cfg.mrope_section:  # all three M-RoPE rows advance together
+            pos = jnp.broadcast_to(pos[:, None, :], (pos.shape[0], 3, 1))
+        cos, sin = jax.vmap(lambda p: qwen2.rope_cos_sin(cfg, p))(pos)
+        new_ks, new_vs = [], []
+        for gi, (lo, hi) in enumerate(bounds):
+            tail_start = tail.sfx_ks[gi].shape[2] - MAX_DECODE
+            x, sk, sv = qwen2.cascade_decode_layers(
+                layers, lo, hi, x, cos, sin,
+                pfx.ks[gi], pfx.vs[gi], pfx.lens[gi],
+                tail.sfx_ks[gi], tail.sfx_vs[gi], tail.sfx_lens,
+                step, tail_start, cfg,
+            )
+            new_ks.append(sk)
+            new_vs.append(sv)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
+        logits = qwen2.lm_head(params, cfg, h)[:, 0]  # [B, V]
+        return logits, dataclasses.replace(
+            tail, sfx_ks=tuple(new_ks), sfx_vs=tuple(new_vs)
+        )
+
+    if chunk == 1:
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_chunk(p, token, tail, pfx, start_step, done0, n_steps):
+            eos_arr = jnp.asarray(eos_arr_np)
+            lg, t2 = decode(p, token, tail, pfx, start_step)
+            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            nxt = jnp.where(done0, token, nxt)
+            buf = jnp.where(done0, -1, nxt)[:, None]
+            done = done0 | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
+            return nxt, t2, done, buf, jnp.int32(1)
+
+    else:
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_chunk(p, token, tail, pfx, start_step, done0, n_steps):
+            eos_arr = jnp.asarray(eos_arr_np)
+
+            def real(tok, c, done, i):
+                lg, c2 = decode(p, tok, c, pfx, start_step + i)
+                nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+                nxt = jnp.where(done, tok, nxt)  # freeze finished rows
+                out = jnp.where(done, -1, nxt)
+                done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
+                return nxt, c2, done, out
+
+            def skip(tok, c, done, i):
+                return tok, c, done, jnp.full_like(tok, -1)
+
+            def body(carry, i):
+                tok, c, done, n_run = carry
+                run = (i < n_steps) & ~jnp.all(done)
+                tok, c, done, out = jax.lax.cond(run, real, skip, tok, c, done, i)
+                return (tok, c, done, n_run + run.astype(jnp.int32)), out
+
+            (tok, c, done, n_run), buf = jax.lax.scan(
+                body, (token, tail, done0, jnp.int32(0)),
+                jnp.arange(chunk, dtype=jnp.int32),
+            )
+            return tok, c, done, buf.T, n_run
+
+    return pack_row, decode_chunk
+
+
 def ngram_draft(ids: list, n: int, max_ngram: int = 3) -> list:
     """Training-free drafter: longest-suffix n-gram lookup over the token
     history (prompt-lookup decoding, Saxon/PLD-style). Finds the most recent
@@ -1264,6 +1417,7 @@ def generate_batch_from_prefix(
     gen: GenerateConfig = GenerateConfig(),
     decode_chunk_size: int = 1,
     decode_attn_kernel: bool = False,
+    cascade: bool = False,
 ):
     """Batched greedy generation for several questions that share one prefix
     cache (prefix_prefill) — the two serving levers composed: the [sys|video]
@@ -1275,15 +1429,33 @@ def generate_batch_from_prefix(
     extension rows are the same caches the single-sample path decodes from.
     Returns (ids list-of-lists, runtime dict); ttft_llm covers all B
     extensions (the per-batch prefill work under prefix caching).
+
+    ``cascade=True`` switches to the cascade KV layout: the batched state
+    keeps ONE shared read-only prefix cache plus small per-row suffix tails
+    (CascadeTail), instead of B full cache copies — decode KV reads drop
+    from B*S_p to S_p and (B-1)*S_p of cache HBM is freed. Attention merges
+    the two sources with the exact online-softmax combine
+    (qwen2.cascade_attention); math equals the flat path up to fp
+    reassociation. decode_attn_kernel is ignored under cascade (XLA path).
     """
     b, s_sfx, _ = suffix_embeds.shape
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     extend = build_extend(cfg, spec_key, s_sfx)
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
-    insert_row, decode_chunk = build_decode_chunk_batch(
-        cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads,
-        attn_kernel=decode_attn_kernel,
-    )
+    if cascade:
+        pack_row, decode_chunk_c = build_decode_chunk_cascade(
+            cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads,
+            s_sfx,
+        )
+        insert_row = None
+        decode_chunk = (
+            lambda p, tok, c, st, d, n: decode_chunk_c(p, tok, c, prefix_cache, st, d, n)
+        )
+    else:
+        insert_row, decode_chunk = build_decode_chunk_batch(
+            cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads,
+            attn_kernel=decode_attn_kernel,
+        )
 
     t0 = time.perf_counter()
     logits_rows, cache = [], None
@@ -1294,20 +1466,38 @@ def generate_batch_from_prefix(
         )
         jax.block_until_ready(lg)
         logits_rows.append(lg)
-        if cache is None:
-            cache = jax.tree.map(lambda x: _batched_like(x, b), row)
-        cache = insert_row(cache, row, jnp.int32(i))
+        if cascade:
+            if cache is None:
+                cache = _cascade_tail_like(row, b, s_sfx)
+            cache = pack_row(
+                cache, row, prefix_cache.lens,
+                jnp.int32(int(suffix_valids[i])), jnp.int32(i),
+            )
+        else:
+            if cache is None:
+                cache = jax.tree.map(lambda x: _batched_like(x, b), row)
+            cache = insert_row(cache, row, jnp.int32(i))
         del row
     logits = jnp.concatenate(logits_rows)  # [B, V]
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
 
-    merged_lens = [int(m) for m in cache.merged_len]
-    full_lens = [int(l) for l in cache.lens[0]]
-    budget_overflow = (
-        [0] * b if cache.budget_overflow is None
-        else [int(o) for o in cache.budget_overflow]
-    )
+    if cascade:
+        pfx_merged = int(prefix_cache.lens[-1])
+        pfx_full = int(prefix_cache.lens[0])
+        merged_lens = [pfx_merged + int(v) for v in suffix_valids]
+        full_lens = [pfx_full + int(v) for v in suffix_valids]
+        budget_overflow = [
+            0 if prefix_cache.budget_overflow is None
+            else int(prefix_cache.budget_overflow)
+        ] * b
+    else:
+        merged_lens = [int(m) for m in cache.merged_len]
+        full_lens = [int(l) for l in cache.lens[0]]
+        budget_overflow = (
+            [0] * b if cache.budget_overflow is None
+            else [int(o) for o in cache.budget_overflow]
+        )
     ids, time_decoding = _batched_greedy_decode(
         params, logits, cache, gen, decode_chunk, chunk
     )
