@@ -22,6 +22,12 @@ TPU-shaped constraints and how they are honored:
   hold its full max_new_tokens. When no pending request fits and every
   live slot finished, the global step resets and a fresh wave starts —
   the only idle moment; mid-wave retirements refill immediately.
+- Prefix-cached admission (PrefixRequest): a request may be a SUFFIX
+  extension of a per-video prefix cache (prefix_prefill) — admission then
+  costs one build_extend dispatch (~tens of tokens) instead of a full
+  prefill, and slots may hold questions of DIFFERENT videos concurrently
+  (per-slot prefixes). Mixing Request and PrefixRequest in one pool works
+  as long as all cache buffers share one compile key.
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ from .generate import (
     MAX_DECODE,
     GenerateConfig,
     build_decode_chunk_batch,
+    build_extend,
     build_prefill,
     _batched_like,
 )
@@ -57,6 +64,23 @@ class Request:
     video_start: int
     pos_base: int | None = None
     t_valid: int | None = None
+
+
+@dataclasses.dataclass
+class PrefixRequest:
+    """A serving request that extends an existing per-video prefix cache
+    (prefix_prefill) instead of running a full prefill: admission costs one
+    build_extend dispatch over the suffix tokens (~tens) rather than a
+    25k-token prefill. Different slots may reference DIFFERENT videos'
+    prefix caches — the pool interleaves questions across videos, so a hot
+    video's questions don't serialize behind a cold one's prefill (the
+    continuous-batching + prefix-caching composition). All prefix caches
+    must share buffer shapes (one compile key, like Request.embeds)."""
+
+    rid: object
+    prefix_cache: object  # KVCache from prefix_prefill (shared per video)
+    suffix_embeds: jnp.ndarray  # [1, s_sfx, D]
+    suffix_valid: int
 
 
 def serve_continuous(
@@ -82,7 +106,14 @@ def serve_continuous(
             f"({MAX_DECODE + 1}) — no admission window could ever fit it"
         )
     b = batch_slots
-    s_full = requests[0].embeds.shape[1]
+
+    def _buf_len(r):
+        if isinstance(r, PrefixRequest):
+            # group-0 cache buffer is [Lg, 1, s_full + MAX_DECODE, KV, hd]
+            return r.prefix_cache.ks[0].shape[2] - MAX_DECODE
+        return r.embeds.shape[1]
+
+    s_full = _buf_len(requests[0])
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     prefill = build_prefill(cfg, spec_key, s_full, impl)
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
@@ -101,17 +132,26 @@ def serve_continuous(
     done = jnp.ones((b,), bool)  # empty slots are frozen
     step = 0
     t_start = time.perf_counter()
-    n_prefills = n_chunks = 0
+    n_prefills = n_extends = n_chunks = 0
 
-    def admit(i: int, req: Request):
-        nonlocal cache, token, n_prefills
-        p = None
-        pb = None if req.pos_base is None else jnp.int32(req.pos_base)
-        tv = None if req.t_valid is None else jnp.int32(req.t_valid)
-        logits, row = prefill(
-            params, req.embeds, jnp.int32(req.valid_len), jnp.int32(req.video_start),
-            p, pb, tv,
-        )
+    def admit(i: int, req):
+        nonlocal cache, token, n_prefills, n_extends
+        if isinstance(req, PrefixRequest):
+            extend = build_extend(cfg, spec_key, req.suffix_embeds.shape[1])
+            logits, row = extend(
+                params, req.prefix_cache, req.suffix_embeds,
+                jnp.int32(req.suffix_valid),
+            )
+            n_extends += 1
+        else:
+            p = None
+            pb = None if req.pos_base is None else jnp.int32(req.pos_base)
+            tv = None if req.t_valid is None else jnp.int32(req.t_valid)
+            logits, row = prefill(
+                params, req.embeds, jnp.int32(req.valid_len),
+                jnp.int32(req.video_start), p, pb, tv,
+            )
+            n_prefills += 1
         if cache is None:
             cache_init = jax.tree.map(lambda x: _batched_like(x, b), row)
         else:
@@ -123,7 +163,6 @@ def serve_continuous(
         slot_ids[i] = [first]
         admit_step[i] = step
         token = token.at[i].set(first)
-        n_prefills += 1
         return new_cache, first in gen.eos_token_ids
 
     def retire(i: int):
@@ -132,10 +171,10 @@ def serve_continuous(
         slot_ids[i] = None
 
     for r in requests:
-        if r.embeds.shape[1] != s_full:
+        if _buf_len(r) != s_full:
             raise ValueError(
                 "continuous batching requires one compile key: all requests "
-                f"must share s_full ({r.embeds.shape[1]} != {s_full})"
+                f"must share s_full ({_buf_len(r)} != {s_full})"
             )
 
     while pending or any(r is not None for r in slot_rid):
@@ -183,6 +222,7 @@ def serve_continuous(
         "wall_s": time.perf_counter() - t_start,
         "n_requests": len(requests),
         "n_prefills": n_prefills,
+        "n_extends": n_extends,
         "n_decode_chunks": n_chunks,
         "total_tokens": sum(len(v) for v in results.values()),
     }
