@@ -1,0 +1,171 @@
+"""Serving-lever benchmark on the real chip: prefix caching + cascade.
+
+Measures, at the headline operating point (bench.py: 7B int8w8a, 128 frames,
+quadtree 50%/k=2):
+  1. full prefill TTFT vs prefix-extension TTFT (the per-question cost under
+     --prefix_cache; extension runs s_sfx=64 suffix tokens vs 25.6k),
+  2. batched decode ms/token over the shared prefix: flat layout (B cache
+     copies) vs cascade layout (one shared prefix copy), at --batch sizes.
+
+Writes BENCH_SERVING.json and prints a summary. Designed for the axon
+tunnel: every timing fetches a small array to host (block_until_ready does
+not synchronize through the tunnel), and caches are freed between programs
+(two full caches + transients exceed one v5e's HBM at batch >= 4).
+
+Usage: python scripts/bench_serving.py [--layers 28] [--batches 2 4 8]
+       [--tiny] (CPU smoke)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=28)
+    ap.add_argument("--vocab", type=int, default=32768)
+    ap.add_argument("--quant", default="int8w8a")
+    ap.add_argument("--batches", type=int, nargs="+", default=[2, 4, 8])
+    ap.add_argument("--decode_tokens", type=int, default=24)
+    ap.add_argument("--s_sfx", type=int, default=64)
+    args = ap.parse_args()
+
+    if args.tiny:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import build_case
+
+    from sttm_tpu.runtime.generate import (
+        GenerateConfig,
+        generate_batch_from_prefix,
+        build_prefill,
+        prefix_prefill,
+    )
+
+    cfg, spec, params, embeds, valid, vstart, s_full, impl = build_case(
+        args.tiny, args.frames, args.layers, args.vocab,
+        "none" if args.tiny else args.quant,
+    )
+    rng = np.random.default_rng(1)
+    d = cfg.hidden_size
+    s_sfx = 16 if args.tiny else args.s_sfx
+    n_dec = 8 if args.tiny else args.decode_tokens
+    batches = [2] if args.tiny else args.batches
+
+    # prefix = everything but the instruction tail; suffix buckets at s_sfx
+    prefix_valid = valid - (s_sfx // 2)
+    gen = GenerateConfig(max_new_tokens=n_dec, eos_token_ids=())
+
+    def sync(x):
+        np.asarray(jax.block_until_ready(x)[:8] if x.ndim else x)
+
+    results = {"config": {"layers": cfg.num_layers, "quant": args.quant,
+                          "s_full": s_full, "s_sfx": s_sfx,
+                          "prefix_valid": int(prefix_valid)}}
+
+    # -- 1. full prefill vs prefix build vs extension ------------------------
+    base_prefill = build_prefill(cfg, spec, s_full, impl)
+    logits, cache = base_prefill(params, embeds, jnp.int32(valid), jnp.int32(vstart))
+    sync(logits)
+    times = []
+    for _ in range(3):
+        del logits, cache
+        t0 = time.perf_counter()
+        logits, cache = base_prefill(params, embeds, jnp.int32(valid), jnp.int32(vstart))
+        sync(logits)
+        times.append(time.perf_counter() - t0)
+    full_ttft = float(np.median(times))
+    del logits, cache
+    print(f"full prefill ttft: {full_ttft*1e3:.1f} ms", flush=True)
+
+    pc = prefix_prefill(params, cfg, embeds, int(prefix_valid), vstart, spec, impl=impl)
+    jax.block_until_ready(pc.lens[0])
+    t0 = time.perf_counter()
+    pc2 = prefix_prefill(params, cfg, embeds, int(prefix_valid), vstart, spec, impl=impl)
+    jax.block_until_ready(pc2.lens[0])
+    prefix_build = time.perf_counter() - t0
+    del pc
+    print(f"prefix prefill: {prefix_build*1e3:.1f} ms", flush=True)
+
+    from sttm_tpu.runtime.generate import build_extend
+
+    sfx = jnp.asarray(0.02 * rng.normal(size=(1, s_sfx, d)), cfg.dtype)
+    extend = build_extend(cfg, spec, s_sfx)
+    lg, row = extend(params, pc2, sfx, jnp.int32(s_sfx // 2))
+    sync(lg)
+    del lg, row
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        lg, row = extend(params, pc2, sfx, jnp.int32(s_sfx // 2))
+        sync(lg)
+        times.append(time.perf_counter() - t0)
+        del lg, row
+    ext_ttft = float(np.median(times))
+    results["full_prefill_ttft_s"] = full_ttft
+    results["prefix_prefill_s"] = prefix_build
+    results["extension_ttft_s"] = ext_ttft
+    results["extension_vs_full"] = full_ttft / ext_ttft
+    print(f"extension ttft: {ext_ttft*1e3:.2f} ms "
+          f"({full_ttft/ext_ttft:.0f}x cheaper than full prefill)", flush=True)
+
+    # -- 2. batched decode over the shared prefix: flat vs cascade -----------
+    results["batched"] = {}
+    for b in batches:
+        sfx_b = jnp.asarray(0.02 * rng.normal(size=(b, s_sfx, d)), cfg.dtype)
+        lens = [s_sfx // 2 + (i % 3) for i in range(b)]
+        row_entry = {}
+        for mode, cascade in (("flat", False), ("cascade", True)):
+            try:
+                # warm (compile)
+                generate_batch_from_prefix(
+                    params, cfg, pc2, sfx_b, lens, spec,
+                    GenerateConfig(max_new_tokens=2, eos_token_ids=()),
+                    decode_chunk_size=1, cascade=cascade,
+                )
+                ids, rt = generate_batch_from_prefix(
+                    params, cfg, pc2, sfx_b, lens, spec, gen,
+                    decode_chunk_size=1, cascade=cascade,
+                )
+                n_tok = sum(rt["num_dec_token"]) - b  # first token is in ttft
+                ms_per_step = 1e3 * rt["time_decoding"] / max(n_dec - 1, 1)
+                row_entry[mode] = {
+                    "ttft_all_extensions_s": rt["ttft_llm"],
+                    "decode_ms_per_step": ms_per_step,
+                    "decode_tok_per_s": n_tok / rt["time_decoding"],
+                }
+                print(f"b={b} {mode}: {ms_per_step:.2f} ms/step "
+                      f"({n_tok / rt['time_decoding']:.1f} tok/s)", flush=True)
+            except Exception as e:  # OOM at large flat batches is expected
+                row_entry[mode] = {"error": f"{type(e).__name__}: {e}"[:200]}
+                print(f"b={b} {mode}: FAILED {type(e).__name__}", flush=True)
+        if "decode_ms_per_step" in row_entry.get("flat", {}) and \
+           "decode_ms_per_step" in row_entry.get("cascade", {}):
+            row_entry["cascade_speedup"] = (
+                row_entry["flat"]["decode_ms_per_step"]
+                / row_entry["cascade"]["decode_ms_per_step"]
+            )
+        results["batched"][str(b)] = row_entry
+
+    out = "BENCH_SERVING_TINY.json" if args.tiny else "BENCH_SERVING.json"
+    with open(out, "w") as fp:
+        json.dump(results, fp, indent=2)
+    print(json.dumps({k: v for k, v in results.items() if k != "config"},
+                     default=str)[:600])
+
+
+if __name__ == "__main__":
+    main()
