@@ -357,8 +357,8 @@ def decode_layers(
         empty_q = jnp.zeros((0, b, s_new, cfg.num_heads, cfg.head_dim), x.dtype)
         return x, cache_k, cache_v, empty_q
     s_new = x.shape[1]
-    if s_new > 1 and (head_packed or attn_kernel):
-        raise ValueError("multi-token decode (s > 1) supports the plain XLA path only")
+    if s_new > 1 and attn_kernel:
+        raise ValueError("multi-token decode (s > 1) supports the XLA paths only")
 
     write_slot = tail_start + step_idx
     kpos = jnp.arange(cache_k.shape[2])
@@ -402,9 +402,10 @@ def decode_layers(
         q, k, v = qkv_proj(lp, h, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        if head_packed:  # [B, 1, KV, hd] -> [1, 1, B*KV, hd] (pure reshape)
-            k = k.reshape(1, 1, b * cfg.num_kv_heads, cfg.head_dim)
-            v = v.reshape(1, 1, b * cfg.num_kv_heads, cfg.head_dim)
+        if head_packed:  # [B, s, KV, hd] -> [1, s, B*KV, hd], packed head
+            # index r*KV + j (s == 1 makes the transpose a pure reshape)
+            k = k.transpose(1, 0, 2, 3).reshape(1, s, b * cfg.num_kv_heads, cfg.head_dim)
+            v = v.transpose(1, 0, 2, 3).reshape(1, s, b * cfg.num_kv_heads, cfg.head_dim)
         ck_all = jax.lax.dynamic_update_slice(ck_all, k[None], (li, 0, write_slot, 0, 0))
         cv_all = jax.lax.dynamic_update_slice(cv_all, v[None], (li, 0, write_slot, 0, 0))
         if isinstance(li, int):  # static index: a zero-copy view
@@ -426,15 +427,22 @@ def decode_layers(
                 b, 1, cfg.num_heads, cfg.head_dim
             )
         elif head_packed:
-            qp = q.reshape(1, 1, b * cfg.num_heads, cfg.head_dim)
+            # s == 1: plain packed decode read. s > 1: packed verify window —
+            # causal over physical slots via q_offset (query row j of every
+            # packed row sees kpos <= write_slot + j); rejected earlier tail
+            # slots must be hidden by the caller's kv_mask (they sit BELOW
+            # write_slot here, unlike the single-sample verify where slot
+            # reuse pushes them past the write bound).
+            qp = q.transpose(1, 0, 2, 3).reshape(1, s, b * cfg.num_heads, cfg.head_dim)
             o = mha(
                 qp, ck, cv,
-                kv_valid_len=write_slot + 1,
-                causal=False,
+                kv_valid_len=write_slot + s,
+                causal=s > 1,
+                q_offset=write_slot,
                 impl="xla",
                 kv_mask=mask,
                 kv_mask_per_head=mask.ndim == 2,
-            ).reshape(b, 1, cfg.num_heads, cfg.head_dim)
+            ).reshape(s, b, cfg.num_heads, cfg.head_dim).transpose(1, 0, 2, 3)
         elif attn_kernel:
             from ..ops.attention import flash_decode_mha
 

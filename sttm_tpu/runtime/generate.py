@@ -824,6 +824,202 @@ def build_decode_chunk_batch(
 
 
 @functools.lru_cache(maxsize=8)
+def build_verify_chunk_batch(cfg: DecoderConfig, spec, k: int, kvh: int, tail_slots: int):
+    """Cached builders for BATCHED greedy speculative decoding — the two
+    strongest measured serving levers composed: head-packed batching (one
+    weight read per step for B rows) x multi-token verify (one weight read
+    scores k tokens), so a dispatch scores B*k candidate tokens for ~one
+    weight read.
+
+    Slot layout: the single-sample verify reuses rejected tail slots by
+    advancing the write position by the per-dispatch acceptance — impossible
+    per-row under head packing, where every row shares ONE write slot (the
+    fixed-slot DUS is what keeps batched decode at the bandwidth floor,
+    decode_layers). Instead, dispatch ``d`` always writes its k tokens at
+    tail slots [d*k, (d+1)*k): rejected slots are never overwritten, just
+    hidden from later dispatches by a per-row ACCEPTANCE MASK
+    (acc_mask [B, tail_slots], host-updated after each dispatch). The tail
+    is therefore sized k*max_new_tokens (worst case: one accepted token per
+    dispatch) — a few hundred extra slots of KV buffer, trivial vs S_p.
+
+    Returns (init_row_buf, insert_row, update_mask, verify_chunk):
+      init_row_buf(leaf, b): zero batched buffer with the EXTENDED tail.
+      insert_row(buf_tree, row_tree, i): pack one prefill/extension row
+        (its MAX_DECODE tail is unused zeros) at KV-head offset i*kvh.
+      update_mask(acc_mask, window [B, k] bool, d): mark dispatch d's
+        accepted slots.
+      verify_chunk(params, tokens [B, k], cache, d, acc_counts [B],
+        acc_mask) -> (preds [B, k] int32, cache): preds[r, j] = argmax next
+        token after tokens[r, j]; row r's feed is
+        [last_accepted_r, draft_1..draft_{k-1}].
+    """
+    specs = _normalize_specs(spec)
+    bounds = _group_bounds(cfg, specs)
+
+    def init_row_buf(x, b: int):
+        x = jnp.asarray(x)
+        if x.ndim >= 2:  # [Lg, 1, S_main + MAX_DECODE, KV, hd]
+            s_ext = x.shape[2] - MAX_DECODE + tail_slots
+            return jnp.zeros(
+                x.shape[:2] + (s_ext, b * x.shape[3]) + x.shape[4:], x.dtype
+            )
+        return jnp.zeros((b,), x.dtype)
+
+    def _row_insert(buf, x, i):
+        x = jnp.asarray(x)
+        if x.ndim >= 2:
+            if x.shape[2] > buf.shape[2]:
+                # tail_slots < MAX_DECODE: drop the row's unused zero tail
+                x = jax.lax.slice_in_dim(x, 0, buf.shape[2], axis=2)
+            return jax.lax.dynamic_update_slice(buf, x, (0, 0, 0, i * kvh, 0))
+        return jax.lax.dynamic_update_index_in_dim(buf, x, i, 0)
+
+    insert_row = jax.jit(
+        lambda buf_tree, row_tree, i: jax.tree.map(
+            lambda buf, x: _row_insert(buf, x, i), buf_tree, row_tree
+        ),
+        donate_argnums=(0,),
+    )
+
+    update_mask = jax.jit(
+        lambda m, window, d: jax.lax.dynamic_update_slice(m, window, (0, d * k)),
+        donate_argnums=(0,),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def verify_chunk(params, tokens, cache, d, acc_counts, acc_mask):
+        layers = params["layers"]
+        b = tokens.shape[0]
+        x = qwen2.embed_tokens(params, tokens, cfg)  # [B, k, D]
+        pos = (
+            (cache.pos_base + acc_counts)[:, None] + jnp.arange(k)[None]
+        ).astype(jnp.int32)  # [B, k]
+        if cfg.mrope_section:  # all three M-RoPE rows advance together
+            pos = jnp.broadcast_to(pos[:, None, :], (b, 3, k))
+        cos, sin = jax.vmap(lambda p: qwen2.rope_cos_sin(cfg, p))(pos)
+
+        step_idx = d * k
+        rel = jnp.arange(tail_slots)
+        # visible tail = accepted slots + the current/future window (causal
+        # + kv_valid_len bound the window to <= write_slot + j per query row)
+        tail_vis = acc_mask | (rel[None, :] >= step_idx)  # [B, tail_slots]
+        new_ks, new_vs = [], []
+        for gi, (lo, hi) in enumerate(bounds):
+            s_c = cache.ks[gi].shape[2]
+            tail_start = s_c - tail_slots
+            kvm = jnp.concatenate(
+                [jnp.ones((b, tail_start), bool), tail_vis], axis=1
+            )
+            x, ck, cv, _ = qwen2.decode_layers(
+                layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
+                cache.lens[gi], step_idx, tail_start, cfg, kv_mask=kvm,
+                head_packed=True,
+            )
+            new_ks.append(ck)
+            new_vs.append(cv)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
+        logits = qwen2.lm_head(params, cfg, h)  # [B, k, V]
+        preds = jnp.argmax(logits, -1).astype(jnp.int32)
+        new_cache = dataclasses.replace(cache, ks=tuple(new_ks), vs=tuple(new_vs))
+        return preds, new_cache
+
+    return init_row_buf, insert_row, update_mask, verify_chunk
+
+
+def _spec_batch_builders(cfg: DecoderConfig, spec_key, k: int, gen: GenerateConfig):
+    """Resolve the batched-verify builders + tail sizing for a spec-decode
+    batch (callers insert rows incrementally — holding all B row caches and
+    the batched buffer at once would peak at 2x the cache footprint)."""
+    k = max(2, min(k, MAX_DECODE))
+    tail_slots = max(k * max(gen.max_new_tokens - 1, 1), k)
+    builders = build_verify_chunk_batch(
+        cfg, spec_key, k, cfg.num_kv_heads, tail_slots
+    )
+    return k, tail_slots, builders
+
+
+def _batched_spec_decode(
+    params,
+    logits,
+    cache,
+    gen: GenerateConfig,
+    k: int,
+    tail_slots: int,
+    update_mask,
+    verify_chunk,
+    histories=None,
+    draft_fn=None,
+):
+    """Batched greedy speculative decode loop over an extended-tail batched
+    cache (_spec_batch_builders). Every emitted token is the model's own
+    argmax — any drafter only affects speed. Returns (ids, time_decoding,
+    stats)."""
+    b = logits.shape[0]
+    token0 = np.asarray(jnp.argmax(logits, -1).astype(jnp.int32))
+    ids = [[int(t)] for t in token0]
+    eos = set(gen.eos_token_ids)
+    done = [ids[r][-1] in eos or gen.max_new_tokens <= 1 for r in range(b)]
+    histories = (
+        [list(h) for h in histories] if histories is not None
+        else [[] for _ in range(b)]
+    )
+    for r in range(b):
+        histories[r].append(ids[r][0])
+    drafter = draft_fn or ngram_draft
+
+    acc_counts = np.zeros(b, np.int64)
+    acc_mask = jnp.zeros((b, tail_slots), bool)
+    n_drafted = n_hit = 0
+    time_decoding = 0.0
+    d = 0
+    while not all(done) and (d + 1) * k <= tail_slots:
+        feed = np.empty((b, k), np.int32)
+        drafts = []
+        for r in range(b):
+            dr = (
+                [ids[r][-1]] * (k - 1) if done[r]
+                else [int(t) for t in drafter(histories[r], k - 1)]
+            )
+            drafts.append(dr)
+            feed[r, 0] = ids[r][-1]
+            feed[r, 1:] = dr
+        t0 = time.perf_counter()
+        preds, cache = verify_chunk(
+            params, jnp.asarray(feed), cache, jnp.int32(d),
+            jnp.asarray(acc_counts, jnp.int32), acc_mask,
+        )
+        preds = np.asarray(preds)  # host sync
+        time_decoding += time.perf_counter() - t0
+
+        window = np.zeros((b, k), bool)
+        for r in range(b):
+            if done[r]:
+                continue
+            a = 0
+            while a < k - 1 and drafts[r][a] == int(preds[r, a]):
+                a += 1
+            n_drafted += k - 1
+            n_hit += a
+            e = 0
+            for j in range(a + 1):
+                t = int(preds[r, j])
+                ids[r].append(t)
+                histories[r].append(t)
+                e += 1
+                if t in eos or len(ids[r]) >= gen.max_new_tokens:
+                    done[r] = True
+                    break
+            window[r, :e] = True
+            acc_counts[r] += e
+        acc_mask = update_mask(acc_mask, jnp.asarray(window), jnp.int32(d))
+        d += 1
+
+    stats = {"spec_drafted": n_drafted, "spec_accepted": n_hit,
+             "spec_dispatches": d}
+    return ids, time_decoding, stats
+
+
+@functools.lru_cache(maxsize=8)
 def build_decode_step_dycoke(cfg: DecoderConfig, spec, dyc: DycokeDecodeOptions):
     """Decode step with DyCoke stage-2 KV pruning. Single layer group only
     (the reference prunes at prefill layer 0, run_vidqa.sh dycoke cfgs)."""
@@ -1308,6 +1504,9 @@ def generate_batch(
     decode_attn_kernel: bool = False,
     pos_bases=None,
     t_valids=None,
+    spec_decode_k: int = 0,
+    histories=None,
+    draft_fn=None,
 ):
     """Batched greedy generation — beyond the reference's strict batch=1
     (eval_vidqa_by_feat_llavavideo.py:208). Samples share (s_full, spec);
@@ -1325,27 +1524,40 @@ def generate_batch(
     the per-layer cache updates stop aliasing in place (measured 10x decode
     slowdown at batch 2-4 at the 7B operating point, see decode_layers).
     Returns (ids list-of-lists, runtime dict).
+
+    ``spec_decode_k >= 2`` runs BATCHED greedy speculative decoding instead
+    of the chunked loop (build_verify_chunk_batch): per-row n-gram drafts,
+    one dispatch verifies B*k tokens for ~one weight read. Token-exact for
+    any drafter. ``histories`` (optional, per-row prompt token ids) seeds
+    the drafter like generate()'s prompt_ids.
     """
     b, s_full, _ = embeds.shape
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     prefill = build_prefill(cfg, spec_key, s_full, impl)
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
-    insert_row, decode_chunk = build_decode_chunk_batch(
-        cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads,
-        attn_kernel=decode_attn_kernel,
-    )
+    speculative = spec_decode_k > 1
+    if speculative:
+        k, tail_slots, (init_row_buf, insert_row, update_mask, verify_chunk) = (
+            _spec_batch_builders(cfg, spec_key, spec_decode_k, gen)
+        )
+        _batched_init = lambda x: init_row_buf(x, b)
+    else:
+        insert_row, decode_chunk = build_decode_chunk_batch(
+            cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads,
+            attn_kernel=decode_attn_kernel,
+        )
+
+        # Prefill samples sequentially, inserting each cache row into the
+        # batched buffer in place (donated): ks/vs rows land in the cache's
+        # KV-HEAD axis at offset i*KV (head packing), scalar leaves (lens,
+        # pos_base) become [B]. Holding all per-sample caches and stacking at
+        # the end would peak at 2x the batched-cache footprint — which OOMs
+        # one v5e chip at the full 28-layer 7B point.
+        def _batched_init(x):
+            return _batched_like(x, b)
 
     vl = jnp.asarray(valid_lens, jnp.int32)
     vs = jnp.asarray(video_starts, jnp.int32)
-
-    # Prefill samples sequentially, inserting each cache row into the batched
-    # buffer in place (donated): ks/vs rows land in the cache's KV-HEAD axis
-    # at offset i*KV (head packing), scalar leaves (lens, pos_base) become
-    # [B]. Holding all per-sample caches and stacking at the end would peak
-    # at 2x the batched-cache footprint — which OOMs one v5e chip at the
-    # full 28-layer 7B point.
-    def _batched_init(x):
-        return _batched_like(x, b)
 
     t0 = time.perf_counter()
     logits_rows, cache = [], None
@@ -1366,9 +1578,16 @@ def generate_batch(
     ttft = time.perf_counter() - t0
 
     merged_lens = [int(m) for m in cache.merged_len]
-    ids, time_decoding = _batched_greedy_decode(
-        params, logits, cache, gen, decode_chunk, chunk
-    )
+    spec_stats = {}
+    if speculative:
+        ids, time_decoding, spec_stats = _batched_spec_decode(
+            params, logits, cache, gen, k, tail_slots, update_mask,
+            verify_chunk, histories=histories, draft_fn=draft_fn,
+        )
+    else:
+        ids, time_decoding = _batched_greedy_decode(
+            params, logits, cache, gen, decode_chunk, chunk
+        )
 
     runtime = {
         "ttft_llm": ttft,
@@ -1376,6 +1595,7 @@ def generate_batch(
         "num_dec_token": [len(x) for x in ids],
         "merged_len": merged_lens,
         "full_len": [int(v) for v in vl],
+        **spec_stats,
     }
     return ids, runtime
 
@@ -1418,6 +1638,9 @@ def generate_batch_from_prefix(
     decode_chunk_size: int = 1,
     decode_attn_kernel: bool = False,
     cascade: bool = False,
+    spec_decode_k: int = 0,
+    histories=None,
+    draft_fn=None,
 ):
     """Batched greedy generation for several questions that share one prefix
     cache (prefix_prefill) — the two serving levers composed: the [sys|video]
@@ -1437,12 +1660,24 @@ def generate_batch_from_prefix(
     the two sources with the exact online-softmax combine
     (qwen2.cascade_attention); math equals the flat path up to fp
     reassociation. decode_attn_kernel is ignored under cascade (XLA path).
+
+    ``spec_decode_k >= 2`` (flat layout only) runs batched greedy
+    speculative decoding: ONE prefill for the video + per-question
+    extensions + B*k-token verify dispatches — all three serving levers
+    composed. Token-exact for any drafter.
     """
     b, s_sfx, _ = suffix_embeds.shape
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     extend = build_extend(cfg, spec_key, s_sfx)
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
-    if cascade:
+    speculative = spec_decode_k > 1
+    if speculative and cascade:
+        raise ValueError("spec_decode_k composes with the flat layout only")
+    if speculative:
+        k, tail_slots, (init_row_buf, insert_row, update_mask, verify_chunk) = (
+            _spec_batch_builders(cfg, spec_key, spec_decode_k, gen)
+        )
+    elif cascade:
         pack_row, decode_chunk_c = build_decode_chunk_cascade(
             cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads,
             s_sfx,
@@ -1475,7 +1710,9 @@ def generate_batch_from_prefix(
             )
         else:
             if cache is None:
-                cache = jax.tree.map(lambda x: _batched_like(x, b), row)
+                init = (lambda x: init_row_buf(x, b)) if speculative \
+                    else (lambda x: _batched_like(x, b))
+                cache = jax.tree.map(init, row)
             cache = insert_row(cache, row, jnp.int32(i))
         del row
     logits = jnp.concatenate(logits_rows)  # [B, V]
@@ -1498,9 +1735,16 @@ def generate_batch_from_prefix(
             [0] * b if cache.budget_overflow is None
             else [int(o) for o in cache.budget_overflow]
         )
-    ids, time_decoding = _batched_greedy_decode(
-        params, logits, cache, gen, decode_chunk, chunk
-    )
+    spec_stats = {}
+    if speculative:
+        ids, time_decoding, spec_stats = _batched_spec_decode(
+            params, logits, cache, gen, k, tail_slots, update_mask,
+            verify_chunk, histories=histories, draft_fn=draft_fn,
+        )
+    else:
+        ids, time_decoding = _batched_greedy_decode(
+            params, logits, cache, gen, decode_chunk, chunk
+        )
 
     runtime = {
         "ttft_llm": ttft,
@@ -1510,5 +1754,6 @@ def generate_batch_from_prefix(
         "full_len": full_lens,
         "budget_overflow": budget_overflow,
         "prefix_cached": True,
+        **spec_stats,
     }
     return ids, runtime
