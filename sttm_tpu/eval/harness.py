@@ -514,13 +514,19 @@ class LlavaEvaluator:
         suffix_embeds = plan["suffix_embeds"]
         insts = plan["insts"]
 
-        def run_batch(cache, chunk_insts):
+        def run_batch(cache, chunk_insts, chunk_samples=None):
             sfx = jnp.concatenate([suffix_embeds(i) for i in chunk_insts])
+            speculative = cfg.spec_decode_k > 1 and not cfg.prefix_cascade
             return generate_batch_from_prefix(
                 self.decoder_params, self.decoder_cfg, cache, sfx,
                 [len(i) for i in chunk_insts], spec, gen,
                 decode_chunk_size=cfg.decode_chunk_size,
                 cascade=cfg.prefix_cascade,
+                spec_decode_k=cfg.spec_decode_k if speculative else 0,
+                histories=[
+                    [int(t) for t in np.asarray(s["input_ids"]).reshape(-1)]
+                    for s in chunk_samples
+                ] if speculative and chunk_samples is not None else None,
             )
 
         # The traced batch size is part of the compiled program (head-packed
@@ -550,7 +556,7 @@ class LlavaEvaluator:
             chunk_i = insts[i : i + cfg.batch_size]
             b = len(chunk_s)
             t0 = time.perf_counter()
-            ids_list, rt = run_batch(cache, chunk_i)
+            ids_list, rt = run_batch(cache, chunk_i, chunk_s)
             total = time.perf_counter() - t0
             for bi, (s, inst) in enumerate(zip(chunk_s, chunk_i)):
                 text = self.tokenizer.decode(
@@ -575,6 +581,10 @@ class LlavaEvaluator:
                     "all": total / b,
                     "batch_size": b,
                     "prefix_cached": True,
+                    # batch totals, present under --spec_decode_k
+                    **{k: rt[k] for k in
+                       ("spec_drafted", "spec_accepted", "spec_dispatches")
+                       if k in rt},
                 }
                 if first:
                     runtime["prefix_prefill_time"] = prefill_time
@@ -633,6 +643,11 @@ class LlavaEvaluator:
                         GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids),
                         impl=cfg.attention_impl, decode_chunk_size=chunked,
                         pos_bases=pb, t_valids=tv,
+                        spec_decode_k=cfg.spec_decode_k,
+                        histories=[
+                            [int(t) for t in np.asarray(s["input_ids"]).reshape(-1)]
+                            for s in chunk
+                        ] if cfg.spec_decode_k > 1 else None,
                     )
 
                 # The traced batch size is part of the compiled program's
@@ -669,6 +684,10 @@ class LlavaEvaluator:
                         "full_len": valids[bi],
                         "all": total / b,
                         "batch_size": b,
+                        # batch totals, present under --spec_decode_k
+                        **{k: rt[k] for k in
+                           ("spec_drafted", "spec_accepted", "spec_dispatches")
+                           if k in rt},
                     }
                     append_jsonl(pred_path, {
                         "question_id": s["id"], "vid": s["vid"],
@@ -699,7 +718,9 @@ class LlavaEvaluator:
             and cfg.dycoke_decode is None
             and cfg.attn_sinks == 0
             and cfg.attn_window == 0
-            and cfg.spec_decode_k <= 1
+            # speculative decode composes with the batched flat prefix path
+            and (cfg.spec_decode_k <= 1
+                 or (cfg.batch_size > 1 and not cfg.prefix_cascade))
             # chunked decode composes with the batched prefix path only
             and (cfg.batch_size > 1 or cfg.decode_chunk_size == 1)
             and cfg.frame_bucket == 0

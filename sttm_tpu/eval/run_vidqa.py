@@ -200,12 +200,18 @@ def main(argv=None):
             raise SystemExit("--video_dir is required for --input_mode video")
     if args.prefix_cache:
         if (
-            args.sp > 1 or args.spec_decode_k > 1 or args.frame_bucket > 0
+            args.sp > 1 or args.frame_bucket > 0
             or args.sa_pattern in ("streamingllm", "dycoke")
         ):
             raise SystemExit(
-                "--prefix_cache excludes sp / speculative decoding / "
-                "frame_bucket / streamingllm / dycoke decode pruning"
+                "--prefix_cache excludes sp / frame_bucket / streamingllm / "
+                "dycoke decode pruning"
+            )
+        if args.spec_decode_k > 1 and (args.batch_size == 1 or args.prefix_cascade):
+            raise SystemExit(
+                "--prefix_cache composes with --spec_decode_k only when "
+                "batched (--batch_size > 1) on the flat layout (no "
+                "--prefix_cascade)"
             )
         if args.decode_chunk_size > 1 and args.batch_size == 1:
             raise SystemExit(

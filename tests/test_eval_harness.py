@@ -153,6 +153,38 @@ def test_eval_batched_matches_per_sample(tmp_path, synthetic_benchmark):
     assert m1 == m2
 
 
+def test_eval_batched_spec_decode_matches_per_sample(tmp_path, synthetic_benchmark):
+    """batch_size > 1 + spec_decode_k: batched speculative decoding through
+    the harness produces answers identical to per-sample evaluation."""
+    anno_path, feat_dir, meta_dir, annos = synthetic_benchmark
+    cfg = LlavaConfig(decoder=TINY, vision_hidden_size=16, vision_patches_per_side=6)
+    dec_params = qwen2.init_params(TINY, jax.random.key(0))
+    mm_params = llava.init_multimodal_params(cfg, jax.random.key(1))
+    tok = MockTokenizer()
+    dcfg = DataConfig("videomme", str(anno_path), str(feat_dir), str(meta_dir))
+
+    def spec_factory(t, h, w):
+        return ReducerSpec(
+            kind="quadtree", layer_idx=1, t=t, h=h, w=w, video_budget=t * h * w // 2,
+            spatial_thresh=0.7, temporal_thresh=0.6, root_level=0,
+        )
+
+    ev = LlavaEvaluator(dec_params, TINY, cfg, mm_params, tok, spec_factory)
+    base = dict(dataset_name="videomme", max_new_tokens=4, pad_multiple=64,
+                attention_impl="xla", eos_token_ids=(), frame_bucket=4)
+    ecfg1 = EvalConfig(out_dir=str(tmp_path / "per"), **base)
+    ev.evaluate(FeatureVidQADataset(dcfg, tok), ecfg1, gts=annos)
+    ecfg2 = EvalConfig(out_dir=str(tmp_path / "bat"), batch_size=2,
+                       spec_decode_k=3, **base)
+    ev.evaluate(FeatureVidQADataset(dcfg, tok), ecfg2, gts=annos)
+
+    p1 = {r["question_id"]: r["answer"] for r in read_jsonl(os.path.join(ecfg1.out_dir, "predictions.jsonl"))}
+    p2 = {r["question_id"]: r["answer"] for r in read_jsonl(os.path.join(ecfg2.out_dir, "predictions.jsonl"))}
+    assert p1 == p2
+    rts = {r["question_id"]: r for r in read_jsonl(os.path.join(ecfg2.out_dir, "runtime.jsonl"))}
+    assert rts["q1"]["batch_size"] == 2
+
+
 def test_egoschema_submission():
     preds = [
         {"question_id": "a", "answer": "The best answer is B."},

@@ -165,6 +165,36 @@ def test_prefix_cached_batched_matches_per_sample(tmp_path):
     assert "batch_size" not in rts["q4"] and "prefix_cached" not in rts["q4"]
 
 
+def test_prefix_batched_spec_decode_matches_per_sample(tmp_path):
+    """--prefix_cache + batch_size 2 + spec_decode_k: all three serving
+    levers through the harness; answers must match per-sample full prefill."""
+    anno_path, feat_dir, meta_dir, annos = _benchmark(tmp_path)
+    cfg = LlavaConfig(decoder=TINY, vision_hidden_size=16, vision_patches_per_side=6)
+    dec_params = qwen2.init_params(TINY, jax.random.key(0))
+    mm_params = llava.init_multimodal_params(cfg, jax.random.key(1))
+    tok = MockTokenizer()
+    dcfg = DataConfig("videomme", str(anno_path), str(feat_dir), str(meta_dir))
+
+    ev = LlavaEvaluator(dec_params, TINY, cfg, mm_params, tok, _spec_factory)
+    base = dict(dataset_name="videomme", max_new_tokens=4, pad_multiple=64,
+                attention_impl="xla", eos_token_ids=())
+    ecfg1 = EvalConfig(out_dir=str(tmp_path / "sper"), **base)
+    ev.evaluate(FeatureVidQADataset(dcfg, tok), ecfg1, gts=annos)
+    ecfg2 = EvalConfig(out_dir=str(tmp_path / "spfx"), prefix_cache=True,
+                       batch_size=2, spec_decode_k=3, **base)
+    ev.evaluate(FeatureVidQADataset(dcfg, tok), ecfg2, gts=annos)
+
+    p1 = {r["question_id"]: r["answer"]
+          for r in read_jsonl(os.path.join(ecfg1.out_dir, "predictions.jsonl"))}
+    p2 = {r["question_id"]: r["answer"]
+          for r in read_jsonl(os.path.join(ecfg2.out_dir, "predictions.jsonl"))}
+    assert p1 == p2 and len(p2) == 5
+    rts = {r["question_id"]: r
+           for r in read_jsonl(os.path.join(ecfg2.out_dir, "runtime.jsonl"))}
+    assert rts["q0"]["batch_size"] == 2 and rts["q0"]["prefix_cached"]
+    assert rts["q0"]["spec_dispatches"] >= 1
+
+
 def test_prefix_cascade_matches_per_sample(tmp_path):
     """--prefix_cache + batch_size 2 + prefix_cascade: groups decode over ONE
     shared prefix cache (cascade KV layout); answers must still match the
