@@ -641,6 +641,265 @@ def cascade_decode_layers(
     return x, sfx_k_all, sfx_v_all
 
 
+def paged_cascade_attention(q, pks, pvs, pfx_lens, page, sk, sv, sfx_mask,
+                            cfg: DecoderConfig):
+    """cascade_attention generalized to a PAGED prefix pool: ``pks``/``pvs``
+    hold P distinct read-only prefixes ([P, S_p, KV, hd]) and row r attends
+    to page ``page[r]``. An inner scan visits each page ONCE per step (HBM
+    reads P*S_p regardless of B — slots sharing a page share the read) and
+    computes the partial-softmax stats for all rows against that page; each
+    row then keeps the stats of its own page. FLOPs are P x the minimum, but
+    single-token decode is bandwidth-bound and the MXU idles at M=1, so the
+    extra arithmetic is free. Math per row is identical to cascade_attention
+    with that row's page as the shared prefix.
+
+    q: [B, 1, H, hd]; pfx_lens: [P] per-page valid lengths; page: [B] int32;
+    sk/sv/sfx_mask as in cascade_attention."""
+    b = q.shape[0]
+    kvh, hd = cfg.num_kv_heads, cfg.head_dim
+    g = cfg.num_heads // kvh
+    qh = q[:, 0].reshape(b, kvh, g, hd)
+    scale = hd**-0.5
+    kpos = jnp.arange(pks.shape[1])
+    n_pages = pks.shape[0]
+
+    def page_body(carry, inp):
+        pk, pv, plen, pidx = inp
+        sp = jnp.einsum(
+            "bkgd,skd->bkgs", qh, pk,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        sp = jnp.where((kpos < plen)[None, None, None, :], sp, -1e30)
+        mp = jnp.max(sp, -1)  # [B, KV, G]
+        ep = jnp.exp(sp - mp[..., None])
+        lp = jnp.sum(ep, -1)
+        op = jnp.einsum(
+            "bkgs,skd->bkgd", ep, pv,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        sel = (page == pidx)[:, None, None]
+        m0, l0, o0 = carry
+        return (
+            jnp.where(sel, mp, m0),
+            jnp.where(sel, lp, l0),
+            jnp.where(sel[..., None], op, o0),
+        ), None
+
+    init = (
+        jnp.full((b, kvh, g), -1e30, jnp.float32),
+        jnp.zeros((b, kvh, g), jnp.float32),
+        jnp.zeros((b, kvh, g, hd), jnp.float32),
+    )
+    (mp, lp, op), _ = jax.lax.scan(
+        page_body, init, (pks, pvs, pfx_lens, jnp.arange(n_pages, dtype=jnp.int32))
+    )
+
+    skr = sk.reshape(-1, b, kvh, hd)
+    svr = sv.reshape(-1, b, kvh, hd)
+    ss = jnp.einsum(
+        "bkgd,sbkd->bkgs", qh, skr,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) * scale
+    ss = jnp.where(sfx_mask[:, None, None, :], ss, -1e30)
+    ms = jnp.max(ss, -1)
+    es = jnp.exp(ss - ms[..., None])
+    ls = jnp.sum(es, -1)
+    os_ = jnp.einsum(
+        "bkgs,sbkd->bkgd", es, svr,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    m = jnp.maximum(mp, ms)
+    wp = jnp.exp(mp - m)
+    ws = jnp.exp(ms - m)
+    out = (op * wp[..., None] + os_ * ws[..., None]) / (
+        lp * wp + ls * ws
+    )[..., None]
+    return out.reshape(b, 1, cfg.num_heads, hd).astype(q.dtype)
+
+
+def paged_cascade_decode_layers(
+    layers: dict,
+    lo: int,
+    hi: int,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    pool_k_all: jnp.ndarray,
+    pool_v_all: jnp.ndarray,
+    pfx_lens: jnp.ndarray,
+    page: jnp.ndarray,
+    sfx_k_all: jnp.ndarray,
+    sfx_v_all: jnp.ndarray,
+    sfx_lens,
+    step_idx,
+    tail_start: int,
+    cfg: DecoderConfig,
+    tail_min=None,
+):
+    """cascade_decode_layers over a paged prefix pool (continuous batching x
+    cascade): pool_k_all/pool_v_all [Lg, P, S_p, KV, hd] hold P distinct
+    videos' prefixes once each; row r reads page ``page[r]``
+    (paged_cascade_attention). ``tail_min`` [B] (optional) hides decode-tail
+    slots written before a row's admission step — the previous occupant's
+    K/V in the shared slot ring (runtime/serving.py semantics). Returns
+    (x, sfx_k_all, sfx_v_all)."""
+    if hi <= lo:
+        return x, sfx_k_all, sfx_v_all
+    b = x.shape[0]
+    kvh = cfg.num_kv_heads
+    write_slot = tail_start + step_idx
+    kpos_s = jnp.arange(sfx_k_all.shape[2])
+    lo_bound = (
+        tail_start if tail_min is None
+        else tail_start + jnp.asarray(tail_min)[:, None]
+    )
+    sfx_mask = (kpos_s[None, :] < jnp.asarray(sfx_lens)[:, None]) | (
+        (kpos_s[None, :] >= lo_bound) & (kpos_s[None, :] <= write_slot)
+    )
+
+    def body(y, sk_all, sv_all, li):
+        lp = _take_layer(layers, lo + li)
+        h = rms_norm(y, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
+        q, k, v = qkv_proj(lp, h, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kp = k.reshape(1, 1, b * kvh, cfg.head_dim)
+        vp = v.reshape(1, 1, b * kvh, cfg.head_dim)
+        sk_all = jax.lax.dynamic_update_slice(sk_all, kp[None], (li, 0, write_slot, 0, 0))
+        sv_all = jax.lax.dynamic_update_slice(sv_all, vp[None], (li, 0, write_slot, 0, 0))
+        sk = jax.lax.dynamic_index_in_dim(sk_all, li, 0, keepdims=False)
+        sv = jax.lax.dynamic_index_in_dim(sv_all, li, 0, keepdims=False)
+        pks = jax.lax.dynamic_index_in_dim(pool_k_all, li, 0, keepdims=False)
+        pvs = jax.lax.dynamic_index_in_dim(pool_v_all, li, 0, keepdims=False)
+        o = paged_cascade_attention(
+            q, pks, pvs, pfx_lens, page, sk[0], sv[0], sfx_mask, cfg
+        )
+        y = y + _mat(o.reshape(b, 1, cfg.q_dim), lp["wo"], cfg.act_quant)
+        h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
+        y = y + mlp_block(lp, h, cfg)
+        return y, sk_all, sv_all
+
+    def step(carry, li):
+        return body(*carry, li), None
+
+    (x, sfx_k_all, sfx_v_all), _ = jax.lax.scan(
+        step, (x, sfx_k_all, sfx_v_all), jnp.arange(hi - lo, dtype=jnp.int32)
+    )
+    return x, sfx_k_all, sfx_v_all
+
+
+def paged_extend_layers(
+    layers: dict,
+    lo: int,
+    hi: int,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    pool_k_all: jnp.ndarray,
+    pool_v_all: jnp.ndarray,
+    pfx_len,
+    pidx,
+    sfx_k_all: jnp.ndarray,
+    sfx_v_all: jnp.ndarray,
+    slot,
+    cfg: DecoderConfig,
+):
+    """Prefix-pool admission: run ONE request's ``s_sfx`` suffix tokens
+    (x [1, s, D]) against pool page ``pidx`` and write their K/V straight
+    into the head-packed tail buffers at KV-head block ``slot`` — no per-
+    request prefix copy is ever materialized (the page is indexed per layer;
+    XLA fuses the gather into the consuming matmuls, see CLAUDE.md). Suffix
+    token j attends to the page's ``pfx_len`` prefix keys plus suffix keys
+    [0, j] (causal), combined with the exact online-softmax identity — the
+    same visibility build_extend gives the flat path. Returns
+    (x, sfx_k_all, sfx_v_all)."""
+    if hi <= lo:
+        return x, sfx_k_all, sfx_v_all
+    s = x.shape[1]
+    kvh, hd = cfg.num_kv_heads, cfg.head_dim
+    g = cfg.num_heads // kvh
+    scale = hd**-0.5
+    kpos_p = jnp.arange(pool_k_all.shape[2])
+    causal = jnp.arange(s)[:, None] >= jnp.arange(s)[None, :]  # [s_q, s_k]
+
+    def attn(q, pk, pv, kn, vn):
+        qh = q[0].reshape(s, kvh, g, hd)
+        sp = jnp.einsum(
+            "skgd,tkd->skgt", qh, pk,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        sp = jnp.where((kpos_p < pfx_len)[None, None, None, :], sp, -1e30)
+        mp = jnp.max(sp, -1)
+        ep = jnp.exp(sp - mp[..., None])
+        lp = jnp.sum(ep, -1)
+        op = jnp.einsum(
+            "skgt,tkd->skgd", ep, pv,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        ss = jnp.einsum(
+            "skgd,tkd->skgt", qh, kn[0],
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        ss = jnp.where(causal[:, None, None, :], ss, -1e30)
+        ms = jnp.max(ss, -1)
+        es = jnp.exp(ss - ms[..., None])
+        ls = jnp.sum(es, -1)
+        os_ = jnp.einsum(
+            "skgt,tkd->skgd", es, vn[0],
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.maximum(mp, ms)
+        wp = jnp.exp(mp - m)
+        ws = jnp.exp(ms - m)
+        out = (op * wp[..., None] + os_ * ws[..., None]) / (
+            lp * wp + ls * ws
+        )[..., None]
+        return out.reshape(1, s, cfg.num_heads, hd).astype(q.dtype)
+
+    def body(y, sk_all, sv_all, li):
+        lp_ = _take_layer(layers, lo + li)
+        h = rms_norm(y, lp_["ln1"], cfg.rms_eps, cfg.rms_offset)
+        q, k, v = qkv_proj(lp_, h, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        sk_all = jax.lax.dynamic_update_slice(
+            sk_all, k[None], (li, 0, 0, slot * kvh, 0)
+        )
+        sv_all = jax.lax.dynamic_update_slice(
+            sv_all, v[None], (li, 0, 0, slot * kvh, 0)
+        )
+        pk = jax.lax.dynamic_slice(
+            pool_k_all, (li, pidx, 0, 0, 0),
+            (1, 1) + pool_k_all.shape[2:],
+        )[0, 0]
+        pv = jax.lax.dynamic_slice(
+            pool_v_all, (li, pidx, 0, 0, 0),
+            (1, 1) + pool_v_all.shape[2:],
+        )[0, 0]
+        o = attn(q, pk, pv, k, v)
+        y = y + _mat(o.reshape(1, s, cfg.q_dim), lp_["wo"], cfg.act_quant)
+        h = rms_norm(y, lp_["ln2"], cfg.rms_eps, cfg.rms_offset)
+        y = y + mlp_block(lp_, h, cfg)
+        return y, sk_all, sv_all
+
+    def step(carry, li):
+        return body(*carry, li), None
+
+    (x, sfx_k_all, sfx_v_all), _ = jax.lax.scan(
+        step, (x, sfx_k_all, sfx_v_all), jnp.arange(hi - lo, dtype=jnp.int32)
+    )
+    return x, sfx_k_all, sfx_v_all
+
+
 # ---------------------------------------------------------------------------
 # KV cache (two groups around the reduction layer)
 # ---------------------------------------------------------------------------

@@ -518,10 +518,12 @@ class CascadeTail:
 
 
 def _cascade_tail_like(row, b: int, s_sfx: int) -> CascadeTail:
-    """Empty cascade tail buffers shaped from one extension row's cache."""
+    """Empty cascade tail buffers shaped from one extension row's cache
+    (or from a PrefixPool — pool leaves [Lg, P, S, KV, hd] share the
+    KV-head/head-dim geometry the tail needs)."""
 
     def zf(x):
-        lg, _, _, kv, hd = x.shape
+        lg, kv, hd = x.shape[0], x.shape[3], x.shape[4]
         return jnp.zeros((lg, 1, s_sfx + MAX_DECODE, b * kv, hd), x.dtype)
 
     return CascadeTail(
@@ -651,6 +653,199 @@ def build_decode_chunk_cascade(
             return tok, c, done, buf.T, n_run
 
     return pack_row, decode_chunk
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PrefixPool:
+    """A paged pool of P distinct prefix caches (cascade x continuous
+    batching): each video's [sys|video] prefill lives ONCE in HBM regardless
+    of how many serving slots reference it; slots carry a page index. vs
+    per-slot prefix copies (serving.PrefixRequest): cache HBM drops from
+    B*S_p to P*S_p and the decode step reads each page once (slots sharing
+    a page share the read — qwen2.paged_cascade_attention)."""
+
+    ks: tuple  # per group: [Lg, P, S_main, KV, hd] (decode tail trimmed)
+    vs: tuple
+    lens: tuple  # per group: [P] packed prefix lengths
+    pos_base: jnp.ndarray  # [P]
+
+
+@functools.lru_cache(maxsize=8)
+def build_prefix_pool(cfg: DecoderConfig, spec, pages: int):
+    """Cached builders for a PrefixPool. Returns (init_pool, insert_page):
+    init_pool(cache) makes an all-zero P-page pool shaped from one
+    prefix_prefill cache (its MAX_DECODE tail trimmed — pages are read-only);
+    insert_page(pool, cache, p) (jitted, pool donated) copies one video's
+    prefix cache into page ``p``. Callers insert pages one at a time and drop
+    each source cache before the next insert, so peak HBM stays ~one page
+    above the pool."""
+
+    def init_pool(cache) -> PrefixPool:
+        def zp(x):
+            lg, _, s, kv, hd = x.shape
+            return jnp.zeros((lg, pages, s - MAX_DECODE, kv, hd), x.dtype)
+
+        return PrefixPool(
+            ks=tuple(zp(k) for k in cache.ks),
+            vs=tuple(zp(v) for v in cache.vs),
+            lens=tuple(jnp.zeros((pages,), jnp.int32) for _ in cache.ks),
+            pos_base=jnp.zeros((pages,), jnp.int32),
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def insert_page(pool: PrefixPool, cache, p) -> PrefixPool:
+        new_ks, new_vs, new_lens = [], [], []
+        for gi in range(len(pool.ks)):
+            s_main = pool.ks[gi].shape[2]
+            ksl = jax.lax.slice_in_dim(cache.ks[gi], 0, s_main, axis=2)
+            vsl = jax.lax.slice_in_dim(cache.vs[gi], 0, s_main, axis=2)
+            at = (0, p, 0, 0, 0)
+            new_ks.append(jax.lax.dynamic_update_slice(pool.ks[gi], ksl, at))
+            new_vs.append(jax.lax.dynamic_update_slice(pool.vs[gi], vsl, at))
+            new_lens.append(jax.lax.dynamic_update_index_in_dim(
+                pool.lens[gi], jnp.asarray(cache.lens[gi], jnp.int32), p, 0
+            ))
+        return PrefixPool(
+            ks=tuple(new_ks), vs=tuple(new_vs), lens=tuple(new_lens),
+            pos_base=jax.lax.dynamic_update_index_in_dim(
+                pool.pos_base, jnp.asarray(cache.pos_base, jnp.int32), p, 0
+            ),
+        )
+
+    return init_pool, insert_page
+
+
+@functools.lru_cache(maxsize=8)
+def build_paged_admit(cfg: DecoderConfig, spec, s_sfx: int, kvh: int):
+    """Pool admission program: run one request's suffix against its pool
+    page and write the suffix K/V straight into tail slot ``i`` (no prefix
+    copy, no intermediate row cache — qwen2.paged_extend_layers).
+    (params, pool, p, tail, sfx_embeds [1, s_sfx, D], suffix_valid, i) ->
+    (logits [V], tail'). Positions mirror build_extend: truncate+recompute
+    (group gi's suffix starts at lens[gi][p]) unless the spec/M-RoPE keeps
+    original positions (pos_base[p] + j)."""
+    specs = _normalize_specs(spec)
+    bounds = _group_bounds(cfg, specs)
+    mrope = bool(cfg.mrope_section)
+    original_pos = mrope or any(sp.gathers_positions for sp in specs)
+
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def admit(params, pool: PrefixPool, p, tail: CascadeTail, sfx_embeds,
+              suffix_valid, i):
+        layers = params["layers"]
+        x = sfx_embeds
+        new_ks, new_vs = [], []
+        for gi, (lo, hi) in enumerate(bounds):
+            if original_pos:
+                pos = (pool.pos_base[p] + jnp.arange(s_sfx)).astype(jnp.int32)
+            else:
+                pos = (pool.lens[gi][p] + jnp.arange(s_sfx)).astype(jnp.int32)
+            if mrope:
+                pos = jnp.broadcast_to(pos[None], (3, s_sfx))
+            cos, sin = qwen2.rope_cos_sin(cfg, pos)
+            x, sk, sv = qwen2.paged_extend_layers(
+                layers, lo, hi, x, cos, sin, pool.ks[gi], pool.vs[gi],
+                pool.lens[gi][p], p, tail.sfx_ks[gi], tail.sfx_vs[gi], i, cfg,
+            )
+            new_ks.append(sk)
+            new_vs.append(sv)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
+        last = jax.lax.dynamic_slice(
+            h, (0, suffix_valid - 1, 0), (1, 1, cfg.hidden_size)
+        )
+        logits = qwen2.lm_head(params, cfg, last)[0, 0]
+        base = pool.pos_base[p] if original_pos else pool.lens[0][p]
+        new_tail = CascadeTail(
+            sfx_ks=tuple(new_ks),
+            sfx_vs=tuple(new_vs),
+            sfx_lens=jax.lax.dynamic_update_index_in_dim(
+                tail.sfx_lens, jnp.asarray(suffix_valid, jnp.int32), i, 0
+            ),
+            pos_base=jax.lax.dynamic_update_index_in_dim(
+                tail.pos_base, (base + suffix_valid).astype(jnp.int32), i, 0
+            ),
+        )
+        return logits, new_tail
+
+    return admit
+
+
+@functools.lru_cache(maxsize=8)
+def build_paged_decode_chunk(
+    cfg: DecoderConfig,
+    spec,
+    chunk: int,
+    eos_ids: tuple,
+    kvh: int,
+):
+    """Chunked decode over a PrefixPool + CascadeTail with continuous-
+    admission semantics: per-row page indices (qwen2.paged_cascade_attention
+    reads each page once per step), per-row admit steps (local rope position
+    = pos_base + step - admit_step; tail slots below a row's admit step are
+    the previous occupant's K/V and are masked). decode_chunk(params, token,
+    tail, pool, page [B], start_step, done0, n_steps, admit_step [B]) ->
+    (token, tail, done, buf [B, chunk], n_run); only the tail is donated —
+    the pool is read-only and reusable."""
+    specs = _normalize_specs(spec)
+    bounds = _group_bounds(cfg, specs)
+    eos_arr_np = np.asarray(list(eos_ids) or [-1], np.int32)
+
+    def decode(params, token, tail: CascadeTail, pool: PrefixPool, page,
+               step, admit_step):
+        layers = params["layers"]
+        x = qwen2.embed_tokens(params, token, cfg)[:, None, :]  # [B, 1, D]
+        local = step - admit_step
+        pos = (tail.pos_base + local)[:, None].astype(jnp.int32)  # [B, 1]
+        if cfg.mrope_section:
+            pos = jnp.broadcast_to(pos[:, None, :], (pos.shape[0], 3, 1))
+        cos, sin = jax.vmap(lambda p: qwen2.rope_cos_sin(cfg, p))(pos)
+        new_ks, new_vs = [], []
+        for gi, (lo, hi) in enumerate(bounds):
+            tail_start = tail.sfx_ks[gi].shape[2] - MAX_DECODE
+            x, sk, sv = qwen2.paged_cascade_decode_layers(
+                layers, lo, hi, x, cos, sin,
+                pool.ks[gi], pool.vs[gi], pool.lens[gi], page,
+                tail.sfx_ks[gi], tail.sfx_vs[gi], tail.sfx_lens,
+                step, tail_start, cfg, tail_min=admit_step,
+            )
+            new_ks.append(sk)
+            new_vs.append(sv)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
+        logits = qwen2.lm_head(params, cfg, h)[:, 0]  # [B, V]
+        return logits, dataclasses.replace(
+            tail, sfx_ks=tuple(new_ks), sfx_vs=tuple(new_vs)
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def decode_chunk(p, token, tail, pool, page, start_step, done0, n_steps,
+                     admit_step):
+        eos_arr = jnp.asarray(eos_arr_np)
+
+        def real(tok, c, done, i):
+            lg, c2 = decode(p, tok, c, pool, page, start_step + i, admit_step)
+            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            nxt = jnp.where(done, tok, nxt)  # freeze finished rows
+            out = jnp.where(done, -1, nxt)
+            done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
+            return nxt, c2, done, out
+
+        def skip(tok, c, done, i):
+            return tok, c, done, jnp.full_like(tok, -1)
+
+        def body(carry, i):
+            tok, c, done, n_run = carry
+            run = (i < n_steps) & ~jnp.all(done)
+            tok, c, done, out = jax.lax.cond(run, real, skip, tok, c, done, i)
+            return (tok, c, done, n_run + run.astype(jnp.int32)), out
+
+        (tok, c, done, n_run), buf = jax.lax.scan(
+            body, (token, tail, done0, jnp.int32(0)),
+            jnp.arange(chunk, dtype=jnp.int32),
+        )
+        return tok, c, done, buf.T, n_run
+
+    return decode_chunk
 
 
 def ngram_draft(ids: list, n: int, max_ngram: int = 3) -> list:

@@ -45,10 +45,15 @@ from ..models.config import DecoderConfig
 from .generate import (
     MAX_DECODE,
     GenerateConfig,
+    PrefixPool,
     build_decode_chunk_batch,
     build_extend,
+    build_paged_admit,
+    build_paged_decode_chunk,
     build_prefill,
+    build_prefix_pool,
     _batched_like,
+    _cascade_tail_like,
 )
 from .reducer import ReducerSpec
 
@@ -222,6 +227,158 @@ def serve_continuous(
         "wall_s": time.perf_counter() - t_start,
         "n_requests": len(requests),
         "n_prefills": n_prefills,
+        "n_extends": n_extends,
+        "n_decode_chunks": n_chunks,
+        "total_tokens": sum(len(v) for v in results.values()),
+    }
+    return results, stats
+
+
+@dataclasses.dataclass
+class PagedRequest:
+    """A serving request that extends page ``page`` of a shared PrefixPool
+    (build_prefix_pool): the pool holds each distinct video's prefix cache
+    ONCE, so admission writes the suffix K/V straight into the slot's tail
+    and decode reads each page once per step — cascade x continuous
+    batching. All requests' suffixes must share one padded length s_sfx
+    (one compile key)."""
+
+    rid: object
+    page: int
+    suffix_embeds: jnp.ndarray  # [1, s_sfx, D]
+    suffix_valid: int
+
+
+def make_prefix_pool(cfg: DecoderConfig, spec, prefix_caches: list) -> PrefixPool:
+    """Stack per-video prefix caches (prefix_prefill) into a PrefixPool,
+    inserting pages one at a time so peak HBM stays ~one source cache above
+    the pool (the caller should drop its own references as it goes)."""
+    spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
+    init_pool, insert_page = build_prefix_pool(cfg, spec_key, len(prefix_caches))
+    pool = init_pool(prefix_caches[0])
+    for p, cache in enumerate(prefix_caches):
+        pool = insert_page(pool, cache, jnp.int32(p))
+    return pool
+
+
+def serve_continuous_paged(
+    params,
+    cfg: DecoderConfig,
+    pool: PrefixPool,
+    requests: list,
+    spec,
+    gen: GenerateConfig = GenerateConfig(),
+    batch_slots: int = 4,
+    decode_chunk_size: int = 8,
+):
+    """Continuous batching over a paged prefix pool: the three production
+    serving levers composed — prefix caching (a question pays a ~tens-of-
+    tokens admission, never a full prefill), continuous batching (retired
+    slots refill mid-wave), and the cascade KV layout generalized to pages
+    (each distinct video's prefix lives once in HBM and is read once per
+    decode step however many slots reference it). Beyond the reference's
+    strict batch=1 serving (eval_vidqa_by_feat_llavavideo.py:208). Requests
+    of DIFFERENT videos interleave freely; admission order is FIFO.
+    Returns ({rid: token_ids}, stats). Token-level behavior matches
+    generate_from_prefix per request (CPU-exact; on-TPU modulo argmax
+    near-ties between program variants, as everywhere)."""
+    if not requests:
+        return {}, {}
+    if gen.max_new_tokens - 1 > MAX_DECODE:
+        raise ValueError(
+            f"max_new_tokens {gen.max_new_tokens} exceeds the decode tail "
+            f"({MAX_DECODE + 1}) — no admission window could ever fit it"
+        )
+    b = batch_slots
+    s_sfx = requests[0].suffix_embeds.shape[1]
+    for r in requests:
+        if r.suffix_embeds.shape[1] != s_sfx:
+            raise ValueError(
+                "paged serving requires one compile key: all suffixes must "
+                f"share s_sfx ({r.suffix_embeds.shape[1]} != {s_sfx})"
+            )
+        if not 0 <= r.page < pool.pos_base.shape[0]:
+            raise ValueError(f"request {r.rid}: page {r.page} outside pool")
+
+    spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
+    chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
+    admit_fn = build_paged_admit(cfg, spec_key, s_sfx, cfg.num_kv_heads)
+    decode_chunk = build_paged_decode_chunk(
+        cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads
+    )
+
+    pending = list(requests)
+    results: dict = {}
+    slot_rid = [None] * b
+    slot_ids: list = [None] * b
+    admit_step = np.zeros(b, np.int32)
+    page = np.zeros(b, np.int32)
+    tail = _cascade_tail_like(pool, b, s_sfx)
+    token = jnp.zeros((b,), jnp.int32)
+    done = jnp.ones((b,), bool)
+    step = 0
+    t_start = time.perf_counter()
+    n_extends = n_chunks = 0
+
+    def admit(i: int, req: PagedRequest):
+        nonlocal tail, token, n_extends
+        logits, tail = admit_fn(
+            params, pool, jnp.int32(req.page), tail, req.suffix_embeds,
+            jnp.int32(req.suffix_valid), jnp.int32(i),
+        )
+        n_extends += 1
+        first = int(jnp.argmax(logits, -1))
+        slot_rid[i] = req.rid
+        slot_ids[i] = [first]
+        admit_step[i] = step
+        page[i] = req.page
+        token = token.at[i].set(first)
+        return first in gen.eos_token_ids
+
+    def retire(i: int):
+        results[slot_rid[i]] = slot_ids[i]
+        slot_rid[i] = None
+        slot_ids[i] = None
+
+    while pending or any(r is not None for r in slot_rid):
+        d = np.array(done)
+        for i in range(b):
+            if slot_rid[i] is not None and (
+                len(slot_ids[i]) >= gen.max_new_tokens
+                or slot_ids[i][-1] in gen.eos_token_ids
+            ):
+                retire(i)
+                d[i] = True
+        for i in range(b):
+            if slot_rid[i] is None and pending and step + gen.max_new_tokens - 1 <= MAX_DECODE:
+                d[i] = admit(i, pending.pop(0))
+        done = jnp.asarray(d)
+
+        live = [i for i in range(b) if slot_rid[i] is not None]
+        if not live:
+            step = 0
+            continue
+        if step >= MAX_DECODE:
+            raise RuntimeError("decode tail overrun")
+
+        n_this = min(chunk, MAX_DECODE - step,
+                     max(gen.max_new_tokens - len(slot_ids[i]) for i in live))
+        token, tail, done, buf, n_run = decode_chunk(
+            params, jnp.asarray(token), tail, pool, jnp.asarray(page),
+            jnp.int32(step), done, jnp.int32(n_this), jnp.asarray(admit_step),
+        )
+        buf = np.asarray(buf)
+        n_chunks += 1
+        for i in live:
+            for j in range(int(n_run)):
+                if buf[i, j] >= 0 and len(slot_ids[i]) < gen.max_new_tokens:
+                    slot_ids[i].append(int(buf[i, j]))
+        step += int(n_run)
+
+    stats = {
+        "wall_s": time.perf_counter() - t_start,
+        "n_requests": len(requests),
+        "n_pool_pages": int(pool.pos_base.shape[0]),
         "n_extends": n_extends,
         "n_decode_chunks": n_chunks,
         "total_tokens": sum(len(v) for v in results.values()),
