@@ -1,0 +1,167 @@
+"""Paged prefix pool benchmark on the real chip (cascade x continuous).
+
+Measures, at the bench operating point (7B width, int8w8a, 128 frames,
+quadtree 50%/k=2):
+  1. paged admission cost (qwen2.paged_extend_layers — suffix straight into
+     the slot tail, no prefix copy) vs the flat build_extend,
+  2. pool decode ms/step at B slots over P in {1, 2, 4} pages — the page
+     scan reads P*S_p per step vs the flat layout's B*S_p — against the
+     flat continuous pool and the single-prefix cascade layout.
+
+Writes BENCH_PAGED.json. Axon-tunnel rules apply (fetch-to-host timing,
+free caches between programs). Usage:
+  python scripts/bench_paged.py [--layers 16] [--slots 4] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--vocab", type=int, default=32768)
+    ap.add_argument("--quant", default="int8w8a")
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--pages", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--decode_tokens", type=int, default=16)
+    ap.add_argument("--s_sfx", type=int, default=64)
+    args = ap.parse_args()
+
+    if args.tiny:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import build_case
+
+    from sttm_tpu.runtime.generate import (
+        GenerateConfig,
+        build_extend,
+        build_paged_admit,
+        build_paged_decode_chunk,
+        prefix_prefill,
+        _cascade_tail_like,
+    )
+    from sttm_tpu.runtime.serving import PagedRequest, make_prefix_pool
+
+    cfg, spec, params, embeds, valid, vstart, s_full, impl = build_case(
+        args.tiny, args.frames, args.layers, args.vocab,
+        "none" if args.tiny else args.quant,
+    )
+    rng = np.random.default_rng(3)
+    d = cfg.hidden_size
+    s_sfx = 16 if args.tiny else args.s_sfx
+    n_dec = 6 if args.tiny else args.decode_tokens
+    b = 2 if args.tiny else args.slots
+    pages_list = [1, 2] if args.tiny else args.pages
+    prefix_valid = valid - (s_sfx // 2)
+    max_pages = max(pages_list)
+
+    results = {"config": {"layers": cfg.num_layers, "quant": args.quant,
+                          "s_full": s_full, "s_sfx": s_sfx, "slots": b,
+                          "prefix_valid": int(prefix_valid)}}
+
+    # one real prefix cache; the pool replicates it (timing-identical to
+    # distinct videos — page contents don't change the access pattern)
+    pc = prefix_prefill(params, cfg, embeds, int(prefix_valid), vstart, spec,
+                        impl=impl)
+    jax.block_until_ready(pc.lens[0])
+
+    # -- 1. admission: paged extend vs flat extend -------------------------
+    pool = make_prefix_pool(cfg, spec, [pc] * max_pages)
+    jax.block_until_ready(pool.pos_base)
+    admit = build_paged_admit(cfg, spec, s_sfx, cfg.num_kv_heads)
+    tail = _cascade_tail_like(pool, b, s_sfx)
+    sfx = jnp.asarray(0.02 * rng.normal(size=(1, s_sfx, d)), cfg.dtype)
+
+    lg, tail = admit(params, pool, jnp.int32(0), tail, sfx,
+                     jnp.int32(s_sfx // 2), jnp.int32(0))
+    np.asarray(lg[:8])
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        lg, tail = admit(params, pool, jnp.int32(i % max_pages), tail, sfx,
+                         jnp.int32(s_sfx // 2), jnp.int32(i % b))
+        np.asarray(lg[:8])
+        times.append(time.perf_counter() - t0)
+    paged_admit_s = float(np.median(times))
+    print(f"paged admit: {paged_admit_s*1e3:.2f} ms", flush=True)
+
+    extend = build_extend(cfg, spec, s_sfx)
+    lg2, row = extend(params, pc, sfx, jnp.int32(s_sfx // 2))
+    np.asarray(lg2[:8])
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        lg2, row = extend(params, pc, sfx, jnp.int32(s_sfx // 2))
+        np.asarray(lg2[:8])
+        times.append(time.perf_counter() - t0)
+        del row
+    flat_extend_s = float(np.median(times))
+    del lg, lg2, tail
+    results["paged_admit_s"] = paged_admit_s
+    results["flat_extend_s"] = flat_extend_s
+    print(f"flat extend: {flat_extend_s*1e3:.2f} ms", flush=True)
+
+    # -- 2. pool decode ms/step at B slots over P pages --------------------
+    decode_chunk = build_paged_decode_chunk(cfg, spec, 8, (), cfg.num_kv_heads)
+    gen = GenerateConfig(max_new_tokens=n_dec, eos_token_ids=())
+    results["decode"] = {}
+    for n_pages in pages_list:
+        pool_p = make_prefix_pool(cfg, spec, [pc] * n_pages)
+        jax.block_until_ready(pool_p.pos_base)
+        tail = _cascade_tail_like(pool_p, b, s_sfx)
+        for i in range(b):
+            _, tail = admit(params, pool_p, jnp.int32(i % n_pages), tail, sfx,
+                            jnp.int32(s_sfx // 2), jnp.int32(i))
+        page = jnp.asarray([i % n_pages for i in range(b)], jnp.int32)
+        token = jnp.zeros((b,), jnp.int32)
+        done0 = jnp.zeros((b,), bool)
+        astep = jnp.zeros((b,), jnp.int32)
+        # warm
+        token_w, tail, done, buf, n_run = decode_chunk(
+            params, token, tail, pool_p, page, jnp.int32(0), done0,
+            jnp.int32(8), astep,
+        )
+        np.asarray(buf)
+        t0 = time.perf_counter()
+        steps = 0
+        s0 = 8
+        while steps < n_dec:
+            token_w, tail, done, buf, n_run = decode_chunk(
+                params, token_w, tail, pool_p, page, jnp.int32(s0), done0,
+                jnp.int32(8), astep,
+            )
+            np.asarray(buf)
+            steps += 8
+            s0 += 8
+        dt = time.perf_counter() - t0
+        ms = 1e3 * dt / steps
+        results["decode"][str(n_pages)] = {
+            "ms_per_step": ms,
+            "tok_per_s": b * 1e3 / ms,
+        }
+        print(f"P={n_pages} B={b}: {ms:.2f} ms/step "
+              f"({b*1e3/ms:.1f} tok/s)", flush=True)
+        del pool_p, tail
+
+    out = "BENCH_PAGED_TINY.json" if args.tiny else "BENCH_PAGED.json"
+    with open(out, "w") as fp:
+        json.dump(results, fp, indent=2)
+    print(json.dumps({k: v for k, v in results.items() if k != "config"}))
+
+
+if __name__ == "__main__":
+    main()
