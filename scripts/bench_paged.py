@@ -5,8 +5,10 @@ quadtree 50%/k=2):
   1. paged admission cost (qwen2.paged_extend_layers — suffix straight into
      the slot tail, no prefix copy) vs the flat build_extend,
   2. pool decode ms/step at B slots over P in {1, 2, 4} pages — the page
-     scan reads P*S_p per step vs the flat layout's B*S_p — against the
-     flat continuous pool and the single-prefix cascade layout.
+     scan reads P*S_p per step vs the flat layout's B*S_p. (Flat and
+     single-prefix cascade decode baselines at the same operating point
+     live in BENCH_SERVING.json, section "batched" — scripts/
+     bench_serving.py; P=1 here is layout-equivalent to cascade.)
 
 Writes BENCH_PAGED.json. Axon-tunnel rules apply (fetch-to-host timing,
 free caches between programs). Usage:
@@ -47,14 +49,14 @@ def main():
     from bench import build_case
 
     from sttm_tpu.runtime.generate import (
-        GenerateConfig,
+        MAX_DECODE,
         build_extend,
         build_paged_admit,
         build_paged_decode_chunk,
         prefix_prefill,
         _cascade_tail_like,
     )
-    from sttm_tpu.runtime.serving import PagedRequest, make_prefix_pool
+    from sttm_tpu.runtime.serving import make_prefix_pool
 
     cfg, spec, params, embeds, valid, vstart, s_full, impl = build_case(
         args.tiny, args.frames, args.layers, args.vocab,
@@ -64,6 +66,10 @@ def main():
     d = cfg.hidden_size
     s_sfx = 16 if args.tiny else args.s_sfx
     n_dec = 6 if args.tiny else args.decode_tokens
+    # warm chunk consumes tail slots [0, 8); the timed loop must stay
+    # inside the MAX_DECODE-slot ring (fixed-slot writes would silently
+    # clamp past it and time a corrupted access pattern)
+    n_dec = min(n_dec, ((MAX_DECODE - 8) // 8) * 8)
     b = 2 if args.tiny else args.slots
     pages_list = [1, 2] if args.tiny else args.pages
     prefix_valid = valid - (s_sfx // 2)
@@ -117,7 +123,6 @@ def main():
 
     # -- 2. pool decode ms/step at B slots over P pages --------------------
     decode_chunk = build_paged_decode_chunk(cfg, spec, 8, (), cfg.num_kv_heads)
-    gen = GenerateConfig(max_new_tokens=n_dec, eos_token_ids=())
     results["decode"] = {}
     for n_pages in pages_list:
         pool_p = make_prefix_pool(cfg, spec, [pc] * n_pages)

@@ -98,6 +98,16 @@ class EvalConfig:
     prefix_cascade: bool = False
 
 
+def _spec_histories(samples):
+    """Per-row prompt token ids that seed the speculative drafter
+    (n-gram prompt lookup) — one place so every batched path drafts from
+    the same history definition."""
+    return [
+        [int(t) for t in np.asarray(s["input_ids"]).reshape(-1)]
+        for s in samples
+    ]
+
+
 def run_name(model_name: str, dataset: str, spec: ReducerSpec | None, frames: int) -> str:
     """Config-encoding run directory (the reference's experiment tracking is
     the output-dir name, eval_utils.py:136-204)."""
@@ -523,10 +533,8 @@ class LlavaEvaluator:
                 decode_chunk_size=cfg.decode_chunk_size,
                 cascade=cfg.prefix_cascade,
                 spec_decode_k=cfg.spec_decode_k if speculative else 0,
-                histories=[
-                    [int(t) for t in np.asarray(s["input_ids"]).reshape(-1)]
-                    for s in chunk_samples
-                ] if speculative and chunk_samples is not None else None,
+                histories=_spec_histories(chunk_samples)
+                if speculative and chunk_samples is not None else None,
             )
 
         # The traced batch size is part of the compiled program (head-packed
@@ -644,10 +652,8 @@ class LlavaEvaluator:
                         impl=cfg.attention_impl, decode_chunk_size=chunked,
                         pos_bases=pb, t_valids=tv,
                         spec_decode_k=cfg.spec_decode_k,
-                        histories=[
-                            [int(t) for t in np.asarray(s["input_ids"]).reshape(-1)]
-                            for s in chunk
-                        ] if cfg.spec_decode_k > 1 else None,
+                        histories=_spec_histories(chunk)
+                        if cfg.spec_decode_k > 1 else None,
                     )
 
                 # The traced batch size is part of the compiled program's

@@ -627,30 +627,11 @@ def build_decode_chunk_cascade(
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_chunk(p, token, tail, pfx, start_step, done0, n_steps):
-            eos_arr = jnp.asarray(eos_arr_np)
-
-            def real(tok, c, done, i):
-                lg, c2 = decode(p, tok, c, pfx, start_step + i)
-                nxt = jnp.argmax(lg, -1).astype(jnp.int32)
-                nxt = jnp.where(done, tok, nxt)  # freeze finished rows
-                out = jnp.where(done, -1, nxt)
-                done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
-                return nxt, c2, done, out
-
-            def skip(tok, c, done, i):
-                return tok, c, done, jnp.full_like(tok, -1)
-
-            def body(carry, i):
-                tok, c, done, n_run = carry
-                run = (i < n_steps) & ~jnp.all(done)
-                tok, c, done, out = jax.lax.cond(run, real, skip, tok, c, done, i)
-                return (tok, c, done, n_run + run.astype(jnp.int32)), out
-
-            (tok, c, done, n_run), buf = jax.lax.scan(
-                body, (token, tail, done0, jnp.int32(0)),
-                jnp.arange(chunk, dtype=jnp.int32),
+            loop = _chunked_greedy_loop(
+                lambda tok, c, i: decode(p, tok, c, pfx, i),
+                chunk, eos_arr_np,
             )
-            return tok, c, done, buf.T, n_run
+            return loop(token, tail, start_step, done0, n_steps)
 
     return pack_row, decode_chunk
 
@@ -820,30 +801,11 @@ def build_paged_decode_chunk(
     @functools.partial(jax.jit, donate_argnums=(2,))
     def decode_chunk(p, token, tail, pool, page, start_step, done0, n_steps,
                      admit_step):
-        eos_arr = jnp.asarray(eos_arr_np)
-
-        def real(tok, c, done, i):
-            lg, c2 = decode(p, tok, c, pool, page, start_step + i, admit_step)
-            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
-            nxt = jnp.where(done, tok, nxt)  # freeze finished rows
-            out = jnp.where(done, -1, nxt)
-            done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
-            return nxt, c2, done, out
-
-        def skip(tok, c, done, i):
-            return tok, c, done, jnp.full_like(tok, -1)
-
-        def body(carry, i):
-            tok, c, done, n_run = carry
-            run = (i < n_steps) & ~jnp.all(done)
-            tok, c, done, out = jax.lax.cond(run, real, skip, tok, c, done, i)
-            return (tok, c, done, n_run + run.astype(jnp.int32)), out
-
-        (tok, c, done, n_run), buf = jax.lax.scan(
-            body, (token, tail, done0, jnp.int32(0)),
-            jnp.arange(chunk, dtype=jnp.int32),
+        loop = _chunked_greedy_loop(
+            lambda tok, c, i: decode(p, tok, c, pool, page, i, admit_step),
+            chunk, eos_arr_np,
         )
-        return tok, c, done, buf.T, n_run
+        return loop(token, tail, start_step, done0, n_steps)
 
     return decode_chunk
 
@@ -930,6 +892,46 @@ def build_decode_chunk(
     return jax.jit(fn, donate_argnums=(2,))
 
 
+def _chunked_greedy_loop(decode_fn, chunk: int, eos_arr_np):
+    """The shared batched freeze-after-EOS chunked-decode loop (scan + cond,
+    NOT while_loop — the round-1 while_loop variant compiled pathologically
+    through remote-compile tunnels; steps past n_steps or after every row
+    hit EOS take the identity branch, no weight reads). Used by the flat,
+    cascade, and paged decode-chunk builders, whose only difference is the
+    per-step decode closure. decode_fn(token [B], carry, step) ->
+    (logits [B, V], carry). Returns loop(token, carry, start_step, done0,
+    n_steps) -> (token, carry, done, buf [B, chunk] int32 with -1 after
+    EOS, n_run)."""
+
+    def loop(token, carry0, start_step, done0, n_steps):
+        eos_arr = jnp.asarray(eos_arr_np)
+
+        def real(tok, c, done, i):
+            lg, c2 = decode_fn(tok, c, start_step + i)
+            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            nxt = jnp.where(done, tok, nxt)  # freeze finished rows
+            out = jnp.where(done, -1, nxt)
+            done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
+            return nxt, c2, done, out
+
+        def skip(tok, c, done, i):
+            return tok, c, done, jnp.full_like(tok, -1)
+
+        def body(carry, i):
+            tok, c, done, n_run = carry
+            run = (i < n_steps) & ~jnp.all(done)
+            tok, c, done, out = jax.lax.cond(run, real, skip, tok, c, done, i)
+            return (tok, c, done, n_run + run.astype(jnp.int32)), out
+
+        (tok, c, done, n_run), buf = jax.lax.scan(
+            body, (token, carry0, done0, jnp.int32(0)),
+            jnp.arange(chunk, dtype=jnp.int32),
+        )
+        return tok, c, done, buf.T, n_run
+
+    return loop
+
+
 @functools.lru_cache(maxsize=16)
 def build_decode_chunk_batch(
     cfg: DecoderConfig,
@@ -982,38 +984,14 @@ def build_decode_chunk_batch(
             return nxt, c2, done, buf, jnp.int32(1)
 
     else:
-        # Steps past n_steps or after every row hit EOS run the identity
-        # lax.cond branch (no weight reads): a tail chunk doesn't waste
-        # bandwidth-bound decode steps, and time_decoding stays honest.
-        # scan + cond, not while_loop: the round-1 while_loop variant
-        # compiled pathologically through remote-compile tunnels.
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_chunk(p, token, cache, start_step, done0, n_steps, tail_min=None):
-            eos_arr = jnp.asarray(eos_arr_np)
-
-            def real(tok, c, done, i):
-                lg, c2 = decode(p, tok, c, start_step + i, tail_min)
-                nxt = jnp.argmax(lg, -1).astype(jnp.int32)
-                nxt = jnp.where(done, tok, nxt)  # freeze finished rows
-                out = jnp.where(done, -1, nxt)
-                done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
-                return nxt, c2, done, out
-
-            def skip(tok, c, done, i):
-                return tok, c, done, jnp.full_like(tok, -1)
-
-            def body(carry, i):
-                tok, c, done, n_run = carry
-                run = (i < n_steps) & ~jnp.all(done)
-                tok, c, done, out = jax.lax.cond(run, real, skip, tok, c, done, i)
-                return (tok, c, done, n_run + run.astype(jnp.int32)), out
-
-            (tok, c, done, n_run), buf = jax.lax.scan(
-                body, (token, cache, done0, jnp.int32(0)),
-                jnp.arange(chunk, dtype=jnp.int32),
+            loop = _chunked_greedy_loop(
+                lambda tok, c, i: decode(p, tok, c, i, tail_min),
+                chunk, eos_arr_np,
             )
-            return tok, c, done, buf.T, n_run
+            return loop(token, cache, start_step, done0, n_steps)
 
     return insert_row, decode_chunk
 

@@ -250,14 +250,19 @@ class PagedRequest:
 
 
 def make_prefix_pool(cfg: DecoderConfig, spec, prefix_caches: list) -> PrefixPool:
-    """Stack per-video prefix caches (prefix_prefill) into a PrefixPool,
-    inserting pages one at a time so peak HBM stays ~one source cache above
-    the pool (the caller should drop its own references as it goes)."""
+    """Stack per-video prefix caches (prefix_prefill) into a PrefixPool.
+    OWNERSHIP TRANSFER: the list is consumed in place (entries become None
+    as each page is inserted), so with no other references held by the
+    caller, peak HBM stays ~one source cache above the pool instead of
+    pool + all P sources (~2x). Callers that want to keep a source cache
+    must copy the list reference-wise before calling."""
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
-    init_pool, insert_page = build_prefix_pool(cfg, spec_key, len(prefix_caches))
+    n = len(prefix_caches)
+    init_pool, insert_page = build_prefix_pool(cfg, spec_key, n)
     pool = init_pool(prefix_caches[0])
-    for p, cache in enumerate(prefix_caches):
-        pool = insert_page(pool, cache, jnp.int32(p))
+    for p in range(n):
+        pool = insert_page(pool, prefix_caches[p], jnp.int32(p))
+        prefix_caches[p] = None  # free the source before the next insert
     return pool
 
 
