@@ -103,6 +103,44 @@ def test_paged_mid_wave_admission():
     assert stats["n_decode_chunks"] >= 3  # continuous, not grouped
 
 
+def test_paged_pool_mrope_matches_per_sample():
+    """M-RoPE trunk (TINY_MROPE): pool admission keeps ORIGINAL positions
+    (pos_base[p] + j, get_rope_index rope-delta semantics) and decode
+    advances all three rope rows together — still token-exact."""
+    from sttm_tpu.models.config import TINY_MROPE
+
+    cfg = TINY_MROPE
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(8)
+    pos = jnp.broadcast_to(jnp.arange(S_FULL, dtype=jnp.int32)[None], (3, S_FULL))
+    caches = []
+    for _ in range(2):
+        emb = np.zeros((1, S_FULL, cfg.hidden_size), np.float32)
+        emb[0, : SYS + NV] = rng.normal(size=(SYS + NV, cfg.hidden_size)) * 0.2
+        caches.append(prefix_prefill(
+            params, cfg, jnp.asarray(emb, cfg.dtype), SYS + NV, SYS, SPEC,
+            position_ids=pos,
+        ))
+    reqs = []
+    for i in range(4):
+        n = 5 + (i % 3)
+        sfx = np.zeros((1, S_SFX, cfg.hidden_size), np.float32)
+        sfx[0, :n] = rng.normal(size=(n, cfg.hidden_size)) * 0.2
+        reqs.append(PagedRequest(rid=f"q{i}", page=i % 2,
+                                 suffix_embeds=jnp.asarray(sfx, cfg.dtype),
+                                 suffix_valid=n))
+    gen = GenerateConfig(max_new_tokens=6, eos_token_ids=())
+    want = {r.rid: generate_from_prefix(
+        params, cfg, caches[r.page], r.suffix_embeds, r.suffix_valid,
+        SPEC, gen)[0] for r in reqs}
+    pool = make_prefix_pool(cfg, SPEC, caches)
+    got, _ = serve_continuous_paged(
+        params, cfg, pool, reqs, SPEC, gen, batch_slots=2,
+        decode_chunk_size=2,
+    )
+    assert got == want
+
+
 def test_paged_single_page_matches_cascade_semantics():
     """P=1 degenerates to the plain cascade layout (one shared prefix);
     single slot degenerates further to sequential — both stay exact."""
