@@ -98,6 +98,19 @@ class EvalConfig:
     prefix_cascade: bool = False
 
 
+def _prefix_compatible(spec) -> bool:
+    """Whether a reducer spec supports the question-independent prefix
+    cache: FrameFusion-style specs merge layerwise (no reusable prefix),
+    and score-based reducers (fastv) rank by the last INSTRUCTION token,
+    which a [sys|video] prefix doesn't contain (prefix_prefill raises)."""
+    if spec is None:
+        return True
+    if not isinstance(spec, (ReducerSpec, tuple)):
+        return False
+    specs = spec if isinstance(spec, tuple) else (spec,)
+    return not any(sp.needs_scores for sp in specs)
+
+
 def _spec_histories(samples):
     """Per-row prompt token ids that seed the speculative drafter
     (n-gram prompt lookup) — one place so every batched path drafts from
@@ -216,7 +229,7 @@ class Qwen2VLEvaluator:
 
         t, gh, gw = grp[0]["grid"]
         spec = self.spec_factory(t, gh, gw)
-        if not (spec is None or isinstance(spec, (ReducerSpec, tuple))):
+        if not _prefix_compatible(spec):
             return None
         prefix_ids = np.asarray(key[1], np.int32)
         prefix_valid = len(prefix_ids)
@@ -396,7 +409,7 @@ class LlavaEvaluator:
         feats = self._sample_features(grp[0])
         side = self.llava_cfg.pooled_side
         spec = self.spec_factory(feats.shape[0], side, side)
-        if not (spec is None or isinstance(spec, (ReducerSpec, tuple))):
+        if not _prefix_compatible(spec):
             return None
         prefix_ids = np.asarray(key[1], np.int32)
         sys_len = len(prefix_ids) - 1  # prefix = sys tokens + image token

@@ -201,11 +201,12 @@ def main(argv=None):
     if args.prefix_cache:
         if (
             args.sp > 1 or args.frame_bucket > 0
-            or args.sa_pattern in ("streamingllm", "dycoke")
+            or args.sa_pattern in ("streamingllm", "dycoke", "fastv")
         ):
             raise SystemExit(
                 "--prefix_cache excludes sp / frame_bucket / streamingllm / "
-                "dycoke decode pruning"
+                "dycoke decode pruning / fastv (ranks by the last "
+                "instruction token, which the prefix doesn't contain)"
             )
         if args.spec_decode_k > 1 and (args.batch_size == 1 or args.prefix_cascade):
             raise SystemExit(

@@ -419,6 +419,15 @@ def prefix_prefill(
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     prefill = build_prefill(cfg, spec_key, s_full, impl)
     specs = _normalize_specs(spec_key)
+    if any(sp.needs_scores for sp in specs):
+        # FastV ranks video tokens by the LAST prompt token's attention
+        # (reference: last instruction token). A [sys|video] prefix ends at
+        # the video, so caching it would rank by the wrong token and make
+        # the prune question-independent — a silent parity break.
+        raise ValueError(
+            "score-based reducers (fastv) are incompatible with prefix "
+            "caching: the ranking token must be the last instruction token"
+        )
     # Position-gathering specs (M-RoPE, FastV) keep ORIGINAL token positions
     # through the merge, so in the full path the suffix starts at one past the
     # max UNMERGED prefix position (get_rope_index rope-delta semantics,

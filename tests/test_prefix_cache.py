@@ -100,6 +100,24 @@ def test_prefix_cached_matches_full_mrope():
     assert want == got
 
 
+def test_prefix_rejects_score_based_reducers():
+    """FastV ranks video tokens by the LAST prompt token's attention (the
+    last instruction token in the reference); a [sys|video] prefix ends at
+    the video, so caching it would silently rank by the wrong token —
+    prefix_prefill must refuse."""
+    import pytest
+
+    from sttm_tpu.runtime.reducer import ReducerSpec
+
+    params, rng, video, sys_e = _setup(TINY)
+    prefix = _full_embeds(TINY, sys_e, video, np.zeros((0, TINY.hidden_size)),
+                          TINY.dtype)
+    fastv = ReducerSpec(kind="fastv", layer_idx=2, t=T, h=H, w=W,
+                        prune_ratio=0.5)
+    with pytest.raises(ValueError, match="fastv"):
+        prefix_prefill(params, TINY, prefix, SYS + NV, SYS, fastv)
+
+
 def test_batched_from_prefix_matches_per_sample():
     """generate_batch_from_prefix: all questions of a video batched over one
     shared prefix cache (head-packed decode) — token-exact vs per-question
