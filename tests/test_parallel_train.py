@@ -76,3 +76,77 @@ def test_sharded_prefill_matches_single_device():
     sharded = shard_params(params, mesh)
     logits, _ = prefill(sharded, embeds, jnp.int32(40), jnp.int32(0))
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_serving_levers_match_single_device():
+    """Tensor-parallel SERVING: the prefix pool (cascade x continuous) and
+    batched speculative decoding produce the same tokens with tp=8-sharded
+    params as unsharded — the 72B serving shape composes with the serving
+    levers, not just per-sample generate."""
+    from sttm_tpu.runtime.generate import (
+        GenerateConfig,
+        generate_batch,
+        generate_from_prefix,
+        prefix_prefill,
+    )
+    from sttm_tpu.runtime.reducer import ReducerSpec
+    from sttm_tpu.runtime.serving import (
+        PagedRequest,
+        make_prefix_pool,
+        serve_continuous_paged,
+    )
+
+    t = h = w = 4
+    nv = t * h * w
+    sys_len, s_full, s_sfx = 4, 96, 16
+    spec = ReducerSpec(
+        kind="quadtree", layer_idx=2, t=t, h=h, w=w, video_budget=nv // 2,
+        spatial_thresh=0.85, temporal_thresh=0.65, root_level=0,
+    )
+    params = qwen2.init_params(TINY, jax.random.key(3))
+    mesh = create_mesh(dp=1, tp=8)
+    sharded = shard_params(params, mesh)
+    rng = np.random.default_rng(5)
+    gen = GenerateConfig(max_new_tokens=6, eos_token_ids=())
+
+    # paged pool: unsharded per-sample reference vs sharded pool serving
+    emb = np.zeros((1, s_full, TINY.hidden_size), np.float32)
+    emb[0, : sys_len + nv] = rng.normal(size=(sys_len + nv, TINY.hidden_size)) * 0.2
+    emb = jnp.asarray(emb)
+    reqs, want = [], {}
+    for i in range(3):
+        n = 6 + i
+        sfx = np.zeros((1, s_sfx, TINY.hidden_size), np.float32)
+        sfx[0, :n] = rng.normal(size=(n, TINY.hidden_size)) * 0.2
+        sfx = jnp.asarray(sfx)
+        reqs.append(PagedRequest(rid=f"q{i}", page=0, suffix_embeds=sfx,
+                                 suffix_valid=n))
+        cache = prefix_prefill(params, TINY, emb, sys_len + nv, sys_len, spec)
+        want[f"q{i}"], _ = generate_from_prefix(
+            params, TINY, cache, sfx, n, spec, gen
+        )
+    pool = make_prefix_pool(
+        TINY, spec,
+        [prefix_prefill(sharded, TINY, emb, sys_len + nv, sys_len, spec)],
+    )
+    got, _ = serve_continuous_paged(
+        sharded, TINY, pool, reqs, spec, gen, batch_slots=2,
+        decode_chunk_size=2,
+    )
+    assert got == want
+
+    # batched speculative decode under sharded params
+    embs, valids = [], []
+    for i in range(2):
+        v = sys_len + nv + 7 + i
+        e = np.zeros((1, s_full, TINY.hidden_size), np.float32)
+        e[0, :v] = rng.normal(size=(v, TINY.hidden_size)) * 0.2
+        embs.append(e)
+        valids.append(v)
+    embeds_b = jnp.asarray(np.concatenate(embs))
+    want_b, _ = generate_batch(params, TINY, embeds_b, valids,
+                               [sys_len] * 2, spec, gen)
+    got_b, rt = generate_batch(sharded, TINY, embeds_b, valids,
+                               [sys_len] * 2, spec, gen, spec_decode_k=3)
+    assert got_b == want_b
+    assert rt["spec_dispatches"] >= 1
