@@ -62,7 +62,9 @@ class EvalConfig:
     # >= 2 enables greedy speculative decoding (token-exact): an n-gram
     # prompt-lookup drafter proposes k-1 tokens and one verify dispatch
     # scores them all — runtime/generate.py build_verify_step. Takes
-    # precedence over decode_chunk_size; per-sample path only.
+    # precedence over decode_chunk_size. Composes with batch_size > 1
+    # (one dispatch verifies B*k tokens, build_verify_chunk_batch) and,
+    # batched, with prefix_cache on the flat layout (not prefix_cascade).
     spec_decode_k: int = 0
     # Sequence-parallel prefill devices (1 = off): ring-attention prefill
     # over an sp mesh for prompts beyond one chip's HBM (>128-frame
@@ -87,8 +89,9 @@ class EvalConfig:
     # additionally carries prefix_prefill_time (paid once per video).
     # LLaVA + Qwen2-VL. Composes with batch_size > 1 (each video's questions
     # run head-packed-batched over the shared cache) and, when batched, with
-    # decode_chunk_size. Ignored when combined with sp/spec-decode/
-    # dycoke-decode/streaming/frame_bucket.
+    # decode_chunk_size or spec_decode_k (flat layout). Ignored when combined
+    # with sp/dycoke-decode/streaming/frame_bucket or score-based reducers
+    # (falls back to per-sample full prefill).
     prefix_cache: bool = False
     # With prefix_cache + batch_size > 1: keep ONE shared read-only prefix
     # cache in HBM (cascade KV layout, qwen2.cascade_attention) instead of a
