@@ -1108,6 +1108,14 @@ def build_verify_chunk_batch(cfg: DecoderConfig, spec, k: int, kvh: int, tail_sl
     return init_row_buf, insert_row, update_mask, verify_chunk
 
 
+@functools.lru_cache(maxsize=1)
+def _reset_mask_row():
+    """Zero one row of a boolean mask in place (donated) — continuous
+    speculative serving resets a slot's acceptance mask at admission so the
+    previous occupant's accepted tail slots stay hidden."""
+    return jax.jit(lambda m, r: m.at[r].set(False), donate_argnums=(0,))
+
+
 def _spec_batch_builders(cfg: DecoderConfig, spec_key, k: int, gen: GenerateConfig):
     """Resolve the batched-verify builders + tail sizing for a spec-decode
     batch (callers insert rows incrementally — holding all B row caches and

@@ -52,8 +52,11 @@ from .generate import (
     build_paged_decode_chunk,
     build_prefill,
     build_prefix_pool,
+    build_verify_chunk_batch,
+    ngram_draft,
     _batched_like,
     _cascade_tail_like,
+    _reset_mask_row,
 )
 from .reducer import ReducerSpec
 
@@ -229,6 +232,189 @@ def serve_continuous(
         "n_prefills": n_prefills,
         "n_extends": n_extends,
         "n_decode_chunks": n_chunks,
+        "total_tokens": sum(len(v) for v in results.values()),
+    }
+    return results, stats
+
+
+def serve_continuous_spec(
+    params,
+    cfg: DecoderConfig,
+    requests: list,
+    spec,
+    gen: GenerateConfig = GenerateConfig(),
+    batch_slots: int = 4,
+    spec_decode_k: int = 4,
+    impl: str = "xla",
+    ring_dispatches: int = 0,
+    draft_fn=None,
+    histories: dict | None = None,
+):
+    """Continuous batching x batched speculative decoding: a pool of B
+    head-packed slots where every dispatch VERIFIES spec_decode_k candidate
+    tokens per slot (one weight read scores B*k tokens), and retired slots
+    refill mid-wave. The fixed-slot dispatch layout of
+    build_verify_chunk_batch (dispatch d writes tail slots [d*k, (d+1)*k),
+    rejected slots hidden by per-row acceptance masks) extends to continuous
+    admission naturally: a newly admitted slot's acceptance mask is reset,
+    hiding ALL of the previous occupant's tail slots, and the causal verify
+    window bounds reads to freshly written slots.
+
+    ``requests`` may mix Request (full prefill admission) and PrefixRequest
+    (suffix-extension admission) like serve_continuous. ``ring_dispatches``
+    sizes the tail ring in dispatches (default 2*(max_new_tokens-1): worst
+    case one accepted token per dispatch, with headroom so mid-wave
+    admissions fit without waiting for a wave reset). ``histories`` maps
+    rid -> prompt token ids to seed the drafter. Token-level behavior
+    matches per-sample generate()/generate_from_prefix for every request
+    (CPU-exact; on-TPU modulo argmax near-ties between program variants).
+    Returns ({rid: token_ids}, stats)."""
+    if not requests:
+        return {}, {}
+    b = batch_slots
+    k = max(2, min(spec_decode_k, MAX_DECODE))
+    need = max(gen.max_new_tokens - 1, 1)  # worst-case dispatches/request
+    ring = max(ring_dispatches, need) or need
+    if ring_dispatches == 0:
+        ring = 2 * need
+    tail_slots = ring * k
+
+    def _buf_len(r):
+        if isinstance(r, PrefixRequest):
+            return r.prefix_cache.ks[0].shape[2] - MAX_DECODE
+        return r.embeds.shape[1]
+
+    s_full = _buf_len(requests[0])
+    for r in requests:
+        if _buf_len(r) != s_full:
+            raise ValueError(
+                "continuous batching requires one compile key: all requests "
+                f"must share s_full ({_buf_len(r)} != {s_full})"
+            )
+
+    spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
+    prefill = build_prefill(cfg, spec_key, s_full, impl)
+    init_row_buf, insert_row, update_mask, verify_chunk = build_verify_chunk_batch(
+        cfg, spec_key, k, cfg.num_kv_heads, tail_slots
+    )
+    reset_row = _reset_mask_row()
+    drafter = draft_fn or ngram_draft
+    histories = histories or {}
+
+    pending = list(requests)
+    results: dict = {}
+    slot_rid = [None] * b
+    slot_ids: list = [None] * b
+    slot_hist: list = [None] * b
+    done = [True] * b  # empty slots are frozen
+    last_tok = np.zeros(b, np.int32)
+    acc_counts = np.zeros(b, np.int64)
+    acc_mask = jnp.zeros((b, tail_slots), bool)
+    cache = None
+    d = 0
+    t_start = time.perf_counter()
+    n_prefills = n_extends = n_dispatches = 0
+    eos = set(gen.eos_token_ids)
+
+    def admit(i: int, req):
+        nonlocal cache, acc_mask, n_prefills, n_extends
+        if isinstance(req, PrefixRequest):
+            extend = build_extend(cfg, spec_key, req.suffix_embeds.shape[1])
+            logits, row = extend(
+                params, req.prefix_cache, req.suffix_embeds,
+                jnp.int32(req.suffix_valid),
+            )
+            n_extends += 1
+        else:
+            pb = None if req.pos_base is None else jnp.int32(req.pos_base)
+            tv = None if req.t_valid is None else jnp.int32(req.t_valid)
+            logits, row = prefill(
+                params, req.embeds, jnp.int32(req.valid_len),
+                jnp.int32(req.video_start), None, pb, tv,
+            )
+            n_prefills += 1
+        if cache is None:
+            cache_init = jax.tree.map(lambda x: init_row_buf(x, b), row)
+        else:
+            cache_init = cache
+        cache = insert_row(cache_init, row, jnp.int32(i))
+        acc_mask = reset_row(acc_mask, jnp.int32(i))
+        first = int(jnp.argmax(logits, -1)[0])
+        del logits, row
+        slot_rid[i] = req.rid
+        slot_ids[i] = [first]
+        slot_hist[i] = list(histories.get(req.rid, [])) + [first]
+        acc_counts[i] = 0
+        last_tok[i] = first
+        return first in eos or gen.max_new_tokens <= 1
+
+    def retire(i: int):
+        results[slot_rid[i]] = slot_ids[i]
+        slot_rid[i] = None
+        slot_ids[i] = None
+        slot_hist[i] = None
+
+    while pending or any(r is not None for r in slot_rid):
+        for i in range(b):
+            if slot_rid[i] is not None and done[i]:
+                retire(i)
+        for i in range(b):
+            if slot_rid[i] is None and pending and d + need <= ring:
+                done[i] = admit(i, pending.pop(0))
+        live = [i for i in range(b) if slot_rid[i] is not None]
+        if not live:
+            d = 0  # wave reset: reuse the ring (admission resets acc rows)
+            continue
+        if all(done[i] for i in live):
+            continue  # retire-and-refill next pass
+        if d >= ring:
+            raise RuntimeError("verify ring overrun")
+
+        feed = np.empty((b, k), np.int32)
+        drafts = [None] * b
+        for i in range(b):
+            if slot_rid[i] is None or done[i]:
+                feed[i] = last_tok[i]
+                continue
+            dr = [int(t) for t in drafter(slot_hist[i], k - 1)]
+            drafts[i] = dr
+            feed[i, 0] = last_tok[i]
+            feed[i, 1:] = dr
+        preds, cache = verify_chunk(
+            params, jnp.asarray(feed), cache, jnp.int32(d),
+            jnp.asarray(acc_counts, jnp.int32), acc_mask,
+        )
+        preds = np.asarray(preds)
+        n_dispatches += 1
+
+        window = np.zeros((b, k), bool)
+        for i in live:
+            if done[i]:
+                continue
+            a = 0
+            while a < k - 1 and drafts[i][a] == int(preds[i, a]):
+                a += 1
+            e = 0
+            for j in range(a + 1):
+                t = int(preds[i, j])
+                slot_ids[i].append(t)
+                slot_hist[i].append(t)
+                e += 1
+                if t in eos or len(slot_ids[i]) >= gen.max_new_tokens:
+                    done[i] = True
+                    break
+            window[i, :e] = True
+            acc_counts[i] += e
+            last_tok[i] = slot_ids[i][-1]
+        acc_mask = update_mask(acc_mask, jnp.asarray(window), jnp.int32(d))
+        d += 1
+
+    stats = {
+        "wall_s": time.perf_counter() - t_start,
+        "n_requests": len(requests),
+        "n_prefills": n_prefills,
+        "n_extends": n_extends,
+        "n_verify_dispatches": n_dispatches,
         "total_tokens": sum(len(v) for v in results.values()),
     }
     return results, stats
