@@ -542,7 +542,7 @@ class LlavaEvaluator:
 
         def run_batch(cache, chunk_insts, chunk_samples=None):
             sfx = jnp.concatenate([suffix_embeds(i) for i in chunk_insts])
-            speculative = cfg.spec_decode_k > 1 and not cfg.prefix_cascade
+            speculative = cfg.spec_decode_k > 1
             return generate_batch_from_prefix(
                 self.decoder_params, self.decoder_cfg, cache, sfx,
                 [len(i) for i in chunk_insts], spec, gen,
@@ -562,7 +562,8 @@ class LlavaEvaluator:
             for i in range(0, len(grp), cfg.batch_size):
                 bsz = len(grp[i : i + cfg.batch_size])
                 wkey = ("prefix-batch", plan["s_full"], plan["s_sfx"], spec,
-                        bsz, cfg.decode_chunk_size, cfg.prefix_cascade)
+                        bsz, cfg.decode_chunk_size, cfg.prefix_cascade,
+                        cfg.spec_decode_k)
                 if wkey in warmed:
                     continue
                 if wcache is None:
@@ -740,9 +741,9 @@ class LlavaEvaluator:
             and cfg.dycoke_decode is None
             and cfg.attn_sinks == 0
             and cfg.attn_window == 0
-            # speculative decode composes with the batched flat prefix path
-            and (cfg.spec_decode_k <= 1
-                 or (cfg.batch_size > 1 and not cfg.prefix_cascade))
+            # speculative decode composes with the batched prefix path
+            # (flat or cascade layout)
+            and (cfg.spec_decode_k <= 1 or cfg.batch_size > 1)
             # chunked decode composes with the batched prefix path only
             and (cfg.batch_size > 1 or cfg.decode_chunk_size == 1)
             and cfg.frame_bucket == 0

@@ -208,11 +208,10 @@ def main(argv=None):
                 "dycoke decode pruning / fastv (ranks by the last "
                 "instruction token, which the prefix doesn't contain)"
             )
-        if args.spec_decode_k > 1 and (args.batch_size == 1 or args.prefix_cascade):
+        if args.spec_decode_k > 1 and args.batch_size == 1:
             raise SystemExit(
                 "--prefix_cache composes with --spec_decode_k only when "
-                "batched (--batch_size > 1) on the flat layout (no "
-                "--prefix_cascade)"
+                "batched (--batch_size > 1)"
             )
         if args.decode_chunk_size > 1 and args.batch_size == 1:
             raise SystemExit(

@@ -641,6 +641,132 @@ def cascade_decode_layers(
     return x, sfx_k_all, sfx_v_all
 
 
+def cascade_verify_attention(q, pk, pv, pfx_mask, sk, sv, base_mask,
+                             write_slot, cfg: DecoderConfig):
+    """cascade_attention generalized to MULTI-TOKEN VERIFY queries
+    (speculative decoding over the cascade layout): q [B, s, H, hd] scores
+    s candidate tokens per row against the shared prefix (all-visible) and
+    the head-packed suffix/tail, with the verify window's causality applied
+    on physical tail slots — query row j sees suffix positions allowed by
+    ``base_mask`` AND <= write_slot + j (the flat verify's q_offset bound).
+    Exact online-softmax combine of the two sources, as cascade_attention.
+
+    pk/pv: [S_p, KV, hd]; sk/sv: [S_s, B*KV, hd]; base_mask: [B, S_s]
+    (per-row suffix valid + accepted tail slots + current/future window)."""
+    b, s = q.shape[:2]
+    kvh, hd = cfg.num_kv_heads, cfg.head_dim
+    g = cfg.num_heads // kvh
+    qh = q.reshape(b, s, kvh, g, hd)
+    scale = hd**-0.5
+
+    sp = jnp.einsum(
+        "bskgd,tkd->bkgst", qh, pk,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) * scale
+    sp = jnp.where(pfx_mask[None, None, None, None, :], sp, -1e30)
+    mp = jnp.max(sp, -1)  # [B, KV, G, s]
+    ep = jnp.exp(sp - mp[..., None])
+    lp = jnp.sum(ep, -1)
+    op = jnp.einsum(
+        "bkgst,tkd->bkgsd", ep, pv,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    skr = sk.reshape(-1, b, kvh, hd)
+    svr = sv.reshape(-1, b, kvh, hd)
+    ss = jnp.einsum(
+        "bskgd,tbkd->bkgst", qh, skr,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) * scale
+    kpos = jnp.arange(sk.shape[0])
+    vis = base_mask[:, None, :] & (
+        kpos[None, None, :] <= write_slot + jnp.arange(s)[None, :, None]
+    )  # [B, s, S_s]
+    ss = jnp.where(vis[:, None, None, :, :], ss, -1e30)
+    ms = jnp.max(ss, -1)
+    es = jnp.exp(ss - ms[..., None])
+    ls = jnp.sum(es, -1)
+    os_ = jnp.einsum(
+        "bkgst,tbkd->bkgsd", es, svr,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    m = jnp.maximum(mp, ms)
+    wp = jnp.exp(mp - m)
+    ws = jnp.exp(ms - m)
+    out = (op * wp[..., None] + os_ * ws[..., None]) / (
+        lp * wp + ls * ws
+    )[..., None]
+    # [B, KV, G, s, hd] -> [B, s, H, hd]
+    return out.transpose(0, 3, 1, 2, 4).reshape(
+        b, s, cfg.num_heads, hd
+    ).astype(q.dtype)
+
+
+def cascade_verify_layers(
+    layers: dict,
+    lo: int,
+    hi: int,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    pfx_k_all: jnp.ndarray,
+    pfx_v_all: jnp.ndarray,
+    pfx_len,
+    sfx_k_all: jnp.ndarray,
+    sfx_v_all: jnp.ndarray,
+    base_mask: jnp.ndarray,
+    step_idx,
+    tail_start: int,
+    cfg: DecoderConfig,
+):
+    """Multi-token verify walk over the cascade layout: x [B, s, D] scores
+    s candidates per row against (shared prefix, head-packed suffix tails),
+    writing the candidates' K/V at tail slots [tail_start + step_idx, ... + s)
+    (the fixed-dispatch-slot layout of build_verify_chunk_batch). Returns
+    (x, sfx_k_all, sfx_v_all)."""
+    if hi <= lo:
+        return x, sfx_k_all, sfx_v_all
+    b, s = x.shape[:2]
+    kvh = cfg.num_kv_heads
+    write_slot = tail_start + step_idx
+    pfx_mask = jnp.arange(pfx_k_all.shape[2]) < pfx_len
+
+    def body(y, sk_all, sv_all, li):
+        lp = _take_layer(layers, lo + li)
+        h = rms_norm(y, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
+        q, k, v = qkv_proj(lp, h, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kp = k.transpose(1, 0, 2, 3).reshape(1, s, b * kvh, cfg.head_dim)
+        vp = v.transpose(1, 0, 2, 3).reshape(1, s, b * kvh, cfg.head_dim)
+        sk_all = jax.lax.dynamic_update_slice(sk_all, kp[None], (li, 0, write_slot, 0, 0))
+        sv_all = jax.lax.dynamic_update_slice(sv_all, vp[None], (li, 0, write_slot, 0, 0))
+        sk = jax.lax.dynamic_index_in_dim(sk_all, li, 0, keepdims=False)
+        sv = jax.lax.dynamic_index_in_dim(sv_all, li, 0, keepdims=False)
+        pk = jax.lax.dynamic_index_in_dim(pfx_k_all, li, 0, keepdims=False)
+        pv = jax.lax.dynamic_index_in_dim(pfx_v_all, li, 0, keepdims=False)
+        o = cascade_verify_attention(
+            q, pk[0], pv[0], pfx_mask, sk[0], sv[0], base_mask, write_slot, cfg
+        )
+        y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], cfg.act_quant)
+        h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
+        y = y + mlp_block(lp, h, cfg)
+        return y, sk_all, sv_all
+
+    def step(carry, li):
+        return body(*carry, li), None
+
+    (x, sfx_k_all, sfx_v_all), _ = jax.lax.scan(
+        step, (x, sfx_k_all, sfx_v_all), jnp.arange(hi - lo, dtype=jnp.int32)
+    )
+    return x, sfx_k_all, sfx_v_all
+
+
 def paged_cascade_attention(q, pks, pvs, pfx_lens, page, sk, sv, sfx_mask,
                             cfg: DecoderConfig):
     """cascade_attention generalized to a PAGED prefix pool: ``pks``/``pvs``

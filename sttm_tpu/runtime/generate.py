@@ -1108,6 +1108,115 @@ def build_verify_chunk_batch(cfg: DecoderConfig, spec, k: int, kvh: int, tail_sl
     return init_row_buf, insert_row, update_mask, verify_chunk
 
 
+@functools.lru_cache(maxsize=8)
+def build_verify_chunk_cascade(
+    cfg: DecoderConfig, spec, k: int, kvh: int, s_sfx: int, tail_slots: int
+):
+    """Batched speculative decoding over the CASCADE layout — three levers
+    in one dispatch: one shared read-only prefix copy in HBM (cascade),
+    head-packed batching, and k-token verify (one weight read + one prefix
+    read scores B*k candidates). Same fixed-dispatch-slot + acceptance-mask
+    scheme as build_verify_chunk_batch, with the tail ring living in the
+    CascadeTail suffix buffers past the s_sfx suffix region.
+
+    Returns (make_tail, pack_row, update_mask, verify_chunk):
+      make_tail(row, b): CascadeTail with an extended [s_sfx + tail_slots]
+        buffer shaped from one extension row's cache.
+      pack_row(tail, row, pfx_lens, suffix_valid, i): as the cascade decode
+        builder — copy one extension row's suffix K/V slice into the packed
+        tail at KV-head offset i*kvh.
+      update_mask(acc_mask [B, tail_slots], window [B, k], d): mark
+        dispatch d's accepted slots.
+      verify_chunk(params, tokens [B, k], tail, pfx, d, acc_counts,
+        acc_mask) -> (preds [B, k], tail'): tail donated; the prefix cache
+        is read-only and reusable."""
+    specs = _normalize_specs(spec)
+    bounds = _group_bounds(cfg, specs)
+
+    def make_tail(row, b: int) -> CascadeTail:
+        def zf(x):
+            lg, _, _, kv, hd = x.shape
+            return jnp.zeros((lg, 1, s_sfx + tail_slots, b * kv, hd), x.dtype)
+
+        return CascadeTail(
+            sfx_ks=tuple(zf(kk) for kk in row.ks),
+            sfx_vs=tuple(zf(vv) for vv in row.vs),
+            sfx_lens=jnp.zeros((b,), jnp.int32),
+            pos_base=jnp.zeros((b,), jnp.int32),
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def pack_row(tail: CascadeTail, row, pfx_lens, suffix_valid, i):
+        new_ks, new_vs = [], []
+        for gi in range(len(bounds)):
+            rk, rv = row.ks[gi], row.vs[gi]
+            lg, _, _, kv, hd = rk.shape
+            if lg == 0:
+                new_ks.append(tail.sfx_ks[gi])
+                new_vs.append(tail.sfx_vs[gi])
+                continue
+            start = (0, 0, pfx_lens[gi], 0, 0)
+            ksl = jax.lax.dynamic_slice(rk, start, (lg, 1, s_sfx, kv, hd))
+            vsl = jax.lax.dynamic_slice(rv, start, (lg, 1, s_sfx, kv, hd))
+            at = (0, 0, 0, i * kvh, 0)
+            new_ks.append(jax.lax.dynamic_update_slice(tail.sfx_ks[gi], ksl, at))
+            new_vs.append(jax.lax.dynamic_update_slice(tail.sfx_vs[gi], vsl, at))
+        return CascadeTail(
+            sfx_ks=tuple(new_ks),
+            sfx_vs=tuple(new_vs),
+            sfx_lens=jax.lax.dynamic_update_index_in_dim(
+                tail.sfx_lens, jnp.asarray(suffix_valid, jnp.int32), i, 0
+            ),
+            pos_base=jax.lax.dynamic_update_index_in_dim(
+                tail.pos_base, jnp.asarray(row.pos_base, jnp.int32), i, 0
+            ),
+        )
+
+    update_mask = jax.jit(
+        lambda m, window, d: jax.lax.dynamic_update_slice(m, window, (0, d * k)),
+        donate_argnums=(0,),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def verify_chunk(params, tokens, tail: CascadeTail, pfx, d, acc_counts,
+                     acc_mask):
+        layers = params["layers"]
+        b = tokens.shape[0]
+        x = qwen2.embed_tokens(params, tokens, cfg)  # [B, k, D]
+        pos = (
+            (tail.pos_base + acc_counts)[:, None] + jnp.arange(k)[None]
+        ).astype(jnp.int32)
+        if cfg.mrope_section:
+            pos = jnp.broadcast_to(pos[:, None, :], (b, 3, k))
+        cos, sin = jax.vmap(lambda p: qwen2.rope_cos_sin(cfg, p))(pos)
+
+        step_idx = d * k
+        rel = jnp.arange(tail_slots)
+        tail_vis = acc_mask | (rel[None, :] >= step_idx)  # [B, tail_slots]
+        kpos_s = jnp.arange(s_sfx)
+        base = jnp.concatenate(
+            [kpos_s[None, :] < tail.sfx_lens[:, None], tail_vis], axis=1
+        )  # [B, s_sfx + tail_slots]
+        new_ks, new_vs = [], []
+        for gi, (lo, hi) in enumerate(bounds):
+            x, sk, sv = qwen2.cascade_verify_layers(
+                layers, lo, hi, x, cos, sin, pfx.ks[gi], pfx.vs[gi],
+                pfx.lens[gi], tail.sfx_ks[gi], tail.sfx_vs[gi], base,
+                step_idx, s_sfx, cfg,
+            )
+            new_ks.append(sk)
+            new_vs.append(sv)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
+        logits = qwen2.lm_head(params, cfg, h)  # [B, k, V]
+        preds = jnp.argmax(logits, -1).astype(jnp.int32)
+        new_tail = dataclasses.replace(
+            tail, sfx_ks=tuple(new_ks), sfx_vs=tuple(new_vs)
+        )
+        return preds, new_tail
+
+    return make_tail, pack_row, update_mask, verify_chunk
+
+
 @functools.lru_cache(maxsize=1)
 def _reset_mask_row():
     """Zero one row of a boolean mask in place (donated) — continuous
@@ -1851,10 +1960,12 @@ def generate_batch_from_prefix(
     (qwen2.cascade_attention); math equals the flat path up to fp
     reassociation. decode_attn_kernel is ignored under cascade (XLA path).
 
-    ``spec_decode_k >= 2`` (flat layout only) runs batched greedy
-    speculative decoding: ONE prefill for the video + per-question
-    extensions + B*k-token verify dispatches — all three serving levers
-    composed. Token-exact for any drafter.
+    ``spec_decode_k >= 2`` runs batched greedy speculative decoding: ONE
+    prefill for the video + per-question extensions + B*k-token verify
+    dispatches — the serving levers composed. Token-exact for any drafter.
+    With ``cascade=True`` as well, the verify dispatches keep the single
+    shared prefix copy (build_verify_chunk_cascade): one weight read + one
+    prefix read scores B*k candidates.
     """
     b, s_sfx, _ = suffix_embeds.shape
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
@@ -1862,8 +1973,18 @@ def generate_batch_from_prefix(
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
     speculative = spec_decode_k > 1
     if speculative and cascade:
-        raise ValueError("spec_decode_k composes with the flat layout only")
-    if speculative:
+        k = max(2, min(spec_decode_k, MAX_DECODE))
+        tail_slots = max(k * max(gen.max_new_tokens - 1, 1), k)
+        make_tail, pack_row, update_mask, verify_chunk_c = (
+            build_verify_chunk_cascade(
+                cfg, spec_key, k, cfg.num_kv_heads, s_sfx, tail_slots
+            )
+        )
+        verify_chunk = (
+            lambda p, feed, tail, d, ac, am:
+            verify_chunk_c(p, feed, tail, prefix_cache, d, ac, am)
+        )
+    elif speculative:
         k, tail_slots, (init_row_buf, insert_row, update_mask, verify_chunk) = (
             _spec_batch_builders(cfg, spec_key, spec_decode_k, gen)
         )
@@ -1893,7 +2014,10 @@ def generate_batch_from_prefix(
         logits_rows.append(lg)
         if cascade:
             if cache is None:
-                cache = _cascade_tail_like(row, b, s_sfx)
+                cache = (
+                    make_tail(row, b) if speculative
+                    else _cascade_tail_like(row, b, s_sfx)
+                )
             cache = pack_row(
                 cache, row, prefix_cache.lens,
                 jnp.int32(int(suffix_valids[i])), jnp.int32(i),

@@ -157,6 +157,41 @@ def test_batched_spec_from_prefix():
     assert rt["prefix_cached"] and rt["spec_dispatches"] >= 1
 
 
+def test_batched_spec_cascade():
+    """cascade=True + spec_decode_k: the verify dispatches keep ONE shared
+    prefix copy (build_verify_chunk_cascade) — tokens must still match the
+    per-question full-prefill path exactly."""
+    cfg = TINY
+    spec = _spec()
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(9)
+    d = cfg.hidden_size
+    s_sfx = 16
+    prefix = np.zeros((1, S_FULL, d), np.float32)
+    prefix[0, : SYS + NV] = rng.normal(size=(SYS + NV, d)) * 0.2
+    insts = [rng.normal(size=(n, d)) * 0.2 for n in (7, 12, 9)]
+
+    wants = []
+    for inst in insts:
+        e = prefix.copy()
+        e[0, SYS + NV : SYS + NV + len(inst)] = inst
+        ids, _ = generate(params, cfg, jnp.asarray(e, cfg.dtype),
+                          SYS + NV + len(inst), SYS, spec, GEN)
+        wants.append(ids)
+
+    cache = prefix_prefill(params, cfg, jnp.asarray(prefix, cfg.dtype),
+                           SYS + NV, SYS, spec)
+    sfx = np.zeros((3, s_sfx, d), np.float32)
+    for i, inst in enumerate(insts):
+        sfx[i, : len(inst)] = inst
+    got, rt = generate_batch_from_prefix(
+        params, cfg, cache, jnp.asarray(sfx, cfg.dtype),
+        [len(i) for i in insts], spec, GEN, cascade=True, spec_decode_k=4,
+    )
+    assert got == wants
+    assert rt["prefix_cached"] and rt["spec_dispatches"] >= 1
+
+
 def test_batched_spec_mrope():
     params, embeds, valids = _batch(TINY_MROPE, 2, seed=6)
     spec = _spec()

@@ -194,6 +194,16 @@ def test_prefix_batched_spec_decode_matches_per_sample(tmp_path):
     assert rts["q0"]["batch_size"] == 2 and rts["q0"]["prefix_cached"]
     assert rts["q0"]["spec_dispatches"] >= 1
 
+    # cascade layout + spec decode through the harness (one shared prefix
+    # copy, B*k verify dispatches) — same answers again
+    ecfg3 = EvalConfig(out_dir=str(tmp_path / "cspfx"), prefix_cache=True,
+                       batch_size=2, spec_decode_k=3, prefix_cascade=True,
+                       **base)
+    ev.evaluate(FeatureVidQADataset(dcfg, tok), ecfg3, gts=annos)
+    p3 = {r["question_id"]: r["answer"]
+          for r in read_jsonl(os.path.join(ecfg3.out_dir, "predictions.jsonl"))}
+    assert p3 == p1
+
 
 def test_prefix_cascade_matches_per_sample(tmp_path):
     """--prefix_cache + batch_size 2 + prefix_cascade: groups decode over ONE
