@@ -919,6 +919,146 @@ def paged_cascade_decode_layers(
     return x, sfx_k_all, sfx_v_all
 
 
+def paged_cascade_verify_attention(q, pks, pvs, pfx_lens, page, sk, sv,
+                                   base_mask, write_slot, cfg: DecoderConfig):
+    """Multi-token verify over a PAGED prefix pool: the page-scan of
+    paged_cascade_attention (each page read once, rows keep their own
+    page's stats) combined with the verify-window causality of
+    cascade_verify_attention. q: [B, s, H, hd]; pks/pvs: [P, S_p, KV, hd];
+    pfx_lens: [P]; page: [B]; base_mask: [B, S_s]."""
+    b, s = q.shape[:2]
+    kvh, hd = cfg.num_kv_heads, cfg.head_dim
+    g = cfg.num_heads // kvh
+    qh = q.reshape(b, s, kvh, g, hd)
+    scale = hd**-0.5
+    kpos_p = jnp.arange(pks.shape[1])
+    n_pages = pks.shape[0]
+
+    def page_body(carry, inp):
+        pk, pv, plen, pidx = inp
+        sp = jnp.einsum(
+            "bskgd,tkd->bkgst", qh, pk,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        sp = jnp.where((kpos_p < plen)[None, None, None, None, :], sp, -1e30)
+        mp = jnp.max(sp, -1)  # [B, KV, G, s]
+        ep = jnp.exp(sp - mp[..., None])
+        lp = jnp.sum(ep, -1)
+        op = jnp.einsum(
+            "bkgst,tkd->bkgsd", ep, pv,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        sel = (page == pidx)[:, None, None, None]
+        m0, l0, o0 = carry
+        return (
+            jnp.where(sel, mp, m0),
+            jnp.where(sel, lp, l0),
+            jnp.where(sel[..., None], op, o0),
+        ), None
+
+    init = (
+        jnp.full((b, kvh, g, s), -1e30, jnp.float32),
+        jnp.zeros((b, kvh, g, s), jnp.float32),
+        jnp.zeros((b, kvh, g, s, hd), jnp.float32),
+    )
+    (mp, lp, op), _ = jax.lax.scan(
+        page_body, init,
+        (pks, pvs, pfx_lens, jnp.arange(n_pages, dtype=jnp.int32)),
+    )
+
+    skr = sk.reshape(-1, b, kvh, hd)
+    svr = sv.reshape(-1, b, kvh, hd)
+    ss = jnp.einsum(
+        "bskgd,tbkd->bkgst", qh, skr,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) * scale
+    kpos = jnp.arange(sk.shape[0])
+    vis = base_mask[:, None, :] & (
+        kpos[None, None, :] <= write_slot + jnp.arange(s)[None, :, None]
+    )
+    ss = jnp.where(vis[:, None, None, :, :], ss, -1e30)
+    ms = jnp.max(ss, -1)
+    es = jnp.exp(ss - ms[..., None])
+    ls = jnp.sum(es, -1)
+    os_ = jnp.einsum(
+        "bkgst,tbkd->bkgsd", es, svr,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    m = jnp.maximum(mp, ms)
+    wp = jnp.exp(mp - m)
+    ws = jnp.exp(ms - m)
+    out = (op * wp[..., None] + os_ * ws[..., None]) / (
+        lp * wp + ls * ws
+    )[..., None]
+    return out.transpose(0, 3, 1, 2, 4).reshape(
+        b, s, cfg.num_heads, hd
+    ).astype(q.dtype)
+
+
+def paged_cascade_verify_layers(
+    layers: dict,
+    lo: int,
+    hi: int,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    pool_k_all: jnp.ndarray,
+    pool_v_all: jnp.ndarray,
+    pfx_lens: jnp.ndarray,
+    page: jnp.ndarray,
+    sfx_k_all: jnp.ndarray,
+    sfx_v_all: jnp.ndarray,
+    base_mask: jnp.ndarray,
+    step_idx,
+    tail_start: int,
+    cfg: DecoderConfig,
+):
+    """cascade_verify_layers over a paged prefix pool: x [B, s, D] scores s
+    candidates per row against (its pool page, its head-packed suffix tail).
+    Returns (x, sfx_k_all, sfx_v_all)."""
+    if hi <= lo:
+        return x, sfx_k_all, sfx_v_all
+    b, s = x.shape[:2]
+    kvh = cfg.num_kv_heads
+    write_slot = tail_start + step_idx
+
+    def body(y, sk_all, sv_all, li):
+        lp = _take_layer(layers, lo + li)
+        h = rms_norm(y, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
+        q, k, v = qkv_proj(lp, h, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kp = k.transpose(1, 0, 2, 3).reshape(1, s, b * kvh, cfg.head_dim)
+        vp = v.transpose(1, 0, 2, 3).reshape(1, s, b * kvh, cfg.head_dim)
+        sk_all = jax.lax.dynamic_update_slice(sk_all, kp[None], (li, 0, write_slot, 0, 0))
+        sv_all = jax.lax.dynamic_update_slice(sv_all, vp[None], (li, 0, write_slot, 0, 0))
+        sk = jax.lax.dynamic_index_in_dim(sk_all, li, 0, keepdims=False)
+        sv = jax.lax.dynamic_index_in_dim(sv_all, li, 0, keepdims=False)
+        pks = jax.lax.dynamic_index_in_dim(pool_k_all, li, 0, keepdims=False)
+        pvs = jax.lax.dynamic_index_in_dim(pool_v_all, li, 0, keepdims=False)
+        o = paged_cascade_verify_attention(
+            q, pks, pvs, pfx_lens, page, sk[0], sv[0], base_mask, write_slot,
+            cfg,
+        )
+        y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], cfg.act_quant)
+        h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
+        y = y + mlp_block(lp, h, cfg)
+        return y, sk_all, sv_all
+
+    def step(carry, li):
+        return body(*carry, li), None
+
+    (x, sfx_k_all, sfx_v_all), _ = jax.lax.scan(
+        step, (x, sfx_k_all, sfx_v_all), jnp.arange(hi - lo, dtype=jnp.int32)
+    )
+    return x, sfx_k_all, sfx_v_all
+
+
 def paged_extend_layers(
     layers: dict,
     lo: int,

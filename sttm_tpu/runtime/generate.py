@@ -1217,6 +1217,82 @@ def build_verify_chunk_cascade(
     return make_tail, pack_row, update_mask, verify_chunk
 
 
+@functools.lru_cache(maxsize=8)
+def build_paged_verify_chunk(
+    cfg: DecoderConfig, spec, k: int, kvh: int, s_sfx: int, tail_slots: int
+):
+    """Batched speculative verify over a PAGED prefix pool (the grand
+    composition: paged prefix caching x head-packed batching x k-token
+    verify — one weight read + one read of each DISTINCT page scores B*k
+    candidates). Same dispatch-slot/acceptance-mask scheme as
+    build_verify_chunk_cascade, prefix side paged
+    (qwen2.paged_cascade_verify_attention). Returns (make_tail, update_mask,
+    verify_chunk):
+      make_tail(pool, b): CascadeTail [s_sfx + tail_slots] shaped from pool
+        leaves (admission writes suffixes via build_paged_admit).
+      verify_chunk(params, tokens [B, k], tail, pool, page [B], d,
+        acc_counts, acc_mask) -> (preds, tail'); tail donated, pool
+        read-only."""
+    specs = _normalize_specs(spec)
+    bounds = _group_bounds(cfg, specs)
+
+    def make_tail(pool, b: int) -> CascadeTail:
+        def zf(x):
+            lg, kv, hd = x.shape[0], x.shape[3], x.shape[4]
+            return jnp.zeros((lg, 1, s_sfx + tail_slots, b * kv, hd), x.dtype)
+
+        return CascadeTail(
+            sfx_ks=tuple(zf(kk) for kk in pool.ks),
+            sfx_vs=tuple(zf(vv) for vv in pool.vs),
+            sfx_lens=jnp.zeros((b,), jnp.int32),
+            pos_base=jnp.zeros((b,), jnp.int32),
+        )
+
+    update_mask = jax.jit(
+        lambda m, window, d: jax.lax.dynamic_update_slice(m, window, (0, d * k)),
+        donate_argnums=(0,),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def verify_chunk(params, tokens, tail: CascadeTail, pool, page, d,
+                     acc_counts, acc_mask):
+        layers = params["layers"]
+        b = tokens.shape[0]
+        x = qwen2.embed_tokens(params, tokens, cfg)  # [B, k, D]
+        pos = (
+            (tail.pos_base + acc_counts)[:, None] + jnp.arange(k)[None]
+        ).astype(jnp.int32)
+        if cfg.mrope_section:
+            pos = jnp.broadcast_to(pos[:, None, :], (b, 3, k))
+        cos, sin = jax.vmap(lambda p: qwen2.rope_cos_sin(cfg, p))(pos)
+
+        step_idx = d * k
+        rel = jnp.arange(tail_slots)
+        tail_vis = acc_mask | (rel[None, :] >= step_idx)
+        kpos_s = jnp.arange(s_sfx)
+        base = jnp.concatenate(
+            [kpos_s[None, :] < tail.sfx_lens[:, None], tail_vis], axis=1
+        )
+        new_ks, new_vs = [], []
+        for gi, (lo, hi) in enumerate(bounds):
+            x, sk, sv = qwen2.paged_cascade_verify_layers(
+                layers, lo, hi, x, cos, sin, pool.ks[gi], pool.vs[gi],
+                pool.lens[gi], page, tail.sfx_ks[gi], tail.sfx_vs[gi],
+                base, step_idx, s_sfx, cfg,
+            )
+            new_ks.append(sk)
+            new_vs.append(sv)
+        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
+        logits = qwen2.lm_head(params, cfg, h)  # [B, k, V]
+        preds = jnp.argmax(logits, -1).astype(jnp.int32)
+        new_tail = dataclasses.replace(
+            tail, sfx_ks=tuple(new_ks), sfx_vs=tuple(new_vs)
+        )
+        return preds, new_tail
+
+    return make_tail, update_mask, verify_chunk
+
+
 @functools.lru_cache(maxsize=1)
 def _reset_mask_row():
     """Zero one row of a boolean mask in place (donated) — continuous

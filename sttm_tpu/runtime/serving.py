@@ -50,6 +50,7 @@ from .generate import (
     build_extend,
     build_paged_admit,
     build_paged_decode_chunk,
+    build_paged_verify_chunk,
     build_prefill,
     build_prefix_pool,
     build_verify_chunk_batch,
@@ -272,12 +273,7 @@ def serve_continuous_spec(
     if not requests:
         return {}, {}
     b = batch_slots
-    k = max(2, min(spec_decode_k, MAX_DECODE))
-    need = max(gen.max_new_tokens - 1, 1)  # worst-case dispatches/request
-    ring = max(ring_dispatches, need) or need
-    if ring_dispatches == 0:
-        ring = 2 * need
-    tail_slots = ring * k
+    k, need, ring, tail_slots = _spec_ring(spec_decode_k, gen, ring_dispatches)
 
     def _buf_len(r):
         if isinstance(r, PrefixRequest):
@@ -297,27 +293,12 @@ def serve_continuous_spec(
     init_row_buf, insert_row, update_mask, verify_chunk = build_verify_chunk_batch(
         cfg, spec_key, k, cfg.num_kv_heads, tail_slots
     )
-    reset_row = _reset_mask_row()
-    drafter = draft_fn or ngram_draft
-    histories = histories or {}
 
-    pending = list(requests)
-    results: dict = {}
-    slot_rid = [None] * b
-    slot_ids: list = [None] * b
-    slot_hist: list = [None] * b
-    done = [True] * b  # empty slots are frozen
-    last_tok = np.zeros(b, np.int32)
-    acc_counts = np.zeros(b, np.int64)
-    acc_mask = jnp.zeros((b, tail_slots), bool)
     cache = None
-    d = 0
-    t_start = time.perf_counter()
-    n_prefills = n_extends = n_dispatches = 0
-    eos = set(gen.eos_token_ids)
+    n_prefills = n_extends = 0
 
-    def admit(i: int, req):
-        nonlocal cache, acc_mask, n_prefills, n_extends
+    def admit_impl(i: int, req) -> int:
+        nonlocal cache, n_prefills, n_extends
         if isinstance(req, PrefixRequest):
             extend = build_extend(cfg, spec_key, req.suffix_embeds.shape[1])
             logits, row = extend(
@@ -338,9 +319,55 @@ def serve_continuous_spec(
         else:
             cache_init = cache
         cache = insert_row(cache_init, row, jnp.int32(i))
+        return int(jnp.argmax(logits, -1)[0])
+
+    def verify_impl(feed, d, acc_counts, acc_mask):
+        nonlocal cache
+        preds, cache = verify_chunk(
+            params, jnp.asarray(feed), cache, jnp.int32(d),
+            jnp.asarray(acc_counts, jnp.int32), acc_mask,
+        )
+        return np.asarray(preds)
+
+    results, stats = _continuous_spec_drive(
+        requests, gen, b, k, ring, need, tail_slots, update_mask,
+        admit_impl, verify_impl, draft_fn or ngram_draft, histories or {},
+    )
+    stats["n_prefills"] = n_prefills
+    stats["n_extends"] = n_extends
+    return results, stats
+
+
+def _continuous_spec_drive(
+    requests, gen: GenerateConfig, b: int, k: int, ring: int, need: int,
+    tail_slots: int, update_mask, admit_impl, verify_impl, drafter, histories,
+):
+    """The shared continuous speculative pool driver (host-side wave/slot/
+    acceptance bookkeeping), used by serve_continuous_spec (flat batched
+    cache) and serve_continuous_paged_spec (paged prefix pool). The callers
+    own their device state through the ``admit_impl(i, req) -> first_token``
+    and ``verify_impl(feed [B, k], d, acc_counts, acc_mask) -> preds``
+    closures; the driver owns slots, the dispatch ring, and the acceptance
+    masks (resetting a slot's row at admission)."""
+    reset_row = _reset_mask_row()
+    pending = list(requests)
+    results: dict = {}
+    slot_rid = [None] * b
+    slot_ids: list = [None] * b
+    slot_hist: list = [None] * b
+    done = [True] * b  # empty slots are frozen
+    last_tok = np.zeros(b, np.int32)
+    acc_counts = np.zeros(b, np.int64)
+    acc_mask = jnp.zeros((b, tail_slots), bool)
+    d = 0
+    t_start = time.perf_counter()
+    n_dispatches = 0
+    eos = set(gen.eos_token_ids)
+
+    def admit(i: int, req):
+        nonlocal acc_mask
+        first = admit_impl(i, req)
         acc_mask = reset_row(acc_mask, jnp.int32(i))
-        first = int(jnp.argmax(logits, -1)[0])
-        del logits, row
         slot_rid[i] = req.rid
         slot_ids[i] = [first]
         slot_hist[i] = list(histories.get(req.rid, [])) + [first]
@@ -380,11 +407,7 @@ def serve_continuous_spec(
             drafts[i] = dr
             feed[i, 0] = last_tok[i]
             feed[i, 1:] = dr
-        preds, cache = verify_chunk(
-            params, jnp.asarray(feed), cache, jnp.int32(d),
-            jnp.asarray(acc_counts, jnp.int32), acc_mask,
-        )
-        preds = np.asarray(preds)
+        preds = verify_impl(feed, d, acc_counts, acc_mask)
         n_dispatches += 1
 
         window = np.zeros((b, k), bool)
@@ -412,11 +435,92 @@ def serve_continuous_spec(
     stats = {
         "wall_s": time.perf_counter() - t_start,
         "n_requests": len(requests),
-        "n_prefills": n_prefills,
-        "n_extends": n_extends,
         "n_verify_dispatches": n_dispatches,
         "total_tokens": sum(len(v) for v in results.values()),
     }
+    return results, stats
+
+
+def _spec_ring(spec_decode_k: int, gen: GenerateConfig, ring_dispatches: int):
+    """(k, need, ring, tail_slots) sizing shared by the spec pools: worst
+    case a request needs max_new_tokens-1 dispatches (one accepted token
+    each); the default ring doubles that so mid-wave admissions fit."""
+    k = max(2, min(spec_decode_k, MAX_DECODE))
+    need = max(gen.max_new_tokens - 1, 1)
+    ring = max(ring_dispatches, need) if ring_dispatches else 2 * need
+    return k, need, ring, ring * k
+
+
+def serve_continuous_paged_spec(
+    params,
+    cfg: DecoderConfig,
+    pool: PrefixPool,
+    requests: list,
+    spec,
+    gen: GenerateConfig = GenerateConfig(),
+    batch_slots: int = 4,
+    spec_decode_k: int = 4,
+    ring_dispatches: int = 0,
+    draft_fn=None,
+    histories: dict | None = None,
+):
+    """ALL the serving levers in one pool: paged prefix caching (each
+    distinct video's prefill lives once in HBM; admission is a ~tens-of-
+    tokens extension straight into the slot tail), continuous batching
+    (retired slots refill mid-wave), head-packed batching, and speculative
+    decoding (every dispatch verifies k candidates per slot — one weight
+    read + one read of each distinct page scores B*k tokens,
+    build_paged_verify_chunk). Requests are PagedRequests against ``pool``.
+    Token-exact vs per-sample generate_from_prefix for any drafter
+    (CPU; on-TPU modulo argmax near-ties between program variants).
+    Returns ({rid: token_ids}, stats)."""
+    if not requests:
+        return {}, {}
+    b = batch_slots
+    k, need, ring, tail_slots = _spec_ring(spec_decode_k, gen, ring_dispatches)
+    s_sfx = requests[0].suffix_embeds.shape[1]
+    for r in requests:
+        if r.suffix_embeds.shape[1] != s_sfx:
+            raise ValueError(
+                "paged serving requires one compile key: all suffixes must "
+                f"share s_sfx ({r.suffix_embeds.shape[1]} != {s_sfx})"
+            )
+        if not 0 <= r.page < pool.pos_base.shape[0]:
+            raise ValueError(f"request {r.rid}: page {r.page} outside pool")
+
+    spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
+    make_tail, update_mask, verify_chunk = build_paged_verify_chunk(
+        cfg, spec_key, k, cfg.num_kv_heads, s_sfx, tail_slots
+    )
+    admit_fn = build_paged_admit(cfg, spec_key, s_sfx, cfg.num_kv_heads)
+    tail = make_tail(pool, b)
+    page = np.zeros(b, np.int32)
+    n_extends = 0
+
+    def admit_impl(i: int, req: PagedRequest) -> int:
+        nonlocal tail, n_extends
+        logits, tail = admit_fn(
+            params, pool, jnp.int32(req.page), tail, req.suffix_embeds,
+            jnp.int32(req.suffix_valid), jnp.int32(i),
+        )
+        page[i] = req.page
+        n_extends += 1
+        return int(jnp.argmax(logits, -1))
+
+    def verify_impl(feed, d, acc_counts, acc_mask):
+        nonlocal tail
+        preds, tail = verify_chunk(
+            params, jnp.asarray(feed), tail, pool, jnp.asarray(page),
+            jnp.int32(d), jnp.asarray(acc_counts, jnp.int32), acc_mask,
+        )
+        return np.asarray(preds)
+
+    results, stats = _continuous_spec_drive(
+        requests, gen, b, k, ring, need, tail_slots, update_mask,
+        admit_impl, verify_impl, draft_fn or ngram_draft, histories or {},
+    )
+    stats["n_extends"] = n_extends
+    stats["n_pool_pages"] = int(pool.pos_base.shape[0])
     return results, stats
 
 

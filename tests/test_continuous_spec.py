@@ -111,6 +111,92 @@ def test_continuous_spec_oracle_drafter_fewer_dispatches():
     assert stats["n_verify_dispatches"] <= 4
 
 
+def test_continuous_paged_spec_all_levers():
+    """serve_continuous_paged_spec: paged prefix pool + continuous batching
+    + head packing + k-token verify — questions of 3 videos interleave
+    through 2 slots, each prefix living once in the pool; every answer must
+    match per-sample generate_from_prefix exactly."""
+    from sttm_tpu.runtime.serving import (
+        PagedRequest,
+        make_prefix_pool,
+        serve_continuous_paged_spec,
+    )
+
+    params = qwen2.init_params(TINY, jax.random.key(0))
+    rng = np.random.default_rng(11)
+    spec = _spec()
+    sys_len, s_sfx = 4, 16
+    caches = []
+    for _ in range(3):
+        emb = np.zeros((1, S_FULL, TINY.hidden_size), np.float32)
+        emb[0, : sys_len + NV] = rng.normal(
+            size=(sys_len + NV, TINY.hidden_size)) * 0.2
+        caches.append(prefix_prefill(
+            params, TINY, jnp.asarray(emb), sys_len + NV, sys_len, spec))
+    gen = GenerateConfig(max_new_tokens=8, eos_token_ids=())
+    reqs, want = [], {}
+    for i in range(6):
+        n = 6 + (i % 3)
+        sfx = np.zeros((1, s_sfx, TINY.hidden_size), np.float32)
+        sfx[0, :n] = rng.normal(size=(n, TINY.hidden_size)) * 0.2
+        sfx = jnp.asarray(sfx)
+        rid = f"q{i}"
+        reqs.append(PagedRequest(rid=rid, page=i % 3, suffix_embeds=sfx,
+                                 suffix_valid=n))
+        want[rid] = generate_from_prefix(params, TINY, caches[i % 3], sfx, n,
+                                         spec, gen)[0]
+    pool = make_prefix_pool(TINY, spec, caches)
+    got, stats = serve_continuous_paged_spec(
+        params, TINY, pool, reqs, spec, gen, batch_slots=2, spec_decode_k=3,
+    )
+    assert got == want
+    assert stats["n_extends"] == 6 and stats["n_pool_pages"] == 3
+    assert stats["n_verify_dispatches"] >= 1
+
+
+def test_continuous_paged_spec_mid_wave_and_eos():
+    """Early EOS retires a paged slot mid-wave; the next request (a
+    DIFFERENT page) is admitted at a nonzero dispatch and stays exact."""
+    from sttm_tpu.runtime.serving import (
+        PagedRequest,
+        make_prefix_pool,
+        serve_continuous_paged_spec,
+    )
+
+    params = qwen2.init_params(TINY, jax.random.key(0))
+    rng = np.random.default_rng(13)
+    spec = _spec()
+    sys_len, s_sfx = 4, 16
+    caches = []
+    for _ in range(2):
+        emb = np.zeros((1, S_FULL, TINY.hidden_size), np.float32)
+        emb[0, : sys_len + NV] = rng.normal(
+            size=(sys_len + NV, TINY.hidden_size)) * 0.2
+        caches.append(prefix_prefill(
+            params, TINY, jnp.asarray(emb), sys_len + NV, sys_len, spec))
+    probe = GenerateConfig(max_new_tokens=9, eos_token_ids=())
+    reqs, plain = [], {}
+    for i in range(4):
+        n = 6 + (i % 3)
+        sfx = np.zeros((1, s_sfx, TINY.hidden_size), np.float32)
+        sfx[0, :n] = rng.normal(size=(n, TINY.hidden_size)) * 0.2
+        sfx = jnp.asarray(sfx)
+        reqs.append(PagedRequest(rid=f"q{i}", page=i % 2, suffix_embeds=sfx,
+                                 suffix_valid=n))
+        plain[f"q{i}"] = generate_from_prefix(
+            params, TINY, caches[i % 2], sfx, n, spec, probe)[0]
+    eos = plain["q0"][2]
+    gen = GenerateConfig(max_new_tokens=9, eos_token_ids=(eos,))
+    want = {r.rid: generate_from_prefix(
+        params, TINY, caches[r.page], r.suffix_embeds, r.suffix_valid, spec,
+        gen)[0] for r in reqs}
+    pool = make_prefix_pool(TINY, spec, caches)
+    got, _ = serve_continuous_paged_spec(
+        params, TINY, pool, reqs, spec, gen, batch_slots=2, spec_decode_k=3,
+    )
+    assert got == want
+
+
 def test_continuous_spec_prefix_requests():
     """PrefixRequest admission (suffix extension) through the spec pool:
     questions of two videos interleave, zero in-pool prefills, exact."""
