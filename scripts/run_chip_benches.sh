@@ -1,0 +1,15 @@
+#!/usr/bin/env bash
+# Run all pending real-chip measurements in sequence (serving levers, paged
+# pool, headline). Each step is bounded; failures don't block later steps.
+# Usage: bash scripts/run_chip_benches.sh
+set -u
+cd "$(dirname "$0")/.."
+
+echo "== serving levers (prefix/cascade/spec-batched) -> BENCH_SERVING.json"
+timeout 3000 python scripts/bench_serving.py || echo "bench_serving FAILED"
+
+echo "== paged pool -> BENCH_PAGED.json"
+timeout 2400 python scripts/bench_paged.py || echo "bench_paged FAILED"
+
+echo "== headline -> stdout JSON line"
+timeout 1800 python bench.py || echo "bench FAILED"
