@@ -89,7 +89,7 @@ def main():
     pool = make_prefix_pool(cfg, spec, [pc] * max_pages)
     jax.block_until_ready(pool.pos_base)
     admit = build_paged_admit(cfg, spec, s_sfx, cfg.num_kv_heads)
-    tail = _cascade_tail_like(pool, b, s_sfx)
+    tail = _cascade_tail_like(pool, b, s_sfx, dtype=cfg.dtype)
     sfx = jnp.asarray(0.02 * rng.normal(size=(1, s_sfx, d)), cfg.dtype)
 
     lg, tail = admit(params, pool, jnp.int32(0), tail, sfx,
@@ -127,7 +127,7 @@ def main():
     for n_pages in pages_list:
         pool_p = make_prefix_pool(cfg, spec, [pc] * n_pages)
         jax.block_until_ready(pool_p.pos_base)
-        tail = _cascade_tail_like(pool_p, b, s_sfx)
+        tail = _cascade_tail_like(pool_p, b, s_sfx, dtype=cfg.dtype)
         for i in range(b):
             _, tail = admit(params, pool_p, jnp.int32(i % n_pages), tail, sfx,
                             jnp.int32(s_sfx // 2), jnp.int32(i))

@@ -768,7 +768,7 @@ def cascade_verify_layers(
 
 
 def paged_cascade_attention(q, pks, pvs, pfx_lens, page, sk, sv, sfx_mask,
-                            cfg: DecoderConfig):
+                            cfg: DecoderConfig, ksc=None, vsc=None):
     """cascade_attention generalized to a PAGED prefix pool: ``pks``/``pvs``
     hold P distinct read-only prefixes ([P, S_p, KV, hd]) and row r attends
     to page ``page[r]``. An inner scan visits each page ONCE per step (HBM
@@ -780,7 +780,10 @@ def paged_cascade_attention(q, pks, pvs, pfx_lens, page, sk, sv, sfx_mask,
     with that row's page as the shared prefix.
 
     q: [B, 1, H, hd]; pfx_lens: [P] per-page valid lengths; page: [B] int32;
-    sk/sv/sfx_mask as in cascade_attention."""
+    sk/sv/sfx_mask as in cascade_attention. ``ksc``/``vsc`` ([P, S_p, KV],
+    int8 pools) dequantize by scaling the score/prob matrices — the
+    int8->f32 operand convert fuses into the dot, so the page HBM read
+    stays int8."""
     b = q.shape[0]
     kvh, hd = cfg.num_kv_heads, cfg.head_dim
     g = cfg.num_heads // kvh
@@ -788,20 +791,29 @@ def paged_cascade_attention(q, pks, pvs, pfx_lens, page, sk, sv, sfx_mask,
     scale = hd**-0.5
     kpos = jnp.arange(pks.shape[1])
     n_pages = pks.shape[0]
+    int8 = ksc is not None
 
     def page_body(carry, inp):
-        pk, pv, plen, pidx = inp
+        if int8:
+            pk, pv, plen, pidx, kc, vc = inp
+            pk = pk.astype(jnp.float32)
+            pv = pv.astype(jnp.float32)
+        else:
+            pk, pv, plen, pidx = inp
         sp = jnp.einsum(
             "bkgd,skd->bkgs", qh, pk,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         ) * scale
+        if int8:  # kc: [S_p, KV] -> broadcast over (B, G)
+            sp = sp * kc.T[None, :, None, :]
         sp = jnp.where((kpos < plen)[None, None, None, :], sp, -1e30)
         mp = jnp.max(sp, -1)  # [B, KV, G]
         ep = jnp.exp(sp - mp[..., None])
         lp = jnp.sum(ep, -1)
+        ev = ep * vc.T[None, :, None, :] if int8 else ep
         op = jnp.einsum(
-            "bkgs,skd->bkgd", ep, pv,
+            "bkgs,skd->bkgd", ev, pv,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
@@ -818,9 +830,10 @@ def paged_cascade_attention(q, pks, pvs, pfx_lens, page, sk, sv, sfx_mask,
         jnp.zeros((b, kvh, g), jnp.float32),
         jnp.zeros((b, kvh, g, hd), jnp.float32),
     )
-    (mp, lp, op), _ = jax.lax.scan(
-        page_body, init, (pks, pvs, pfx_lens, jnp.arange(n_pages, dtype=jnp.int32))
-    )
+    xs = (pks, pvs, pfx_lens, jnp.arange(n_pages, dtype=jnp.int32))
+    if int8:
+        xs = xs + (ksc, vsc)
+    (mp, lp, op), _ = jax.lax.scan(page_body, init, xs)
 
     skr = sk.reshape(-1, b, kvh, hd)
     svr = sv.reshape(-1, b, kvh, hd)
@@ -866,14 +879,17 @@ def paged_cascade_decode_layers(
     tail_start: int,
     cfg: DecoderConfig,
     tail_min=None,
+    k_scales=None,
+    v_scales=None,
 ):
     """cascade_decode_layers over a paged prefix pool (continuous batching x
     cascade): pool_k_all/pool_v_all [Lg, P, S_p, KV, hd] hold P distinct
     videos' prefixes once each; row r reads page ``page[r]``
     (paged_cascade_attention). ``tail_min`` [B] (optional) hides decode-tail
     slots written before a row's admission step — the previous occupant's
-    K/V in the shared slot ring (runtime/serving.py semantics). Returns
-    (x, sfx_k_all, sfx_v_all)."""
+    K/V in the shared slot ring (runtime/serving.py semantics).
+    ``k_scales``/``v_scales`` [Lg, P, S_p, KV]: int8-pool dequant scales.
+    Returns (x, sfx_k_all, sfx_v_all)."""
     if hi <= lo:
         return x, sfx_k_all, sfx_v_all
     b = x.shape[0]
@@ -902,8 +918,13 @@ def paged_cascade_decode_layers(
         sv = jax.lax.dynamic_index_in_dim(sv_all, li, 0, keepdims=False)
         pks = jax.lax.dynamic_index_in_dim(pool_k_all, li, 0, keepdims=False)
         pvs = jax.lax.dynamic_index_in_dim(pool_v_all, li, 0, keepdims=False)
+        ksc = vsc = None
+        if k_scales is not None:
+            ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
+            vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
         o = paged_cascade_attention(
-            q, pks, pvs, pfx_lens, page, sk[0], sv[0], sfx_mask, cfg
+            q, pks, pvs, pfx_lens, page, sk[0], sv[0], sfx_mask, cfg,
+            ksc=ksc, vsc=vsc,
         )
         y = y + _mat(o.reshape(b, 1, cfg.q_dim), lp["wo"], cfg.act_quant)
         h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
@@ -920,12 +941,14 @@ def paged_cascade_decode_layers(
 
 
 def paged_cascade_verify_attention(q, pks, pvs, pfx_lens, page, sk, sv,
-                                   base_mask, write_slot, cfg: DecoderConfig):
+                                   base_mask, write_slot, cfg: DecoderConfig,
+                                   ksc=None, vsc=None):
     """Multi-token verify over a PAGED prefix pool: the page-scan of
     paged_cascade_attention (each page read once, rows keep their own
     page's stats) combined with the verify-window causality of
     cascade_verify_attention. q: [B, s, H, hd]; pks/pvs: [P, S_p, KV, hd];
-    pfx_lens: [P]; page: [B]; base_mask: [B, S_s]."""
+    pfx_lens: [P]; page: [B]; base_mask: [B, S_s]; ksc/vsc: int8-pool
+    dequant scales [P, S_p, KV] (see paged_cascade_attention)."""
     b, s = q.shape[:2]
     kvh, hd = cfg.num_kv_heads, cfg.head_dim
     g = cfg.num_heads // kvh
@@ -933,20 +956,29 @@ def paged_cascade_verify_attention(q, pks, pvs, pfx_lens, page, sk, sv,
     scale = hd**-0.5
     kpos_p = jnp.arange(pks.shape[1])
     n_pages = pks.shape[0]
+    int8 = ksc is not None
 
     def page_body(carry, inp):
-        pk, pv, plen, pidx = inp
+        if int8:
+            pk, pv, plen, pidx, kc, vc = inp
+            pk = pk.astype(jnp.float32)
+            pv = pv.astype(jnp.float32)
+        else:
+            pk, pv, plen, pidx = inp
         sp = jnp.einsum(
             "bskgd,tkd->bkgst", qh, pk,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         ) * scale
+        if int8:  # kc: [S_p, KV] -> broadcast over (B, G, s)
+            sp = sp * kc.T[None, :, None, None, :]
         sp = jnp.where((kpos_p < plen)[None, None, None, None, :], sp, -1e30)
         mp = jnp.max(sp, -1)  # [B, KV, G, s]
         ep = jnp.exp(sp - mp[..., None])
         lp = jnp.sum(ep, -1)
+        ev = ep * vc.T[None, :, None, None, :] if int8 else ep
         op = jnp.einsum(
-            "bkgst,tkd->bkgsd", ep, pv,
+            "bkgst,tkd->bkgsd", ev, pv,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
@@ -963,10 +995,10 @@ def paged_cascade_verify_attention(q, pks, pvs, pfx_lens, page, sk, sv,
         jnp.zeros((b, kvh, g, s), jnp.float32),
         jnp.zeros((b, kvh, g, s, hd), jnp.float32),
     )
-    (mp, lp, op), _ = jax.lax.scan(
-        page_body, init,
-        (pks, pvs, pfx_lens, jnp.arange(n_pages, dtype=jnp.int32)),
-    )
+    xs = (pks, pvs, pfx_lens, jnp.arange(n_pages, dtype=jnp.int32))
+    if int8:
+        xs = xs + (ksc, vsc)
+    (mp, lp, op), _ = jax.lax.scan(page_body, init, xs)
 
     skr = sk.reshape(-1, b, kvh, hd)
     svr = sv.reshape(-1, b, kvh, hd)
@@ -1017,9 +1049,12 @@ def paged_cascade_verify_layers(
     step_idx,
     tail_start: int,
     cfg: DecoderConfig,
+    k_scales=None,
+    v_scales=None,
 ):
     """cascade_verify_layers over a paged prefix pool: x [B, s, D] scores s
     candidates per row against (its pool page, its head-packed suffix tail).
+    ``k_scales``/``v_scales``: int8-pool dequant scales [Lg, P, S_p, KV].
     Returns (x, sfx_k_all, sfx_v_all)."""
     if hi <= lo:
         return x, sfx_k_all, sfx_v_all
@@ -1041,9 +1076,13 @@ def paged_cascade_verify_layers(
         sv = jax.lax.dynamic_index_in_dim(sv_all, li, 0, keepdims=False)
         pks = jax.lax.dynamic_index_in_dim(pool_k_all, li, 0, keepdims=False)
         pvs = jax.lax.dynamic_index_in_dim(pool_v_all, li, 0, keepdims=False)
+        ksc = vsc = None
+        if k_scales is not None:
+            ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
+            vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
         o = paged_cascade_verify_attention(
             q, pks, pvs, pfx_lens, page, sk[0], sv[0], base_mask, write_slot,
-            cfg,
+            cfg, ksc=ksc, vsc=vsc,
         )
         y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], cfg.act_quant)
         h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
@@ -1074,6 +1113,8 @@ def paged_extend_layers(
     sfx_v_all: jnp.ndarray,
     slot,
     cfg: DecoderConfig,
+    k_scales=None,
+    v_scales=None,
 ):
     """Prefix-pool admission: run ONE request's ``s_sfx`` suffix tokens
     (x [1, s, D]) against pool page ``pidx`` and write their K/V straight
@@ -1082,7 +1123,8 @@ def paged_extend_layers(
     XLA fuses the gather into the consuming matmuls, see CLAUDE.md). Suffix
     token j attends to the page's ``pfx_len`` prefix keys plus suffix keys
     [0, j] (causal), combined with the exact online-softmax identity — the
-    same visibility build_extend gives the flat path. Returns
+    same visibility build_extend gives the flat path. ``k_scales``/
+    ``v_scales``: int8-pool dequant scales [Lg, P, S_p, KV]. Returns
     (x, sfx_k_all, sfx_v_all)."""
     if hi <= lo:
         return x, sfx_k_all, sfx_v_all
@@ -1092,20 +1134,27 @@ def paged_extend_layers(
     scale = hd**-0.5
     kpos_p = jnp.arange(pool_k_all.shape[2])
     causal = jnp.arange(s)[:, None] >= jnp.arange(s)[None, :]  # [s_q, s_k]
+    int8 = k_scales is not None
 
-    def attn(q, pk, pv, kn, vn):
+    def attn(q, pk, pv, kn, vn, kc, vc):
         qh = q[0].reshape(s, kvh, g, hd)
+        if int8:
+            pk = pk.astype(jnp.float32)
+            pv = pv.astype(jnp.float32)
         sp = jnp.einsum(
             "skgd,tkd->skgt", qh, pk,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         ) * scale
+        if int8:  # kc: [S_p, KV] -> broadcast over (s, G)
+            sp = sp * kc.T[None, :, None, :]
         sp = jnp.where((kpos_p < pfx_len)[None, None, None, :], sp, -1e30)
         mp = jnp.max(sp, -1)
         ep = jnp.exp(sp - mp[..., None])
         lp = jnp.sum(ep, -1)
+        ev = ep * vc.T[None, :, None, :] if int8 else ep
         op = jnp.einsum(
-            "skgt,tkd->skgd", ep, pv,
+            "skgt,tkd->skgd", ev, pv,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
@@ -1151,7 +1200,15 @@ def paged_extend_layers(
             pool_v_all, (li, pidx, 0, 0, 0),
             (1, 1) + pool_v_all.shape[2:],
         )[0, 0]
-        o = attn(q, pk, pv, k, v)
+        kc = vc = None
+        if int8:
+            kc = jax.lax.dynamic_slice(
+                k_scales, (li, pidx, 0, 0), (1, 1) + k_scales.shape[2:]
+            )[0, 0]
+            vc = jax.lax.dynamic_slice(
+                v_scales, (li, pidx, 0, 0), (1, 1) + v_scales.shape[2:]
+            )[0, 0]
+        o = attn(q, pk, pv, k, v, kc, vc)
         y = y + _mat(o.reshape(1, s, cfg.q_dim), lp_["wo"], cfg.act_quant)
         h = rms_norm(y, lp_["ln2"], cfg.rms_eps, cfg.rms_offset)
         y = y + mlp_block(lp_, h, cfg)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -526,14 +527,17 @@ class CascadeTail:
     pos_base: jnp.ndarray  # [B] per-row decode position bases
 
 
-def _cascade_tail_like(row, b: int, s_sfx: int) -> CascadeTail:
+def _cascade_tail_like(row, b: int, s_sfx: int, dtype=None) -> CascadeTail:
     """Empty cascade tail buffers shaped from one extension row's cache
     (or from a PrefixPool — pool leaves [Lg, P, S, KV, hd] share the
-    KV-head/head-dim geometry the tail needs)."""
+    KV-head/head-dim geometry the tail needs). Pass ``dtype`` (cfg.dtype)
+    when shaping from an int8 pool: only the read-only pages are quantized;
+    the mutable suffix/decode tail stays in compute precision."""
 
     def zf(x):
         lg, kv, hd = x.shape[0], x.shape[3], x.shape[4]
-        return jnp.zeros((lg, 1, s_sfx + MAX_DECODE, b * kv, hd), x.dtype)
+        dt = dtype if (dtype is not None and x.dtype == jnp.int8) else x.dtype
+        return jnp.zeros((lg, 1, s_sfx + MAX_DECODE, b * kv, hd), dt)
 
     return CascadeTail(
         sfx_ks=tuple(zf(k) for k in row.ks),
@@ -659,38 +663,75 @@ class PrefixPool:
     vs: tuple
     lens: tuple  # per group: [P] packed prefix lengths
     pos_base: jnp.ndarray  # [P]
+    # int8 pools only (build_prefix_pool(int8=True)): per-(position, head)
+    # dequant scales, [Lg, P, S_main, KV] fp32 per group. None = bf16 pool.
+    k_scales: Any = None
+    v_scales: Any = None
 
 
 @functools.lru_cache(maxsize=8)
-def build_prefix_pool(cfg: DecoderConfig, spec, pages: int):
+def build_prefix_pool(cfg: DecoderConfig, spec, pages: int, int8: bool = False):
     """Cached builders for a PrefixPool. Returns (init_pool, insert_page):
     init_pool(cache) makes an all-zero P-page pool shaped from one
     prefix_prefill cache (its MAX_DECODE tail trimmed — pages are read-only);
     insert_page(pool, cache, p) (jitted, pool donated) copies one video's
     prefix cache into page ``p``. Callers insert pages one at a time and drop
     each source cache before the next insert, so peak HBM stays ~one page
-    above the pool."""
+    above the pool.
+
+    ``int8=True`` quantizes each page's K/V at insert to int8 with
+    per-(position, KV-head) symmetric scales: the pool is read-only, so
+    quantization is one-time. Pool HBM and per-step prefix read traffic
+    halve vs bf16 (2x the page capacity per chip); attention dequantizes by
+    scaling the score/prob matrices — the int8->f32 convert fuses into the
+    dot operand read, so the HBM read stays int8
+    (qwen2.paged_cascade_attention). Bounded approximation (like the w8a8
+    weight path): |error| <= scale/2 per element."""
 
     def init_pool(cache) -> PrefixPool:
         def zp(x):
             lg, _, s, kv, hd = x.shape
-            return jnp.zeros((lg, pages, s - MAX_DECODE, kv, hd), x.dtype)
+            return jnp.zeros(
+                (lg, pages, s - MAX_DECODE, kv, hd),
+                jnp.int8 if int8 else x.dtype,
+            )
+
+        def zs(x):
+            lg, _, s, kv, _ = x.shape
+            return jnp.zeros((lg, pages, s - MAX_DECODE, kv), jnp.float32)
 
         return PrefixPool(
             ks=tuple(zp(k) for k in cache.ks),
             vs=tuple(zp(v) for v in cache.vs),
             lens=tuple(jnp.zeros((pages,), jnp.int32) for _ in cache.ks),
             pos_base=jnp.zeros((pages,), jnp.int32),
+            k_scales=tuple(zs(k) for k in cache.ks) if int8 else None,
+            v_scales=tuple(zs(v) for v in cache.vs) if int8 else None,
         )
+
+    def _quant(x):
+        scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+        scale = jnp.maximum(scale, 1e-8)
+        q = jnp.round(x.astype(jnp.float32) / scale[..., None])
+        return q.astype(jnp.int8), scale
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def insert_page(pool: PrefixPool, cache, p) -> PrefixPool:
         new_ks, new_vs, new_lens = [], [], []
+        new_kscales, new_vscales = [], []
         for gi in range(len(pool.ks)):
             s_main = pool.ks[gi].shape[2]
             ksl = jax.lax.slice_in_dim(cache.ks[gi], 0, s_main, axis=2)
             vsl = jax.lax.slice_in_dim(cache.vs[gi], 0, s_main, axis=2)
             at = (0, p, 0, 0, 0)
+            if int8:
+                ksl, ksc = _quant(ksl)
+                vsl, vsc = _quant(vsl)
+                sat = (0, p, 0, 0)
+                new_kscales.append(jax.lax.dynamic_update_slice(
+                    pool.k_scales[gi], ksc, sat))
+                new_vscales.append(jax.lax.dynamic_update_slice(
+                    pool.v_scales[gi], vsc, sat))
             new_ks.append(jax.lax.dynamic_update_slice(pool.ks[gi], ksl, at))
             new_vs.append(jax.lax.dynamic_update_slice(pool.vs[gi], vsl, at))
             new_lens.append(jax.lax.dynamic_update_index_in_dim(
@@ -701,6 +742,8 @@ def build_prefix_pool(cfg: DecoderConfig, spec, pages: int):
             pos_base=jax.lax.dynamic_update_index_in_dim(
                 pool.pos_base, jnp.asarray(cache.pos_base, jnp.int32), p, 0
             ),
+            k_scales=tuple(new_kscales) if int8 else None,
+            v_scales=tuple(new_vscales) if int8 else None,
         )
 
     return init_pool, insert_page
@@ -737,6 +780,8 @@ def build_paged_admit(cfg: DecoderConfig, spec, s_sfx: int, kvh: int):
             x, sk, sv = qwen2.paged_extend_layers(
                 layers, lo, hi, x, cos, sin, pool.ks[gi], pool.vs[gi],
                 pool.lens[gi][p], p, tail.sfx_ks[gi], tail.sfx_vs[gi], i, cfg,
+                k_scales=None if pool.k_scales is None else pool.k_scales[gi],
+                v_scales=None if pool.v_scales is None else pool.v_scales[gi],
             )
             new_ks.append(sk)
             new_vs.append(sv)
@@ -798,6 +843,8 @@ def build_paged_decode_chunk(
                 pool.ks[gi], pool.vs[gi], pool.lens[gi], page,
                 tail.sfx_ks[gi], tail.sfx_vs[gi], tail.sfx_lens,
                 step, tail_start, cfg, tail_min=admit_step,
+                k_scales=None if pool.k_scales is None else pool.k_scales[gi],
+                v_scales=None if pool.v_scales is None else pool.v_scales[gi],
             )
             new_ks.append(sk)
             new_vs.append(sv)
@@ -1239,7 +1286,8 @@ def build_paged_verify_chunk(
     def make_tail(pool, b: int) -> CascadeTail:
         def zf(x):
             lg, kv, hd = x.shape[0], x.shape[3], x.shape[4]
-            return jnp.zeros((lg, 1, s_sfx + tail_slots, b * kv, hd), x.dtype)
+            dt = cfg.dtype if x.dtype == jnp.int8 else x.dtype
+            return jnp.zeros((lg, 1, s_sfx + tail_slots, b * kv, hd), dt)
 
         return CascadeTail(
             sfx_ks=tuple(zf(kk) for kk in pool.ks),
@@ -1279,6 +1327,8 @@ def build_paged_verify_chunk(
                 layers, lo, hi, x, cos, sin, pool.ks[gi], pool.vs[gi],
                 pool.lens[gi], page, tail.sfx_ks[gi], tail.sfx_vs[gi],
                 base, step_idx, s_sfx, cfg,
+                k_scales=None if pool.k_scales is None else pool.k_scales[gi],
+                v_scales=None if pool.v_scales is None else pool.v_scales[gi],
             )
             new_ks.append(sk)
             new_vs.append(sv)

@@ -539,16 +539,19 @@ class PagedRequest:
     suffix_valid: int
 
 
-def make_prefix_pool(cfg: DecoderConfig, spec, prefix_caches: list) -> PrefixPool:
+def make_prefix_pool(cfg: DecoderConfig, spec, prefix_caches: list,
+                     int8: bool = False) -> PrefixPool:
     """Stack per-video prefix caches (prefix_prefill) into a PrefixPool.
     OWNERSHIP TRANSFER: the list is consumed in place (entries become None
     as each page is inserted), so with no other references held by the
     caller, peak HBM stays ~one source cache above the pool instead of
     pool + all P sources (~2x). Callers that want to keep a source cache
-    must copy the list reference-wise before calling."""
+    must copy the list reference-wise before calling. ``int8=True``
+    quantizes pages at insert (half the pool HBM and prefix read traffic,
+    2x page capacity; bounded approximation — build_prefix_pool)."""
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     n = len(prefix_caches)
-    init_pool, insert_page = build_prefix_pool(cfg, spec_key, n)
+    init_pool, insert_page = build_prefix_pool(cfg, spec_key, n, int8=int8)
     pool = init_pool(prefix_caches[0])
     for p in range(n):
         pool = insert_page(pool, prefix_caches[p], jnp.int32(p))
@@ -608,7 +611,7 @@ def serve_continuous_paged(
     slot_ids: list = [None] * b
     admit_step = np.zeros(b, np.int32)
     page = np.zeros(b, np.int32)
-    tail = _cascade_tail_like(pool, b, s_sfx)
+    tail = _cascade_tail_like(pool, b, s_sfx, dtype=cfg.dtype)
     token = jnp.zeros((b,), jnp.int32)
     done = jnp.ones((b,), bool)
     step = 0

@@ -141,6 +141,43 @@ def test_paged_pool_mrope_matches_per_sample():
     assert got == want
 
 
+def test_paged_pool_int8_bounded():
+    """int8 prefix pool (make_prefix_pool(int8=True)): pages are quantized
+    once with per-(position, head) scales — half the pool HBM and prefix
+    read traffic. Outputs are a bounded approximation of the bf16 pool:
+    the serving loop must run end to end, buffers must actually be int8,
+    and greedy tokens should overwhelmingly agree with the exact path on
+    well-separated logits."""
+    import jax.numpy as jnp2
+
+    params, caches, reqs = _setup(2, 4, seed=9)
+    gen = GenerateConfig(max_new_tokens=7, eos_token_ids=())
+    want = _per_sample(params, caches, reqs, gen)
+    pool = make_prefix_pool(TINY, SPEC, list(caches), int8=True)
+    assert all(k.dtype == jnp2.int8 for k in pool.ks)
+    assert pool.k_scales is not None and pool.k_scales[0].dtype == jnp2.float32
+    got, stats = serve_continuous_paged(
+        params, TINY, pool, reqs, SPEC, gen, batch_slots=2,
+        decode_chunk_size=3,
+    )
+    assert stats["n_extends"] == 4
+    total = agree = 0
+    for rid, ids in got.items():
+        for a, b_ in zip(ids, want[rid]):
+            total += 1
+            agree += a == b_
+    assert agree / total >= 0.8, f"int8 pool token agreement {agree}/{total}"
+
+    # spec pool over the int8 pages also runs (verify dispatches dequant)
+    from sttm_tpu.runtime.serving import serve_continuous_paged_spec
+
+    got2, stats2 = serve_continuous_paged_spec(
+        params, TINY, pool, reqs, SPEC, gen, batch_slots=2, spec_decode_k=3,
+    )
+    assert stats2["n_extends"] == 4
+    assert got2 == got  # decode and verify dequantize identically (greedy)
+
+
 def test_paged_single_page_matches_cascade_semantics():
     """P=1 degenerates to the plain cascade layout (one shared prefix);
     single slot degenerates further to sequential — both stay exact."""
