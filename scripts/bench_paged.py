@@ -121,46 +121,50 @@ def main():
     results["flat_extend_s"] = flat_extend_s
     print(f"flat extend: {flat_extend_s*1e3:.2f} ms", flush=True)
 
-    # -- 2. pool decode ms/step at B slots over P pages --------------------
+    # -- 2. pool decode ms/step at B slots over P pages, bf16 vs int8 ------
     decode_chunk = build_paged_decode_chunk(cfg, spec, 8, (), cfg.num_kv_heads)
     results["decode"] = {}
     for n_pages in pages_list:
-        pool_p = make_prefix_pool(cfg, spec, [pc] * n_pages)
-        jax.block_until_ready(pool_p.pos_base)
-        tail = _cascade_tail_like(pool_p, b, s_sfx, dtype=cfg.dtype)
-        for i in range(b):
-            _, tail = admit(params, pool_p, jnp.int32(i % n_pages), tail, sfx,
-                            jnp.int32(s_sfx // 2), jnp.int32(i))
-        page = jnp.asarray([i % n_pages for i in range(b)], jnp.int32)
-        token = jnp.zeros((b,), jnp.int32)
-        done0 = jnp.zeros((b,), bool)
-        astep = jnp.zeros((b,), jnp.int32)
-        # warm
-        token_w, tail, done, buf, n_run = decode_chunk(
-            params, token, tail, pool_p, page, jnp.int32(0), done0,
-            jnp.int32(8), astep,
-        )
-        np.asarray(buf)
-        t0 = time.perf_counter()
-        steps = 0
-        s0 = 8
-        while steps < n_dec:
+        entry = {}
+        for mode, int8 in (("bf16", False), ("int8", True)):
+            pool_p = make_prefix_pool(cfg, spec, [pc] * n_pages, int8=int8)
+            jax.block_until_ready(pool_p.pos_base)
+            tail = _cascade_tail_like(pool_p, b, s_sfx, dtype=cfg.dtype)
+            for i in range(b):
+                _, tail = admit(params, pool_p, jnp.int32(i % n_pages), tail,
+                                sfx, jnp.int32(s_sfx // 2), jnp.int32(i))
+            page = jnp.asarray([i % n_pages for i in range(b)], jnp.int32)
+            token = jnp.zeros((b,), jnp.int32)
+            done0 = jnp.zeros((b,), bool)
+            astep = jnp.zeros((b,), jnp.int32)
+            # warm
             token_w, tail, done, buf, n_run = decode_chunk(
-                params, token_w, tail, pool_p, page, jnp.int32(s0), done0,
+                params, token, tail, pool_p, page, jnp.int32(0), done0,
                 jnp.int32(8), astep,
             )
             np.asarray(buf)
-            steps += 8
-            s0 += 8
-        dt = time.perf_counter() - t0
-        ms = 1e3 * dt / steps
-        results["decode"][str(n_pages)] = {
-            "ms_per_step": ms,
-            "tok_per_s": b * 1e3 / ms,
-        }
-        print(f"P={n_pages} B={b}: {ms:.2f} ms/step "
-              f"({b*1e3/ms:.1f} tok/s)", flush=True)
-        del pool_p, tail
+            t0 = time.perf_counter()
+            steps = 0
+            s0 = 8
+            while steps < n_dec:
+                token_w, tail, done, buf, n_run = decode_chunk(
+                    params, token_w, tail, pool_p, page, jnp.int32(s0), done0,
+                    jnp.int32(8), astep,
+                )
+                np.asarray(buf)
+                steps += 8
+                s0 += 8
+            dt = time.perf_counter() - t0
+            ms = 1e3 * dt / steps
+            entry[mode] = {"ms_per_step": ms, "tok_per_s": b * 1e3 / ms}
+            print(f"P={n_pages} B={b} {mode}: {ms:.2f} ms/step "
+                  f"({b*1e3/ms:.1f} tok/s)", flush=True)
+            del pool_p, tail
+        if all("ms_per_step" in entry[m] for m in ("bf16", "int8")):
+            entry["int8_speedup"] = (
+                entry["bf16"]["ms_per_step"] / entry["int8"]["ms_per_step"]
+            )
+        results["decode"][str(n_pages)] = entry
 
     out = "BENCH_PAGED_TINY.json" if args.tiny else "BENCH_PAGED.json"
     with open(out, "w") as fp:
