@@ -37,6 +37,12 @@ def summarize_runtime(rows: list[dict], group_field: str | None = None) -> dict:
         "num_dec_token": _mean(rows, "num_dec_token"),
         "all": _mean(rows, "all"),
     }
+    # speculative decoding (--spec_decode_k): pooled draft-acceptance rate
+    drafted = sum(r.get("spec_drafted", 0) for r in rows)
+    if drafted:
+        summary["spec_accept_rate"] = (
+            sum(r.get("spec_accepted", 0) for r in rows) / drafted
+        )
     if group_field:
         groups = sorted({r.get(group_field) for r in rows if group_field in r}, key=str)
         summary["per_group"] = {

@@ -106,8 +106,13 @@ def test_eval_end_to_end_with_resume(tmp_path, synthetic_benchmark):
 
     summary = summarize_runtime(rts)
     assert summary["n"] == 3 and summary["ttft_llm"] > 0
+    assert "spec_accept_rate" not in summary  # no speculative rows here
     ps = summarize_prompt_stat(stats)
     assert 0 < ps["visual_merged_ratio"] <= 100
+
+    spec_rows = [{"spec_drafted": 10, "spec_accepted": 4},
+                 {"spec_drafted": 10, "spec_accepted": 2}]
+    assert summarize_runtime(spec_rows)["spec_accept_rate"] == 0.3
 
     name = run_name("tiny", "videomme", spec_factory(4, 3, 3), 4)
     assert "quadtree" in name and "thr-0.7" in name
