@@ -99,6 +99,19 @@ class EvalConfig:
     # whole group and (B-1) prefix copies of HBM are freed. Exact online-
     # softmax combine (math equals the flat path up to fp reassociation).
     prefix_cascade: bool = False
+    # With prefix_cache: pool up to this many VIDEOS' prefix caches into one
+    # paged pool (runtime/serving.py serve_continuous_paged) and run ALL
+    # their questions through one continuous pool of batch_size slots —
+    # each video's prefix prefilled once, resident once, read once per
+    # decode step; questions of different videos interleave. Composes with
+    # spec_decode_k (serve_continuous_paged_spec). Videos cluster by
+    # compile key (same spec + unified buffer shapes); mutually exclusive
+    # with prefix_cascade (the pool IS the cascade layout, paged). 0 = off.
+    prefix_pool: int = 0
+    # With prefix_pool: store pool pages as int8 (half the pool HBM and
+    # prefix read traffic, 2x resident videos per chip; bounded
+    # approximation — runtime/generate.py build_prefix_pool).
+    pool_int8: bool = False
 
 
 def _prefix_compatible(spec) -> bool:
@@ -220,13 +233,16 @@ class Qwen2VLEvaluator:
             return None
         return (sample["vid"], tuple(ids[: int(pad_pos[-1]) + 1].tolist()))
 
-    def _prefix_plan(self, key, grp, cfg: EvalConfig):
+    def _prefix_plan(self, key, grp, cfg: EvalConfig, s_sfx_min: int = 0,
+                     s_full_min: int = 0):
         """Qwen2-VL prefix plan: scatter features over the video-pad run of
         the shared prefix, build M-RoPE positions for it, and embed each
         question's post-video tokens as the suffix. The extension's
         pos_base = max unmerged prefix position + 1 (prefix_prefill), which
         is exactly where get_rope_index puts post-video text
-        (modeling_qwen2vl.py:1452-1581), so positions match the full path."""
+        (modeling_qwen2vl.py:1452-1581), so positions match the full path.
+        ``s_sfx_min``/``s_full_min`` unify buffer shapes across videos of a
+        prefix-pool cluster (one compile key per pool)."""
         from ..models.qwen2vl import assemble_video_embeds, build_video_mrope_positions
         from ..runtime.generate import prefix_prefill
 
@@ -237,8 +253,11 @@ class Qwen2VLEvaluator:
         prefix_ids = np.asarray(key[1], np.int32)
         prefix_valid = len(prefix_ids)
         insts = [np.asarray(s["input_ids"]).reshape(-1)[prefix_valid:] for s in grp]
-        s_sfx = max(16, math.ceil(max(len(i) for i in insts) / 16) * 16)
-        s_full = math.ceil((prefix_valid + s_sfx) / cfg.pad_multiple) * cfg.pad_multiple
+        s_sfx = max(16, math.ceil(max(len(i) for i in insts) / 16) * 16, s_sfx_min)
+        s_full = max(
+            math.ceil((prefix_valid + s_sfx) / cfg.pad_multiple) * cfg.pad_multiple,
+            s_full_min,
+        )
         embeds, _, video_start, n_video = assemble_video_embeds(
             self.decoder_params, prefix_ids, jnp.asarray(grp[0]["feature"]), s_full
         )
@@ -265,6 +284,7 @@ class Qwen2VLEvaluator:
     # assigned below (share LlavaEvaluator's loops)
     evaluate = None
     _evaluate_prefix_cached = None
+    _evaluate_prefix_pooled = None
     _emit = None
     _sample_features = None
 
@@ -403,10 +423,13 @@ class LlavaEvaluator:
             return None
         return (sample["vid"], tuple(ids[: int(img_pos[0]) + 1].tolist()))
 
-    def _prefix_plan(self, key, grp, cfg: EvalConfig):
+    def _prefix_plan(self, key, grp, cfg: EvalConfig, s_sfx_min: int = 0,
+                     s_full_min: int = 0):
         """Build a group's prefix-prefill plan, or None to fall back to the
         per-sample path (e.g. FrameFusion specs, which merge layerwise and
-        have no question-independent prefix cache)."""
+        have no question-independent prefix cache). ``s_sfx_min``/
+        ``s_full_min`` unify buffer shapes across videos of a prefix-pool
+        cluster (one compile key per pool)."""
         from ..runtime.generate import prefix_prefill
 
         feats = self._sample_features(grp[0])
@@ -419,8 +442,11 @@ class LlavaEvaluator:
         n_video = feats.shape[0] * self.llava_cfg.tokens_per_frame()
         prefix_valid = sys_len + n_video
         insts = [np.asarray(s["input_ids"]).reshape(-1)[sys_len + 1 :] for s in grp]
-        s_sfx = max(16, math.ceil(max(len(i) for i in insts) / 16) * 16)
-        s_full = math.ceil((prefix_valid + s_sfx) / cfg.pad_multiple) * cfg.pad_multiple
+        s_sfx = max(16, math.ceil(max(len(i) for i in insts) / 16) * 16, s_sfx_min)
+        s_full = max(
+            math.ceil((prefix_valid + s_sfx) / cfg.pad_multiple) * cfg.pad_multiple,
+            s_full_min,
+        )
         embeds, _, video_start, _ = llava.build_multimodal_embeds(
             self.decoder_params, self.llava_cfg, self.mm_params,
             prefix_ids, feats, s_full,
@@ -616,6 +642,165 @@ class LlavaEvaluator:
                     first = False
                 self._emit(s, text, runtime, stat, pred_path, rt_path, stat_path)
 
+    def _evaluate_prefix_pooled(self, samples, cfg: EvalConfig, pred_path,
+                                rt_path, stat_path):
+        """Paged-pool serving over the eval set (--prefix_pool P): videos
+        sharing one compile key (same spec; buffer shapes unified via
+        _prefix_plan's s_sfx_min/s_full_min) are clustered into pools of up
+        to P pages, and ALL their questions run through ONE continuous
+        paged pool of batch_size slots (serve_continuous_paged, or
+        serve_continuous_paged_spec under spec_decode_k). Each video's
+        prefix is prefilled once, lives once in HBM (int8 under pool_int8),
+        and is read once per decode step however many slots reference it;
+        questions of different videos interleave mid-wave.
+
+        Timing semantics: prefix_prefill_time on each video's first row;
+        ttft_llm = that video's prefill amortized over its questions (the
+        true per-question prefill cost under pooling — admissions run
+        inside the pool); time_decoding = pool wall / questions."""
+        from collections import defaultdict
+
+        import jax
+
+        from ..runtime.serving import (
+            PagedRequest,
+            make_prefix_pool,
+            serve_continuous_paged,
+            serve_continuous_paged_spec,
+        )
+
+        groups: dict = defaultdict(list)
+        fallback = []
+        for s in samples:
+            key = self._prefix_key(s)
+            if key is None:
+                fallback.append(s)
+            else:
+                groups[key].append(s)
+        plans = {}
+        for key, grp in groups.items():
+            plan = self._prefix_plan(key, grp, cfg)
+            if plan is None:
+                fallback.extend(grp)
+            else:
+                plans[key] = plan
+
+        warmed: set = set()
+        for s in fallback:  # FrameFusion / videoless: per-sample path
+            k = self.compile_key(s, cfg)
+            if cfg.warmup and k not in warmed:
+                self.run_sample(s, cfg)
+                warmed.add(k)
+            self._emit(s, *self.run_sample(s, cfg), pred_path, rt_path, stat_path)
+
+        clusters: dict = defaultdict(list)
+        for key, plan in plans.items():
+            clusters[plan["spec"]].append(key)
+        gen = GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids)
+        for spec, keys in clusters.items():
+            s_sfx_u = max(plans[k]["s_sfx"] for k in keys)
+            s_full_u = max(
+                math.ceil((plans[k]["prefix_valid"] + s_sfx_u) / cfg.pad_multiple)
+                * cfg.pad_multiple
+                for k in keys
+            )
+            for c0 in range(0, len(keys), cfg.prefix_pool):
+                chunk_keys = keys[c0 : c0 + cfg.prefix_pool]
+                cplans = [
+                    self._prefix_plan(k, groups[k], cfg, s_sfx_min=s_sfx_u,
+                                      s_full_min=s_full_u)
+                    for k in chunk_keys
+                ]
+                caches, prefill_times, overflows, merged_bases = [], [], [], []
+                for pl in cplans:
+                    t0 = time.perf_counter()
+                    cache = jax.block_until_ready(pl["run_prefill"]())
+                    prefill_times.append(time.perf_counter() - t0)
+                    overflows.append(
+                        0 if cache.budget_overflow is None
+                        else int(cache.budget_overflow)
+                    )
+                    merged_bases.append(int(cache.lens[-1]))
+                    caches.append(cache)
+                pool = make_prefix_pool(
+                    self.decoder_cfg, spec, caches, int8=cfg.pool_int8
+                )
+                reqs, meta, histories = [], [], {}
+                for vi, (k, pl) in enumerate(zip(chunk_keys, cplans)):
+                    for s, inst in zip(groups[k], pl["insts"]):
+                        reqs.append(PagedRequest(
+                            rid=s["id"], page=vi,
+                            suffix_embeds=pl["suffix_embeds"](inst),
+                            suffix_valid=len(inst),
+                        ))
+                        histories[s["id"]] = [
+                            int(t) for t in np.asarray(s["input_ids"]).reshape(-1)
+                        ]
+                        meta.append((s, vi, len(inst), pl))
+
+                def serve():
+                    if cfg.spec_decode_k > 1:
+                        return serve_continuous_paged_spec(
+                            self.decoder_params, self.decoder_cfg, pool, reqs,
+                            spec, gen, batch_slots=max(cfg.batch_size, 1),
+                            spec_decode_k=cfg.spec_decode_k,
+                            histories=histories,
+                        )
+                    return serve_continuous_paged(
+                        self.decoder_params, self.decoder_cfg, pool, reqs,
+                        spec, gen, batch_slots=max(cfg.batch_size, 1),
+                        decode_chunk_size=max(cfg.decode_chunk_size, 1),
+                    )
+
+                wkey = ("prefix-pool", s_full_u, s_sfx_u, spec,
+                        len(chunk_keys), max(cfg.batch_size, 1),
+                        cfg.spec_decode_k, cfg.decode_chunk_size,
+                        cfg.pool_int8)
+                if cfg.warmup and wkey not in warmed:
+                    serve()  # pool is read-only; warm run compiles untimed
+                    warmed.add(wkey)
+                t0 = time.perf_counter()
+                results, stats = serve()
+                wall = time.perf_counter() - t0
+                nq = len(reqs)
+                first_rows: set = set()
+                for s, vi, inst_len, pl in meta:
+                    ids = results[s["id"]]
+                    text = self.tokenizer.decode(
+                        [t for t in ids if t not in cfg.eos_token_ids],
+                        skip_special_tokens=True,
+                    ).strip()
+                    merged_input = merged_bases[vi] + inst_len
+                    valid = pl["prefix_valid"] + inst_len
+                    stat = prompt_stat_ratios({
+                        "sys": pl["sys_len"], "video": pl["n_video"],
+                        "inst": inst_len,
+                        "merged_video": merged_input - (valid - pl["n_video"]),
+                        "merged_input": merged_input,
+                    })
+                    nq_v = len(groups[chunk_keys[vi]])
+                    runtime = {
+                        "ttft_llm": prefill_times[vi] / nq_v,
+                        "time_decoding": wall / nq,
+                        "num_dec_token": len(ids),
+                        "merged_len": merged_input,
+                        "full_len": valid,
+                        "budget_overflow": overflows[vi],
+                        "all": (wall + sum(prefill_times)) / nq,
+                        "batch_size": max(cfg.batch_size, 1),
+                        "prefix_cached": True,
+                        "pooled": True,
+                        "pool_pages": len(chunk_keys),
+                        "pool_int8": cfg.pool_int8,
+                        **{k2: stats[k2] for k2 in ("n_verify_dispatches",)
+                           if k2 in stats},
+                    }
+                    if vi not in first_rows:
+                        runtime["prefix_prefill_time"] = prefill_times[vi]
+                        first_rows.add(vi)
+                    self._emit(s, text, runtime, stat, pred_path, rt_path,
+                               stat_path)
+
     def _evaluate_batched(self, samples, cfg: EvalConfig, pred_path, rt_path, stat_path):
         """Head-packed batched serving over the eval set: samples grouped by
         compile key (identical padded length / spec), decoded together via
@@ -734,21 +919,33 @@ class LlavaEvaluator:
             and cfg.attn_sinks == 0
             and cfg.attn_window == 0
         )
-        prefix_ok = (
+        base_prefix_ok = (
             cfg.prefix_cache
-            and getattr(self, "_evaluate_prefix_cached", None) is not None
             and cfg.sp == 1
             and cfg.dycoke_decode is None
             and cfg.attn_sinks == 0
             and cfg.attn_window == 0
+            and cfg.frame_bucket == 0
+        )
+        pool_ok = (
+            base_prefix_ok
+            and cfg.prefix_pool > 0
+            and not cfg.prefix_cascade
+            and getattr(self, "_evaluate_prefix_pooled", None) is not None
+        )
+        prefix_ok = (
+            base_prefix_ok
+            and getattr(self, "_evaluate_prefix_cached", None) is not None
             # speculative decode composes with the batched prefix path
             # (flat or cascade layout)
             and (cfg.spec_decode_k <= 1 or cfg.batch_size > 1)
             # chunked decode composes with the batched prefix path only
             and (cfg.batch_size > 1 or cfg.decode_chunk_size == 1)
-            and cfg.frame_bucket == 0
         )
-        if prefix_ok:
+        if pool_ok:
+            self._evaluate_prefix_pooled(pending, cfg, pred_path, rt_path, stat_path)
+            pending = []
+        elif prefix_ok:
             self._evaluate_prefix_cached(pending, cfg, pred_path, rt_path, stat_path)
             pending = []
         elif batchable:
@@ -784,6 +981,7 @@ class LlavaEvaluator:
 Qwen2VLEvaluator.evaluate = LlavaEvaluator.evaluate
 Qwen2VLEvaluator._evaluate_prefix_cached = LlavaEvaluator._evaluate_prefix_cached
 Qwen2VLEvaluator._run_prefix_group_batched = LlavaEvaluator._run_prefix_group_batched
+Qwen2VLEvaluator._evaluate_prefix_pooled = LlavaEvaluator._evaluate_prefix_pooled
 Qwen2VLEvaluator._emit = LlavaEvaluator._emit
 Qwen2VLEvaluator._sample_features = LlavaEvaluator._sample_features
 

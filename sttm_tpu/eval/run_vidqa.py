@@ -119,6 +119,19 @@ def parse_args(argv=None):
                         "(decode reads it once per step for the whole group) "
                         "instead of a copy per batch slot; exact online-"
                         "softmax combine")
+    p.add_argument("--prefix_pool", type=int, default=0,
+                   help="with --prefix_cache: pool up to N videos' prefix "
+                        "caches into one paged pool and run ALL their "
+                        "questions through a continuous pool of batch_size "
+                        "slots (each prefix prefilled once, resident once, "
+                        "read once per decode step; questions of different "
+                        "videos interleave). Composes with --spec_decode_k; "
+                        "excludes --prefix_cascade (the pool IS the cascade "
+                        "layout, paged)")
+    p.add_argument("--pool_int8", action="store_true",
+                   help="with --prefix_pool: int8 pool pages (half the pool "
+                        "HBM and prefix read traffic, 2x resident videos; "
+                        "bounded approximation)")
     p.add_argument("--frame_bucket", type=int, default=0,
                    help="bucket frame counts to multiples of N (bounds jit "
                         "recompiles); exact for sa_start_layer_idx 0")
@@ -182,6 +195,8 @@ def _eval_config(args, name):
         sp=args.sp,
         prefix_cache=args.prefix_cache,
         prefix_cascade=args.prefix_cascade,
+        prefix_pool=args.prefix_pool,
+        pool_int8=args.pool_int8,
         pad_multiple=32 if args.smoke else 128,
         eos_token_ids=() if args.smoke else (151645, 151643),
     )
@@ -208,20 +223,31 @@ def main(argv=None):
                 "dycoke decode pruning / fastv (ranks by the last "
                 "instruction token, which the prefix doesn't contain)"
             )
-        if args.spec_decode_k > 1 and args.batch_size == 1:
+        # the paged pool serves through its own slot pool, so the batched-
+        # path requirements below only apply without --prefix_pool
+        if args.spec_decode_k > 1 and args.batch_size == 1 and args.prefix_pool == 0:
             raise SystemExit(
                 "--prefix_cache composes with --spec_decode_k only when "
-                "batched (--batch_size > 1)"
+                "batched (--batch_size > 1) or pooled (--prefix_pool)"
             )
-        if args.decode_chunk_size > 1 and args.batch_size == 1:
+        if args.decode_chunk_size > 1 and args.batch_size == 1 and args.prefix_pool == 0:
             raise SystemExit(
                 "--prefix_cache composes with --decode_chunk_size only "
-                "when batched (--batch_size > 1)"
+                "when batched (--batch_size > 1) or pooled (--prefix_pool)"
             )
     if args.prefix_cascade and not (args.prefix_cache and args.batch_size > 1):
         raise SystemExit(
             "--prefix_cascade requires --prefix_cache and --batch_size > 1"
         )
+    if args.prefix_pool > 0 and not args.prefix_cache:
+        raise SystemExit("--prefix_pool requires --prefix_cache")
+    if args.prefix_pool > 0 and args.prefix_cascade:
+        raise SystemExit(
+            "--prefix_pool excludes --prefix_cascade (the pool IS the "
+            "cascade layout, paged)"
+        )
+    if args.pool_int8 and args.prefix_pool == 0:
+        raise SystemExit("--pool_int8 requires --prefix_pool")
     if args.sp > 1:
         ok_patterns = {"origin", "quadtree", "tome", "dycoke-stage1", "octree"}
         if args.sa_pattern not in ok_patterns:

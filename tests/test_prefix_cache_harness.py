@@ -235,6 +235,86 @@ def test_prefix_cascade_matches_per_sample(tmp_path):
     assert rts["q0"]["batch_size"] == 2 and rts["q0"]["prefix_cached"]
 
 
+def test_prefix_pooled_matches_per_sample(tmp_path):
+    """--prefix_pool: videos pooled into one paged prefix pool, ALL
+    questions served through one continuous pool — answers must match
+    per-sample full prefill. vidA/vidC (4 frames) share a compile key and
+    pool together; vidB (5 frames, different spec) pools alone."""
+    anno_path, feat_dir, meta_dir, annos = _benchmark(tmp_path)
+    cfg = LlavaConfig(decoder=TINY, vision_hidden_size=16, vision_patches_per_side=6)
+    dec_params = qwen2.init_params(TINY, jax.random.key(0))
+    mm_params = llava.init_multimodal_params(cfg, jax.random.key(1))
+    tok = MockTokenizer()
+    dcfg = DataConfig("videomme", str(anno_path), str(feat_dir), str(meta_dir))
+
+    ev = LlavaEvaluator(dec_params, TINY, cfg, mm_params, tok, _spec_factory)
+    base = dict(dataset_name="videomme", max_new_tokens=4, pad_multiple=64,
+                attention_impl="xla", eos_token_ids=())
+    ecfg1 = EvalConfig(out_dir=str(tmp_path / "pper"), **base)
+    ev.evaluate(FeatureVidQADataset(dcfg, tok), ecfg1, gts=annos)
+    ecfg2 = EvalConfig(out_dir=str(tmp_path / "ppool"), prefix_cache=True,
+                       prefix_pool=2, batch_size=2, **base)
+    ev.evaluate(FeatureVidQADataset(dcfg, tok), ecfg2, gts=annos)
+
+    p1 = {r["question_id"]: r["answer"]
+          for r in read_jsonl(os.path.join(ecfg1.out_dir, "predictions.jsonl"))}
+    p2 = {r["question_id"]: r["answer"]
+          for r in read_jsonl(os.path.join(ecfg2.out_dir, "predictions.jsonl"))}
+    assert p1 == p2 and len(p2) == 5
+    rts = {r["question_id"]: r
+           for r in read_jsonl(os.path.join(ecfg2.out_dir, "runtime.jsonl"))}
+    # vidA (q0, q1) and vidC (q4) are both 4-frame -> one 2-page pool
+    assert rts["q0"]["pooled"] and rts["q0"]["pool_pages"] == 2
+    assert rts["q4"]["pooled"] and rts["q4"]["pool_pages"] == 2
+    # vidB (5 frames, its own spec) pools alone
+    assert rts["q2"]["pooled"] and rts["q2"]["pool_pages"] == 1
+    assert rts["q0"]["prefix_prefill_time"] > 0
+    assert "prefix_prefill_time" not in rts["q1"]
+
+    # spec decode through the pool: same answers again
+    ecfg3 = EvalConfig(out_dir=str(tmp_path / "ppools"), prefix_cache=True,
+                       prefix_pool=2, batch_size=2, spec_decode_k=3, **base)
+    ev.evaluate(FeatureVidQADataset(dcfg, tok), ecfg3, gts=annos)
+    p3 = {r["question_id"]: r["answer"]
+          for r in read_jsonl(os.path.join(ecfg3.out_dir, "predictions.jsonl"))}
+    assert p3 == p1
+    rts3 = {r["question_id"]: r
+            for r in read_jsonl(os.path.join(ecfg3.out_dir, "runtime.jsonl"))}
+    assert rts3["q0"]["n_verify_dispatches"] >= 1
+
+
+def test_cli_smoke_prefix_pool(tmp_path):
+    """--prefix_pool drives the CLI end to end; gates reject bad combos."""
+    import pytest
+
+    from sttm_tpu.eval.run_vidqa import main as cli_main
+
+    anno_path, feat_dir, meta_dir, _ = _benchmark(tmp_path)
+    out_dir = tmp_path / "pool_cli"
+    args = [
+        "--dataset_name", "videomme",
+        "--anno_filepath", str(anno_path), "--metadata_dir", str(meta_dir),
+        "--smoke", "--max_new_tokens", "2",
+        "--attention_impl", "xla", "--output_dir", str(out_dir),
+        "--sa_pattern", "quadtree", "--sa_start_layer_idx", "1",
+        "--sa_tree_thresh", "0.7", "--sa_tree_temporal_thresh", "0.6",
+        "--model_name_or_path", "ckpts/tiny-llava",
+        "--feature_dir", str(feat_dir), "--prefix_cache",
+        "--prefix_pool", "2", "--batch_size", "2", "--pool_int8",
+    ]
+    cli_main(args)
+    (run,) = os.listdir(out_dir)
+    rows = read_jsonl(os.path.join(out_dir, run, "runtime.jsonl"))
+    assert len(rows) == 5
+    assert sum(1 for r in rows if r.get("pooled")) == 5
+    assert all(r["pool_int8"] for r in rows if r.get("pooled"))
+
+    with pytest.raises(SystemExit):  # pool excludes cascade
+        cli_main(args + ["--prefix_cascade"])
+    with pytest.raises(SystemExit):  # pool_int8 needs prefix_pool
+        cli_main([a for a in args if a not in ("--prefix_pool", "2")])
+
+
 def _qwen2vl_benchmark(tmp_path):
     """2 videos x 2 questions + 1 single-question video, qwen2vl feature
     layout ([t, gh/2, gw/2, C] + grid metadata pkl)."""
