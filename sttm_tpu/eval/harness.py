@@ -64,7 +64,8 @@ class EvalConfig:
     # scores them all — runtime/generate.py build_verify_step. Takes
     # precedence over decode_chunk_size. Composes with batch_size > 1
     # (one dispatch verifies B*k tokens, build_verify_chunk_batch) and,
-    # batched, with prefix_cache on the flat layout (not prefix_cascade).
+    # batched, with prefix_cache on both layouts (flat, or prefix_cascade
+    # via build_verify_chunk_cascade), and with prefix_pool (paged verify).
     spec_decode_k: int = 0
     # Sequence-parallel prefill devices (1 = off): ring-attention prefill
     # over an sp mesh for prompts beyond one chip's HBM (>128-frame
@@ -89,9 +90,9 @@ class EvalConfig:
     # additionally carries prefix_prefill_time (paid once per video).
     # LLaVA + Qwen2-VL. Composes with batch_size > 1 (each video's questions
     # run head-packed-batched over the shared cache) and, when batched, with
-    # decode_chunk_size or spec_decode_k (flat layout). Ignored when combined
-    # with sp/dycoke-decode/streaming/frame_bucket or score-based reducers
-    # (falls back to per-sample full prefill).
+    # decode_chunk_size or spec_decode_k (flat or cascade layout). Ignored
+    # when combined with sp/dycoke-decode/streaming/frame_bucket or
+    # score-based reducers (falls back to per-sample full prefill).
     prefix_cache: bool = False
     # With prefix_cache + batch_size > 1: keep ONE shared read-only prefix
     # cache in HBM (cascade KV layout, qwen2.cascade_attention) instead of a
@@ -234,7 +235,7 @@ class Qwen2VLEvaluator:
         return (sample["vid"], tuple(ids[: int(pad_pos[-1]) + 1].tolist()))
 
     def _prefix_plan(self, key, grp, cfg: EvalConfig, s_sfx_min: int = 0,
-                     s_full_min: int = 0):
+                     s_full_min: int = 0, sizes_only: bool = False):
         """Qwen2-VL prefix plan: scatter features over the video-pad run of
         the shared prefix, build M-RoPE positions for it, and embed each
         question's post-video tokens as the suffix. The extension's
@@ -242,7 +243,10 @@ class Qwen2VLEvaluator:
         is exactly where get_rope_index puts post-video text
         (modeling_qwen2vl.py:1452-1581), so positions match the full path.
         ``s_sfx_min``/``s_full_min`` unify buffer shapes across videos of a
-        prefix-pool cluster (one compile key per pool)."""
+        prefix-pool cluster (one compile key per pool); ``sizes_only``
+        returns just the clustering scalars WITHOUT assembling device
+        embeds (the pooled path sizes every video upfront — holding real
+        plans for the whole eval set would pin all prefix embeds in HBM)."""
         from ..models.qwen2vl import assemble_video_embeds, build_video_mrope_positions
         from ..runtime.generate import prefix_prefill
 
@@ -258,6 +262,8 @@ class Qwen2VLEvaluator:
             math.ceil((prefix_valid + s_sfx) / cfg.pad_multiple) * cfg.pad_multiple,
             s_full_min,
         )
+        if sizes_only:
+            return dict(spec=spec, prefix_valid=prefix_valid, s_sfx=s_sfx)
         embeds, _, video_start, n_video = assemble_video_embeds(
             self.decoder_params, prefix_ids, jnp.asarray(grp[0]["feature"]), s_full
         )
@@ -424,12 +430,13 @@ class LlavaEvaluator:
         return (sample["vid"], tuple(ids[: int(img_pos[0]) + 1].tolist()))
 
     def _prefix_plan(self, key, grp, cfg: EvalConfig, s_sfx_min: int = 0,
-                     s_full_min: int = 0):
+                     s_full_min: int = 0, sizes_only: bool = False):
         """Build a group's prefix-prefill plan, or None to fall back to the
         per-sample path (e.g. FrameFusion specs, which merge layerwise and
         have no question-independent prefix cache). ``s_sfx_min``/
         ``s_full_min`` unify buffer shapes across videos of a prefix-pool
-        cluster (one compile key per pool)."""
+        cluster (one compile key per pool); ``sizes_only`` returns just the
+        clustering scalars without assembling device embeds."""
         from ..runtime.generate import prefix_prefill
 
         feats = self._sample_features(grp[0])
@@ -447,6 +454,8 @@ class LlavaEvaluator:
             math.ceil((prefix_valid + s_sfx) / cfg.pad_multiple) * cfg.pad_multiple,
             s_full_min,
         )
+        if sizes_only:
+            return dict(spec=spec, prefix_valid=prefix_valid, s_sfx=s_sfx)
         embeds, _, video_start, _ = llava.build_multimodal_embeds(
             self.decoder_params, self.llava_cfg, self.mm_params,
             prefix_ids, feats, s_full,
@@ -677,9 +686,9 @@ class LlavaEvaluator:
                 fallback.append(s)
             else:
                 groups[key].append(s)
-        plans = {}
+        plans = {}  # sizes only — full plans (device embeds) built per chunk
         for key, grp in groups.items():
-            plan = self._prefix_plan(key, grp, cfg)
+            plan = self._prefix_plan(key, grp, cfg, sizes_only=True)
             if plan is None:
                 fallback.extend(grp)
             else:
@@ -722,6 +731,11 @@ class LlavaEvaluator:
                     )
                     merged_bases.append(int(cache.lens[-1]))
                     caches.append(cache)
+                    # release the prefix embeds captured by the prefill
+                    # closure — they'd otherwise stay resident through the
+                    # whole pool serve
+                    pl["run_prefill"] = None
+                del cache  # the loop variable pins the last source cache
                 pool = make_prefix_pool(
                     self.decoder_cfg, spec, caches, int8=cfg.pool_int8
                 )
@@ -738,17 +752,19 @@ class LlavaEvaluator:
                         ]
                         meta.append((s, vi, len(inst), pl))
 
-                def serve():
+                def serve(request_list):
                     if cfg.spec_decode_k > 1:
                         return serve_continuous_paged_spec(
-                            self.decoder_params, self.decoder_cfg, pool, reqs,
-                            spec, gen, batch_slots=max(cfg.batch_size, 1),
+                            self.decoder_params, self.decoder_cfg, pool,
+                            request_list, spec, gen,
+                            batch_slots=max(cfg.batch_size, 1),
                             spec_decode_k=cfg.spec_decode_k,
                             histories=histories,
                         )
                     return serve_continuous_paged(
-                        self.decoder_params, self.decoder_cfg, pool, reqs,
-                        spec, gen, batch_slots=max(cfg.batch_size, 1),
+                        self.decoder_params, self.decoder_cfg, pool,
+                        request_list, spec, gen,
+                        batch_slots=max(cfg.batch_size, 1),
                         decode_chunk_size=max(cfg.decode_chunk_size, 1),
                     )
 
@@ -757,10 +773,14 @@ class LlavaEvaluator:
                         cfg.spec_decode_k, cfg.decode_chunk_size,
                         cfg.pool_int8)
                 if cfg.warmup and wkey not in warmed:
-                    serve()  # pool is read-only; warm run compiles untimed
+                    # ONE request compiles the same fixed-shape admit/decode/
+                    # verify programs (pool pages, slots, buffers are all
+                    # compile-time constants) without decoding the whole
+                    # workload twice; the pool is read-only and reusable
+                    serve(reqs[:1])
                     warmed.add(wkey)
                 t0 = time.perf_counter()
-                results, stats = serve()
+                results, stats = serve(reqs)
                 wall = time.perf_counter() - t0
                 nq = len(reqs)
                 first_rows: set = set()
@@ -792,8 +812,11 @@ class LlavaEvaluator:
                         "pooled": True,
                         "pool_pages": len(chunk_keys),
                         "pool_int8": cfg.pool_int8,
-                        **{k2: stats[k2] for k2 in ("n_verify_dispatches",)
-                           if k2 in stats},
+                        # pool totals under --spec_decode_k (reporting.py
+                        # derives spec_accept_rate from drafted/accepted)
+                        **{k2: stats[k2] for k2 in
+                           ("n_verify_dispatches", "spec_drafted",
+                            "spec_accepted") if k2 in stats},
                     }
                     if vi not in first_rows:
                         runtime["prefix_prefill_time"] = prefill_times[vi]

@@ -707,6 +707,45 @@ def cascade_verify_attention(q, pk, pv, pfx_mask, sk, sv, base_mask,
     ).astype(q.dtype)
 
 
+def _verify_walk(layers, lo, hi, x, cos, sin, sfx_k_all, sfx_v_all,
+                 write_slot, cfg: DecoderConfig, attn_fn):
+    """The shared multi-token verify layer walk (cascade AND paged verify
+    differ only in how the prefix side of the attention is read): per layer,
+    project/rope the s candidates per row, write their K/V head-packed at
+    tail slots [write_slot, write_slot + s), and call ``attn_fn(li, q, sk,
+    sv)`` for the two-source attention. Returns (x, sfx_k_all, sfx_v_all)."""
+    if hi <= lo:
+        return x, sfx_k_all, sfx_v_all
+    b, s = x.shape[:2]
+    kvh = cfg.num_kv_heads
+
+    def body(y, sk_all, sv_all, li):
+        lp = _take_layer(layers, lo + li)
+        h = rms_norm(y, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
+        q, k, v = qkv_proj(lp, h, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kp = k.transpose(1, 0, 2, 3).reshape(1, s, b * kvh, cfg.head_dim)
+        vp = v.transpose(1, 0, 2, 3).reshape(1, s, b * kvh, cfg.head_dim)
+        sk_all = jax.lax.dynamic_update_slice(sk_all, kp[None], (li, 0, write_slot, 0, 0))
+        sv_all = jax.lax.dynamic_update_slice(sv_all, vp[None], (li, 0, write_slot, 0, 0))
+        sk = jax.lax.dynamic_index_in_dim(sk_all, li, 0, keepdims=False)
+        sv = jax.lax.dynamic_index_in_dim(sv_all, li, 0, keepdims=False)
+        o = attn_fn(li, q, sk[0], sv[0])
+        y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], cfg.act_quant)
+        h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
+        y = y + mlp_block(lp, h, cfg)
+        return y, sk_all, sv_all
+
+    def step(carry, li):
+        return body(*carry, li), None
+
+    (x, sfx_k_all, sfx_v_all), _ = jax.lax.scan(
+        step, (x, sfx_k_all, sfx_v_all), jnp.arange(hi - lo, dtype=jnp.int32)
+    )
+    return x, sfx_k_all, sfx_v_all
+
+
 def cascade_verify_layers(
     layers: dict,
     lo: int,
@@ -729,42 +768,18 @@ def cascade_verify_layers(
     writing the candidates' K/V at tail slots [tail_start + step_idx, ... + s)
     (the fixed-dispatch-slot layout of build_verify_chunk_batch). Returns
     (x, sfx_k_all, sfx_v_all)."""
-    if hi <= lo:
-        return x, sfx_k_all, sfx_v_all
-    b, s = x.shape[:2]
-    kvh = cfg.num_kv_heads
     write_slot = tail_start + step_idx
     pfx_mask = jnp.arange(pfx_k_all.shape[2]) < pfx_len
 
-    def body(y, sk_all, sv_all, li):
-        lp = _take_layer(layers, lo + li)
-        h = rms_norm(y, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
-        q, k, v = qkv_proj(lp, h, cfg)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        kp = k.transpose(1, 0, 2, 3).reshape(1, s, b * kvh, cfg.head_dim)
-        vp = v.transpose(1, 0, 2, 3).reshape(1, s, b * kvh, cfg.head_dim)
-        sk_all = jax.lax.dynamic_update_slice(sk_all, kp[None], (li, 0, write_slot, 0, 0))
-        sv_all = jax.lax.dynamic_update_slice(sv_all, vp[None], (li, 0, write_slot, 0, 0))
-        sk = jax.lax.dynamic_index_in_dim(sk_all, li, 0, keepdims=False)
-        sv = jax.lax.dynamic_index_in_dim(sv_all, li, 0, keepdims=False)
+    def attn_fn(li, q, sk, sv):
         pk = jax.lax.dynamic_index_in_dim(pfx_k_all, li, 0, keepdims=False)
         pv = jax.lax.dynamic_index_in_dim(pfx_v_all, li, 0, keepdims=False)
-        o = cascade_verify_attention(
-            q, pk[0], pv[0], pfx_mask, sk[0], sv[0], base_mask, write_slot, cfg
+        return cascade_verify_attention(
+            q, pk[0], pv[0], pfx_mask, sk, sv, base_mask, write_slot, cfg
         )
-        y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], cfg.act_quant)
-        h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
-        y = y + mlp_block(lp, h, cfg)
-        return y, sk_all, sv_all
 
-    def step(carry, li):
-        return body(*carry, li), None
-
-    (x, sfx_k_all, sfx_v_all), _ = jax.lax.scan(
-        step, (x, sfx_k_all, sfx_v_all), jnp.arange(hi - lo, dtype=jnp.int32)
-    )
-    return x, sfx_k_all, sfx_v_all
+    return _verify_walk(layers, lo, hi, x, cos, sin, sfx_k_all, sfx_v_all,
+                        write_slot, cfg, attn_fn)
 
 
 def paged_cascade_attention(q, pks, pvs, pfx_lens, page, sk, sv, sfx_mask,
@@ -1056,46 +1071,22 @@ def paged_cascade_verify_layers(
     candidates per row against (its pool page, its head-packed suffix tail).
     ``k_scales``/``v_scales``: int8-pool dequant scales [Lg, P, S_p, KV].
     Returns (x, sfx_k_all, sfx_v_all)."""
-    if hi <= lo:
-        return x, sfx_k_all, sfx_v_all
-    b, s = x.shape[:2]
-    kvh = cfg.num_kv_heads
     write_slot = tail_start + step_idx
 
-    def body(y, sk_all, sv_all, li):
-        lp = _take_layer(layers, lo + li)
-        h = rms_norm(y, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
-        q, k, v = qkv_proj(lp, h, cfg)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        kp = k.transpose(1, 0, 2, 3).reshape(1, s, b * kvh, cfg.head_dim)
-        vp = v.transpose(1, 0, 2, 3).reshape(1, s, b * kvh, cfg.head_dim)
-        sk_all = jax.lax.dynamic_update_slice(sk_all, kp[None], (li, 0, write_slot, 0, 0))
-        sv_all = jax.lax.dynamic_update_slice(sv_all, vp[None], (li, 0, write_slot, 0, 0))
-        sk = jax.lax.dynamic_index_in_dim(sk_all, li, 0, keepdims=False)
-        sv = jax.lax.dynamic_index_in_dim(sv_all, li, 0, keepdims=False)
+    def attn_fn(li, q, sk, sv):
         pks = jax.lax.dynamic_index_in_dim(pool_k_all, li, 0, keepdims=False)
         pvs = jax.lax.dynamic_index_in_dim(pool_v_all, li, 0, keepdims=False)
         ksc = vsc = None
         if k_scales is not None:
             ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
             vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
-        o = paged_cascade_verify_attention(
-            q, pks, pvs, pfx_lens, page, sk[0], sv[0], base_mask, write_slot,
+        return paged_cascade_verify_attention(
+            q, pks, pvs, pfx_lens, page, sk, sv, base_mask, write_slot,
             cfg, ksc=ksc, vsc=vsc,
         )
-        y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], cfg.act_quant)
-        h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
-        y = y + mlp_block(lp, h, cfg)
-        return y, sk_all, sv_all
 
-    def step(carry, li):
-        return body(*carry, li), None
-
-    (x, sfx_k_all, sfx_v_all), _ = jax.lax.scan(
-        step, (x, sfx_k_all, sfx_v_all), jnp.arange(hi - lo, dtype=jnp.int32)
-    )
-    return x, sfx_k_all, sfx_v_all
+    return _verify_walk(layers, lo, hi, x, cos, sin, sfx_k_all, sfx_v_all,
+                        write_slot, cfg, attn_fn)
 
 
 def paged_extend_layers(

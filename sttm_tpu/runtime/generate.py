@@ -1052,6 +1052,33 @@ def build_decode_chunk_batch(
     return insert_row, decode_chunk
 
 
+def _make_update_mask(k: int):
+    """Jitted acceptance-mask window write shared by the verify builders:
+    mark dispatch d's slots [d*k, (d+1)*k) with the per-row window."""
+    return jax.jit(
+        lambda m, window, d: jax.lax.dynamic_update_slice(m, window, (0, d * k)),
+        donate_argnums=(0,),
+    )
+
+
+def _verify_pos_tail(cfg: DecoderConfig, pos_base, acc_counts, k: int, d,
+                     tail_slots: int, acc_mask):
+    """Shared verify-dispatch scaffolding: per-row candidate positions
+    (pos_base + accepted count + j; all three M-RoPE rows advance together)
+    and the visible-tail mask = accepted slots + the current/future window
+    (the causal bound to <= write_slot + j per query row is applied inside
+    the attention)."""
+    b = pos_base.shape[0]
+    pos = ((pos_base + acc_counts)[:, None] + jnp.arange(k)[None]).astype(jnp.int32)
+    if cfg.mrope_section:
+        pos = jnp.broadcast_to(pos[:, None, :], (b, 3, k))
+    cos, sin = jax.vmap(lambda p: qwen2.rope_cos_sin(cfg, p))(pos)
+    step_idx = d * k
+    rel = jnp.arange(tail_slots)
+    tail_vis = acc_mask | (rel[None, :] >= step_idx)  # [B, tail_slots]
+    return cos, sin, step_idx, tail_vis
+
+
 @functools.lru_cache(maxsize=8)
 def build_verify_chunk_batch(cfg: DecoderConfig, spec, k: int, kvh: int, tail_slots: int):
     """Cached builders for BATCHED greedy speculative decoding — the two
@@ -1110,28 +1137,16 @@ def build_verify_chunk_batch(cfg: DecoderConfig, spec, k: int, kvh: int, tail_sl
         donate_argnums=(0,),
     )
 
-    update_mask = jax.jit(
-        lambda m, window, d: jax.lax.dynamic_update_slice(m, window, (0, d * k)),
-        donate_argnums=(0,),
-    )
+    update_mask = _make_update_mask(k)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def verify_chunk(params, tokens, cache, d, acc_counts, acc_mask):
         layers = params["layers"]
         b = tokens.shape[0]
         x = qwen2.embed_tokens(params, tokens, cfg)  # [B, k, D]
-        pos = (
-            (cache.pos_base + acc_counts)[:, None] + jnp.arange(k)[None]
-        ).astype(jnp.int32)  # [B, k]
-        if cfg.mrope_section:  # all three M-RoPE rows advance together
-            pos = jnp.broadcast_to(pos[:, None, :], (b, 3, k))
-        cos, sin = jax.vmap(lambda p: qwen2.rope_cos_sin(cfg, p))(pos)
-
-        step_idx = d * k
-        rel = jnp.arange(tail_slots)
-        # visible tail = accepted slots + the current/future window (causal
-        # + kv_valid_len bound the window to <= write_slot + j per query row)
-        tail_vis = acc_mask | (rel[None, :] >= step_idx)  # [B, tail_slots]
+        cos, sin, step_idx, tail_vis = _verify_pos_tail(
+            cfg, cache.pos_base, acc_counts, k, d, tail_slots, acc_mask
+        )
         new_ks, new_vs = [], []
         for gi, (lo, hi) in enumerate(bounds):
             s_c = cache.ks[gi].shape[2]
@@ -1219,27 +1234,16 @@ def build_verify_chunk_cascade(
             ),
         )
 
-    update_mask = jax.jit(
-        lambda m, window, d: jax.lax.dynamic_update_slice(m, window, (0, d * k)),
-        donate_argnums=(0,),
-    )
+    update_mask = _make_update_mask(k)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def verify_chunk(params, tokens, tail: CascadeTail, pfx, d, acc_counts,
                      acc_mask):
         layers = params["layers"]
-        b = tokens.shape[0]
         x = qwen2.embed_tokens(params, tokens, cfg)  # [B, k, D]
-        pos = (
-            (tail.pos_base + acc_counts)[:, None] + jnp.arange(k)[None]
-        ).astype(jnp.int32)
-        if cfg.mrope_section:
-            pos = jnp.broadcast_to(pos[:, None, :], (b, 3, k))
-        cos, sin = jax.vmap(lambda p: qwen2.rope_cos_sin(cfg, p))(pos)
-
-        step_idx = d * k
-        rel = jnp.arange(tail_slots)
-        tail_vis = acc_mask | (rel[None, :] >= step_idx)  # [B, tail_slots]
+        cos, sin, step_idx, tail_vis = _verify_pos_tail(
+            cfg, tail.pos_base, acc_counts, k, d, tail_slots, acc_mask
+        )
         kpos_s = jnp.arange(s_sfx)
         base = jnp.concatenate(
             [kpos_s[None, :] < tail.sfx_lens[:, None], tail_vis], axis=1
@@ -1296,27 +1300,16 @@ def build_paged_verify_chunk(
             pos_base=jnp.zeros((b,), jnp.int32),
         )
 
-    update_mask = jax.jit(
-        lambda m, window, d: jax.lax.dynamic_update_slice(m, window, (0, d * k)),
-        donate_argnums=(0,),
-    )
+    update_mask = _make_update_mask(k)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def verify_chunk(params, tokens, tail: CascadeTail, pool, page, d,
                      acc_counts, acc_mask):
         layers = params["layers"]
-        b = tokens.shape[0]
         x = qwen2.embed_tokens(params, tokens, cfg)  # [B, k, D]
-        pos = (
-            (tail.pos_base + acc_counts)[:, None] + jnp.arange(k)[None]
-        ).astype(jnp.int32)
-        if cfg.mrope_section:
-            pos = jnp.broadcast_to(pos[:, None, :], (b, 3, k))
-        cos, sin = jax.vmap(lambda p: qwen2.rope_cos_sin(cfg, p))(pos)
-
-        step_idx = d * k
-        rel = jnp.arange(tail_slots)
-        tail_vis = acc_mask | (rel[None, :] >= step_idx)
+        cos, sin, step_idx, tail_vis = _verify_pos_tail(
+            cfg, tail.pos_base, acc_counts, k, d, tail_slots, acc_mask
+        )
         kpos_s = jnp.arange(s_sfx)
         base = jnp.concatenate(
             [kpos_s[None, :] < tail.sfx_lens[:, None], tail_vis], axis=1

@@ -361,7 +361,7 @@ def _continuous_spec_drive(
     acc_mask = jnp.zeros((b, tail_slots), bool)
     d = 0
     t_start = time.perf_counter()
-    n_dispatches = 0
+    n_dispatches = n_drafted = n_hit = 0
     eos = set(gen.eos_token_ids)
 
     def admit(i: int, req):
@@ -417,6 +417,8 @@ def _continuous_spec_drive(
             a = 0
             while a < k - 1 and drafts[i][a] == int(preds[i, a]):
                 a += 1
+            n_drafted += k - 1
+            n_hit += a
             e = 0
             for j in range(a + 1):
                 t = int(preds[i, j])
@@ -436,6 +438,8 @@ def _continuous_spec_drive(
         "wall_s": time.perf_counter() - t_start,
         "n_requests": len(requests),
         "n_verify_dispatches": n_dispatches,
+        "spec_drafted": n_drafted,
+        "spec_accepted": n_hit,
         "total_tokens": sum(len(v) for v in results.values()),
     }
     return results, stats
