@@ -197,6 +197,24 @@ def test_continuous_paged_spec_mid_wave_and_eos():
     assert got == want
 
 
+def test_continuous_spec_tight_ring_wave_resets():
+    """ring_dispatches == max_new-1 (the minimum): admission only fits at
+    d=0, so the pool degenerates to grouped waves with RING REUSE between
+    waves — slots' acceptance masks and tail writes from the previous wave
+    must not leak into the next (admission resets the mask row; the causal
+    window bounds reads to freshly written slots)."""
+    params, reqs = _requests(5, seed=6)
+    gen = GenerateConfig(max_new_tokens=6, eos_token_ids=())
+    want = _per_sample(params, reqs, gen)
+    got, stats = serve_continuous_spec(
+        params, TINY, reqs, _spec(), gen, batch_slots=2, spec_decode_k=3,
+        ring_dispatches=gen.max_new_tokens - 1,
+    )
+    assert got == want
+    # 5 requests / 2 slots with admission only at wave starts -> >= 3 waves
+    assert stats["n_verify_dispatches"] >= 3
+
+
 def test_continuous_spec_prefix_requests():
     """PrefixRequest admission (suffix extension) through the spec pool:
     questions of two videos interleave, zero in-pool prefills, exact."""
