@@ -28,6 +28,14 @@ TPU-shaped constraints and how they are honored:
   prefill, and slots may hold questions of DIFFERENT videos concurrently
   (per-slot prefixes). Mixing Request and PrefixRequest in one pool works
   as long as all cache buffers share one compile key.
+
+The full pool family (every composition token-exactness-tested):
+- serve_continuous:            chunked greedy decode, full/prefix admission
+- serve_continuous_spec:       every dispatch VERIFIES k candidates/slot
+  (batched speculative decoding; acceptance-mask ring, mid-wave admission)
+- serve_continuous_paged:      paged prefix pool (each distinct video's
+  prefix ONCE in HBM — optionally int8 — read once per step)
+- serve_continuous_paged_spec: all levers at once
 """
 
 from __future__ import annotations
