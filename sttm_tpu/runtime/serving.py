@@ -571,6 +571,95 @@ def make_prefix_pool(cfg: DecoderConfig, spec, prefix_caches: list,
     return pool
 
 
+class PrefixPoolManager:
+    """LRU page manager over a fixed-capacity PrefixPool — the prefix-cache
+    MANAGER layer of production serving: videos map to pages, a miss
+    prefills (caller-supplied) and inserts into the least-recently-used
+    unpinned page (donated in-place overwrite, no copies), and repeated
+    questions of a resident video cost zero prefills. The pool object
+    identity changes on insert (donation) — always read ``mgr.pool``.
+
+    Synchronous serving (serve once, then maybe insert) needs no pinning;
+    ``pin``/``unpin`` exist for callers that interleave admission with an
+    in-flight serve and must keep its referenced pages resident."""
+
+    def __init__(self, cfg: DecoderConfig, spec, pages: int, int8: bool = False):
+        self.cfg = cfg
+        self.spec_key = (
+            spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
+        )
+        self.capacity = pages
+        self.int8 = int8
+        self.pool: PrefixPool | None = None
+        self._init_pool, self._insert_page = build_prefix_pool(
+            cfg, self.spec_key, pages, int8=int8
+        )
+        self._vid_to_page: dict = {}
+        self._page_to_vid: dict = {}
+        self._clock = 0
+        self._last_used: dict = {}
+        self._pins: dict = {}
+        self.n_hits = self.n_misses = self.n_evictions = 0
+
+    def lookup(self, vid) -> int | None:
+        """Page index of ``vid`` if resident (refreshes recency), else None."""
+        page = self._vid_to_page.get(vid)
+        if page is not None:
+            self._clock += 1
+            self._last_used[page] = self._clock
+            self.n_hits += 1
+        return page
+
+    def get_page(self, vid, build_cache) -> int:
+        """Resident page of ``vid``, or prefill via ``build_cache()`` (a
+        prefix_prefill thunk; consumed by the insert) and place it, evicting
+        the LRU unpinned page when full."""
+        page = self.lookup(vid)
+        if page is not None:
+            return page
+        self.n_misses += 1
+        return self.insert(vid, build_cache())
+
+    def insert(self, vid, prefix_cache) -> int:
+        if vid in self._vid_to_page:
+            raise ValueError(f"{vid!r} already resident")
+        free = [p for p in range(self.capacity) if p not in self._page_to_vid]
+        if free:
+            page = free[0]
+        else:
+            candidates = [
+                p for p in range(self.capacity) if not self._pins.get(p)
+            ]
+            if not candidates:
+                raise RuntimeError("all pool pages are pinned")
+            page = min(candidates, key=lambda p: self._last_used.get(p, -1))
+            del self._vid_to_page[self._page_to_vid[page]]
+            self.n_evictions += 1
+        if self.pool is None:
+            self.pool = self._init_pool(prefix_cache)
+        self.pool = self._insert_page(self.pool, prefix_cache, jnp.int32(page))
+        self._vid_to_page[vid] = page
+        self._page_to_vid[page] = vid
+        self._clock += 1
+        self._last_used[page] = self._clock
+        return page
+
+    def pin(self, page: int):
+        self._pins[page] = self._pins.get(page, 0) + 1
+
+    def unpin(self, page: int):
+        self._pins[page] = max(self._pins.get(page, 0) - 1, 0)
+
+    def stats(self) -> dict:
+        return {
+            "capacity": self.capacity,
+            "resident": len(self._vid_to_page),
+            "hits": self.n_hits,
+            "misses": self.n_misses,
+            "evictions": self.n_evictions,
+        }
+
+
 def serve_continuous_paged(
     params,
     cfg: DecoderConfig,
