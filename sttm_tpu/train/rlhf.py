@@ -32,6 +32,7 @@ __all__ = [
     "init_value_head", "forward_with_value", "token_logprobs",
     "reward_score", "reward_loss", "make_reward_train_step",
     "compute_rewards", "compute_advantages", "ppo_loss", "make_ppo_train_step",
+    "make_sample_rollout", "ppo_make_experience",
 ]
 
 
@@ -256,6 +257,77 @@ def ppo_loss(old_logprobs, values, logits, vpreds, logprobs, mask, advantages,
         "returns/mean": masked_mean(returns, mask),
     }
     return loss, stats
+
+
+def make_sample_rollout(cfg: DecoderConfig, prompt_len: int, max_new: int,
+                        temperature: float = 1.0):
+    """Jittable on-policy rollout (the reference PPOTrainer's
+    ``generate`` + experience stage): prefill the prompt, then a `lax.scan`
+    of single-token decode steps with categorical sampling.
+
+    Returns rollout(params, prompt_ids [B, prompt_len], key) ->
+    ids [B, prompt_len + max_new] (prompt + sampled response).
+    """
+    s_c = prompt_len + max_new
+
+    def rollout(params, prompt_ids, key):
+        b = prompt_ids.shape[0]
+        x = qwen2.embed_tokens(params, prompt_ids, cfg)
+        cos, sin = qwen2.rope_cos_sin(cfg, jnp.arange(prompt_len, dtype=jnp.int32))
+        x, k_all, v_all = qwen2.prefill_layers(
+            params["layers"], 0, cfg.num_layers, x, cos, sin, prompt_len, cfg, "xla")
+        cache_k = jnp.zeros(
+            (cfg.num_layers, b, s_c, cfg.num_kv_heads, cfg.head_dim), k_all.dtype
+        ).at[:, :, :prompt_len].set(k_all)
+        cache_v = jnp.zeros_like(cache_k).at[:, :, :prompt_len].set(v_all)
+
+        h = qwen2.rms_norm(x[:, -1:], params["norm"], cfg.rms_eps, cfg.rms_offset)
+        logits0 = qwen2.lm_head(params, cfg, h)[:, 0].astype(jnp.float32)
+        key, k0 = jax.random.split(key)
+        tok0 = jax.random.categorical(k0, logits0 / temperature, axis=-1)
+
+        def step(carry, t):
+            tok, ck, cv, key = carry
+            pos = jnp.full((1,), prompt_len, jnp.int32) + t
+            cos_t, sin_t = qwen2.rope_cos_sin(cfg, pos)
+            x = qwen2.embed_tokens(params, tok[:, None], cfg)
+            x, ck, cv, _ = qwen2.decode_layers(
+                params["layers"], 0, cfg.num_layers, x, cos_t, sin_t,
+                ck, cv, prompt_len, t, prompt_len, cfg)
+            h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
+            logits = qwen2.lm_head(params, cfg, h)[:, 0].astype(jnp.float32)
+            key, kt = jax.random.split(key)
+            nxt = jax.random.categorical(kt, logits / temperature, axis=-1)
+            return (nxt, ck, cv, key), tok
+
+        (_, _, _, _), toks = jax.lax.scan(
+            step, (tok0, cache_k, cache_v, key),
+            jnp.arange(max_new, dtype=jnp.int32))
+        return jnp.concatenate([prompt_ids, toks.T.astype(prompt_ids.dtype)], axis=1)
+
+    return rollout
+
+
+def ppo_make_experience(params, ref_params, v_head, cfg: DecoderConfig,
+                        ids, response_mask, scores, ppo_cfg: PPOConfig,
+                        kl_coef: float):
+    """Score a rollout into a PPO minibatch (the reference's
+    ``batched_forward_pass`` + compute_rewards + compute_advantages stage,
+    ppo_trainer.py:659-710,1031-1111). ids [B, S]; response_mask [B, S-1]
+    marks sampled-token positions; scores [B] from the reward model."""
+    logits, vals_full = forward_with_value(params, v_head, cfg, ids)
+    old_lp = jax.lax.stop_gradient(token_logprobs(logits, ids))
+    values = jax.lax.stop_gradient(vals_full[:, :-1])
+    ref_logits = qwen2.lm_head(ref_params, cfg, _trunk_hidden(ref_params, cfg, ids))
+    ref_lp = jax.lax.stop_gradient(token_logprobs(ref_logits, ids))
+    rewards, _, kl = compute_rewards(scores, old_lp, ref_lp, response_mask,
+                                     kl_coef, ppo_cfg.kl_penalty)
+    values_m, adv, ret = compute_advantages(values, rewards, response_mask, ppo_cfg)
+    mean_kl = masked_mean(kl, response_mask)
+    return {
+        "input_ids": ids, "mask": response_mask, "old_logprobs": old_lp,
+        "values": values_m, "advantages": adv, "returns": ret,
+    }, mean_kl
 
 
 def make_ppo_train_step(cfg: DecoderConfig, ppo_cfg: PPOConfig, tx):

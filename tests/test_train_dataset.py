@@ -117,3 +117,18 @@ def test_run_dpo_smoke(tmp_path):
                      "--save_every", "2", "--log_every", "1"])
     assert np.isfinite(loss) and loss > 0
     assert os.path.isdir(out / "checkpoint_2")
+
+
+def test_run_ppo_smoke(tmp_path):
+    from sttm_tpu.train.run_ppo import main as ppo_main
+
+    data = [{"prompt": [{"from": "human", "value": f"q{i}?"}]} for i in range(3)]
+    p = tmp_path / "prompts.json"
+    p.write_text(json.dumps(data))
+    out = tmp_path / "run"
+    loss = ppo_main(["--data_path", str(p), "--output_dir", str(out), "--smoke",
+                     "--steps", "2", "--batch_size", "2", "--prompt_len", "12",
+                     "--max_new_tokens", "6", "--ppo_epochs", "2",
+                     "--save_every", "2", "--log_every", "1"])
+    assert np.isfinite(loss)
+    assert os.path.isdir(out / "checkpoint_2")
