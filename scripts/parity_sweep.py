@@ -259,6 +259,153 @@ def sweep_framefusion(ref_ff):
     return out
 
 
+def _import_reference_trl():
+    """Load the reference's vendored TRL PPO math without its heavy package
+    __init__ chain: register trl/{core,import_utils} and the trainer modules
+    ppo_trainer pulls from `.` under their package names, stubbing the two
+    external deps (tyro, trl.models) that the math never touches."""
+    import types
+
+    tyro = types.ModuleType("tyro")
+
+    class _Conf:
+        class Suppress:
+            def __class_getitem__(cls, item):
+                return item
+
+        @staticmethod
+        def arg(**kw):
+            return object()
+
+    tyro.conf = _Conf
+    sys.modules.setdefault("tyro", tyro)
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[name] = m
+        spec.loader.exec_module(m)
+        return m
+
+    trl_dir = os.path.join(REFERENCE, "trl")
+    pkg = types.ModuleType("trl")
+    pkg.__path__ = [trl_dir]
+    sys.modules["trl"] = pkg
+    load("trl.import_utils", os.path.join(trl_dir, "import_utils.py"))
+    core = load("trl.core", os.path.join(trl_dir, "core.py"))
+    models = types.ModuleType("trl.models")
+    models.SUPPORTED_ARCHITECTURES = ()
+    models.PreTrainedModelWrapper = type("PreTrainedModelWrapper", (), {})
+    models.create_reference_model = lambda *a, **k: None
+    sys.modules["trl.models"] = models
+    pkg.models = models
+    trainer = types.ModuleType("trl.trainer")
+    trainer.__path__ = [os.path.join(trl_dir, "trainer")]
+    sys.modules["trl.trainer"] = trainer
+    utils = load("trl.trainer.utils", os.path.join(trl_dir, "trainer", "utils.py"))
+    base = load("trl.trainer.base", os.path.join(trl_dir, "trainer", "base.py"))
+    ppo_config = load("trl.trainer.ppo_config", os.path.join(trl_dir, "trainer", "ppo_config.py"))
+    trainer.AdaptiveKLController = utils.AdaptiveKLController
+    trainer.FixedKLController = utils.FixedKLController
+    trainer.RunningMoments = utils.RunningMoments
+    trainer.BaseTrainer = base.BaseTrainer
+    trainer.PPOConfig = ppo_config.PPOConfig
+    ppo = load("trl.trainer.ppo_trainer", os.path.join(trl_dir, "trainer", "ppo_trainer.py"))
+    return core, ppo
+
+
+def sweep_rlhf():
+    """train/rlhf.py vs the ACTUAL vendored TRL math (trl/core.py:138-177,
+    trl/trainer/ppo_trainer.py:1031-1198) on identical random inputs. The
+    PPOTrainer methods are called unbound with a duck-typed `self` carrying
+    only `.config` / `.kl_ctl` — no trainer construction needed."""
+    import types
+
+    from sttm_tpu.train import rlhf
+
+    core, ppo = _import_reference_trl()
+    rng = np.random.default_rng(77)
+    out = []
+
+    b, t = 4, 13
+    v = rng.normal(size=(b, t)).astype(np.float32)
+    m = np.zeros((b, t), np.float32)
+    for i, (lo, hi) in enumerate([(1, 9), (2, 13), (0, 7), (3, 11)]):
+        m[i, lo:hi] = 1.0
+
+    got = np.asarray(rlhf.masked_whiten(jnp.asarray(v), jnp.asarray(m)))
+    ref = core.masked_whiten(torch.from_numpy(v), torch.from_numpy(m)).numpy()
+    err = float(np.abs(got - ref).max())
+    out.append({"kind": "trl-masked-whiten", "ok": bool(err < 1e-5), "maxerr": err})
+    print(f"trl masked_whiten: err={err:.2e}")
+
+    scores = rng.normal(size=b).astype(np.float32)
+    lp = rng.normal(size=(b, t)).astype(np.float32)
+    rlp = rng.normal(size=(b, t)).astype(np.float32)
+    for kind in ("kl", "abs", "mse"):
+        stub = types.SimpleNamespace(
+            config=types.SimpleNamespace(kl_penalty=kind),
+            kl_ctl=types.SimpleNamespace(value=0.3))
+        stub._kl_penalty = lambda a, c: ppo.PPOTrainer._kl_penalty(stub, a, c)
+        ref_rew, ref_ns, ref_kl = ppo.PPOTrainer.compute_rewards(
+            stub, torch.from_numpy(scores), torch.from_numpy(lp),
+            torch.from_numpy(rlp), torch.from_numpy(m).long())
+        got_rew, got_ns, got_kl = rlhf.compute_rewards(
+            jnp.asarray(scores), jnp.asarray(lp), jnp.asarray(rlp),
+            jnp.asarray(m), kl_coef=0.3, kl_penalty=kind)
+        err = float(np.abs(np.asarray(got_rew) - ref_rew.numpy()).max())
+        err = max(err, float(np.abs(np.asarray(got_kl) - ref_kl.numpy()).max()))
+        out.append({"kind": f"trl-compute-rewards-{kind}", "ok": bool(err < 1e-5),
+                    "maxerr": err})
+        print(f"trl compute_rewards[{kind}]: err={err:.2e}")
+
+    values = rng.normal(size=(b, t)).astype(np.float32)
+    rewards = rng.normal(size=(b, t)).astype(np.float32)
+    for gamma, lam, whiten in [(1.0, 0.95, False), (0.98, 0.9, True)]:
+        stub = types.SimpleNamespace(config=types.SimpleNamespace(
+            gamma=gamma, lam=lam, whiten_rewards=whiten))
+        rv, ra, rr = ppo.PPOTrainer.compute_advantages(
+            stub, torch.from_numpy(values), torch.from_numpy(rewards),
+            torch.from_numpy(m))
+        cfg = rlhf.PPOConfig(gamma=gamma, lam=lam, whiten_rewards=whiten)
+        gv, ga, gr = rlhf.compute_advantages(
+            jnp.asarray(values), jnp.asarray(rewards), jnp.asarray(m), cfg)
+        err = max(float(np.abs(np.asarray(ga) - ra.numpy()).max()),
+                  float(np.abs(np.asarray(gr) - rr.numpy()).max()))
+        out.append({"kind": f"trl-gae-g{gamma}-l{lam}-w{int(whiten)}",
+                    "ok": bool(err < 1e-4), "maxerr": err})
+        print(f"trl compute_advantages[g={gamma} lam={lam} whiten={whiten}]: err={err:.2e}")
+
+    # full PPO loss: pg + vf + stats on one random minibatch
+    vocab = 11
+    old_lp = rng.normal(size=(b, t)).astype(np.float32)
+    new_lp = (old_lp + 0.1 * rng.normal(size=(b, t))).astype(np.float32)
+    logits = rng.normal(size=(b, t, vocab)).astype(np.float32)
+    vpreds = (values + 0.2 * rng.normal(size=(b, t))).astype(np.float32)
+    adv = rng.normal(size=(b, t)).astype(np.float32)
+    ret = (values + adv).astype(np.float32)
+    stub = types.SimpleNamespace(config=types.SimpleNamespace(
+        cliprange=0.2, cliprange_value=0.2, vf_coef=0.1, ratio_threshold=10.0))
+    ref_pg, ref_vf, ref_stats = ppo.PPOTrainer.loss(
+        stub, torch.from_numpy(old_lp), torch.from_numpy(values),
+        torch.from_numpy(logits), torch.from_numpy(vpreds),
+        torch.from_numpy(new_lp), torch.from_numpy(m).long(),
+        torch.from_numpy(adv), torch.from_numpy(ret))
+    loss, stats = rlhf.ppo_loss(
+        jnp.asarray(old_lp), jnp.asarray(values), jnp.asarray(logits),
+        jnp.asarray(vpreds), jnp.asarray(new_lp), jnp.asarray(m),
+        jnp.asarray(adv), jnp.asarray(ret), rlhf.PPOConfig())
+    err = max(
+        abs(float(stats["loss/policy"]) - float(ref_pg)),
+        abs(float(stats["loss/value"]) - float(ref_vf)),
+        abs(float(stats["policy/entropy"]) - float(ref_stats["policy/entropy"])),
+        abs(float(stats["policy/approxkl"]) - float(ref_stats["policy/approxkl"])),
+    )
+    out.append({"kind": "trl-ppo-loss", "ok": bool(err < 1e-5), "maxerr": err})
+    print(f"trl ppo loss: err={err:.2e}")
+    return out
+
+
 def main():
     if not os.path.isdir(REFERENCE):
         print(f"reference not found at {REFERENCE}; set STTM_REFERENCE")
@@ -267,6 +414,7 @@ def main():
     cases = sweep_quadtree(ref_qt)
     extras = sweep_tome(ref_tome) + sweep_dycoke(ref_dycoke)
     extras += sweep_octree(ref_octree) + sweep_framefusion(ref_ff)
+    extras += sweep_rlhf()
     all_ok = all(c["ok"] for c in cases + extras)
     result = {
         "note": "kept-token sets, num_patches and features vs the reference "
