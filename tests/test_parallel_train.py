@@ -150,3 +150,55 @@ def test_sharded_serving_levers_match_single_device():
                                [sys_len] * 2, spec, gen, spec_decode_k=3)
     assert got_b == want_b
     assert rt["spec_dispatches"] >= 1
+
+
+def test_sharded_ppo_step_matches_single_device():
+    """PPO minibatch step under the dp x tp mesh: loss equals the unsharded
+    run and params stay sharded (the reference's PPO runs via accelerate DDP
+    only; here the same step jits over the mesh like SFT/DPO)."""
+    import optax
+
+    from sttm_tpu.train import rlhf
+
+    mesh = create_mesh(dp=2, tp=4)
+    params = qwen2.init_params(TINY, jax.random.key(3))
+    v_head = rlhf.init_value_head(jax.random.key(4), TINY)
+    rng = np.random.default_rng(7)
+    b, s = 4, 24
+    ids = jnp.asarray(rng.integers(0, TINY.vocab_size, size=(b, s)), jnp.int32)
+    mask = jnp.zeros((b, s - 1), jnp.float32).at[:, 8:].set(1.0)
+
+    logits, vals_full = rlhf.forward_with_value(params, v_head, TINY, ids)
+    old_lp = rlhf.token_logprobs(logits, ids)
+    values = vals_full[:, :-1]
+    scores = jnp.asarray(rng.normal(size=b), jnp.float32)
+    rewards, _, _ = rlhf.compute_rewards(scores, old_lp, old_lp - 0.01, mask, 0.2)
+    cfg = rlhf.PPOConfig()
+    values_m, adv, ret = rlhf.compute_advantages(values, rewards, mask, cfg)
+    batch = {"input_ids": ids, "mask": mask, "old_logprobs": old_lp,
+             "values": values_m, "advantages": adv, "returns": ret}
+
+    tx = optax.adam(1e-3)
+    step = rlhf.make_ppo_train_step(TINY, cfg, tx)
+    _, _, _, ref_loss, _ = jax.jit(step)(params, v_head, tx.init((params, v_head)), batch)
+
+    sharded = shard_params(params, mesh)
+    opt_state = tx.init((sharded, v_head))
+
+    def to_sharding(tree):
+        def rec(s):
+            if isinstance(s, dict):
+                return {k: rec(v) for k, v in s.items()}
+            return NamedSharding(mesh, s)
+
+        return rec(tree)
+
+    pshard = to_sharding(param_specs(sharded))
+    dsh = NamedSharding(mesh, P("dp", None))
+    bshard = {k: dsh for k in batch}
+    jstep = jax.jit(step, in_shardings=(pshard, None, None, bshard),
+                    out_shardings=(pshard, None, None, None, None))
+    batch_put = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+    new_params, new_vh, _, loss, stats = jstep(sharded, v_head, opt_state, batch_put)
+    assert abs(float(loss) - float(ref_loss)) < 1e-3
+    assert new_params["layers"]["wq"].sharding.spec == P(None, None, "tp")
