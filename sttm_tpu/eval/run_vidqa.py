@@ -74,6 +74,12 @@ def parse_args(argv=None):
     p.add_argument("--dycoke_l", type=int, default=3)
     p.add_argument("--dycoke_p", type=float, default=0.8)
     p.add_argument("--sa_framefusion_cost", type=float, default=0.3)
+    p.add_argument("--sa_framefusion_compact_layer", type=int, default=0,
+                   help="compact the surviving tokens into a static budget "
+                        "buffer at this layer so later layers run short "
+                        "(real TTFT saving; 0 = pure mask mode)")
+    p.add_argument("--sa_framefusion_compact_budget", type=int, default=0,
+                   help="video slots after compaction (0 = auto from cost)")
     p.add_argument("--sa_start_layer_idx", type=int, default=2)
     p.add_argument("--sa_tree_thresh", type=float, default=0.9)
     p.add_argument("--sa_tree_temporal_thresh", type=float, default=-1.0)
@@ -159,6 +165,8 @@ def make_spec_factory(args, head_dim: int):
             sa_pyrd_loc_list=args.sa_pyrd_loc_list,
             sa_pyrd_size_list=args.sa_pyrd_size_list,
             sa_framefusion_cost=args.sa_framefusion_cost,
+            sa_framefusion_compact_layer=args.sa_framefusion_compact_layer,
+            sa_framefusion_compact_budget=args.sa_framefusion_compact_budget,
             # merged buffers tile for the splash kernel (matches the
             # harness's s_full padding; non-128-multiples would silently
             # fall back to XLA attention for the post-merge layer group)
@@ -238,6 +246,16 @@ def main(argv=None):
     if args.prefix_cascade and not (args.prefix_cache and args.batch_size > 1):
         raise SystemExit(
             "--prefix_cascade requires --prefix_cache and --batch_size > 1"
+        )
+    if (args.prefix_cache and args.batch_size >= 8
+            and not (args.prefix_cascade or args.prefix_pool)):
+        print(
+            "WARNING: the flat batched-prefix layout holds one full prefix "
+            "cache per slot; at batch >= 8 this exceeds one v5e's HBM at the "
+            "7B/128-frame point (measured: compile fails, BENCH_SERVING.json "
+            "batched.8.flat). Use --prefix_cascade or --prefix_pool — one "
+            "shared prefix copy, and faster at every measured batch size.",
+            flush=True,
         )
     if args.prefix_pool > 0 and not args.prefix_cache:
         raise SystemExit("--prefix_pool requires --prefix_cache")

@@ -1904,7 +1904,9 @@ def spec_from_pattern(pattern: str, t: int, h: int, w: int, **kw):
         return tuple(specs)
     if pattern in ("framefusion", "merging"):
         return FrameFusionSpec(cost=kw.get("sa_framefusion_cost", 0.3), t=t, h=h, w=w,
-                               enable_prune=pattern == "framefusion")
+                               enable_prune=pattern == "framefusion",
+                               compact_at_layer=kw.get("sa_framefusion_compact_layer", 0),
+                               compact_budget=kw.get("sa_framefusion_compact_budget", 0))
     raise ValueError(f"unknown sa_pattern {pattern!r}")
 
 

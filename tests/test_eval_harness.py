@@ -488,3 +488,30 @@ def test_frame_bucketing_exact_at_k0(tmp_path, synthetic_benchmark):
         assert m0 == m1, s["id"]
         # t_valid fully excludes pad frames from the merge: exact at k=0
         np.testing.assert_allclose(l0, l1, rtol=1e-5, atol=1e-5)
+
+
+def test_cli_smoke_framefusion_compact(tmp_path, synthetic_benchmark):
+    """run_vidqa --sa_pattern framefusion with compaction drives the compact
+    prefill (layers >= C at the budget length) through the full CLI path."""
+    import json as _json
+
+    from sttm_tpu.eval.run_vidqa import main as cli_main
+
+    anno_path, feat_dir, meta_dir, annos = synthetic_benchmark
+    out_dir = tmp_path / "cli_ff_compact"
+    cli_main([
+        "--dataset_name", "videomme",
+        "--anno_filepath", str(anno_path), "--metadata_dir", str(meta_dir),
+        "--smoke", "--first_sample", "--max_new_tokens", "2",
+        "--attention_impl", "xla", "--output_dir", str(out_dir),
+        "--sa_pattern", "framefusion", "--sa_framefusion_cost", "0.5",
+        "--sa_framefusion_compact_layer", "3",
+        "--model_name_or_path", "ckpts/tiny-llava",
+        "--feature_dir", str(feat_dir),
+    ])
+    run_dirs = list(out_dir.iterdir())
+    assert run_dirs, "no run dir created"
+    rt_files = list(run_dirs[0].glob("*runtime*"))
+    assert rt_files
+    rows = [_json.loads(l) for l in rt_files[0].read_text().splitlines()]
+    assert rows and any("compact_exact" in r for r in rows)

@@ -205,3 +205,14 @@ def test_framefusion_generate_and_dispatcher():
     assert qt.kind == "quadtree" and qt.spatial_thresh == 0.8
     py = spec_from_pattern("pyrd", t, 4, 4, sa_pyrd_loc_list=[1, 2], sa_pyrd_size_list=[2, 1])
     assert len(py) == 2 and py[1].h == 2
+
+
+def test_spec_from_pattern_compact_wiring():
+    from sttm_tpu.runtime.generate import spec_from_pattern
+
+    spec = spec_from_pattern(
+        "framefusion", t=4, h=4, w=4,
+        sa_framefusion_cost=0.4, sa_framefusion_compact_layer=3,
+        sa_framefusion_compact_budget=24)
+    assert spec.compact_at_layer == 3 and spec.compact_budget == 24
+    assert spec.enable_prune
