@@ -67,6 +67,11 @@ class EvalConfig:
     # batched, with prefix_cache on both layouts (flat, or prefix_cascade
     # via build_verify_chunk_cascade), and with prefix_pool (paged verify).
     spec_decode_k: int = 0
+    # With spec_decode_k >= 2: draft on device through the first E layers
+    # (self-speculative / layer-skip, build_selfspec_step) instead of the
+    # host n-gram drafter — one fused draft+verify dispatch per cycle.
+    # Per-sample path only (batched/pooled serving keeps the host drafter).
+    spec_draft_layers: int = 0
     # Sequence-parallel prefill devices (1 = off): ring-attention prefill
     # over an sp mesh for prompts beyond one chip's HBM (>128-frame
     # prefills), merged/decoded on device 0 — parallel/ring.py sp_generate.
@@ -204,6 +209,7 @@ class Qwen2VLEvaluator:
             spec_decode_k=cfg.spec_decode_k,
             prompt_ids=[int(i) for i in sample["input_ids"]]
             if cfg.spec_decode_k > 1 else None,
+            spec_draft_layers=cfg.spec_draft_layers,
         )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(
@@ -371,6 +377,7 @@ class LlavaEvaluator:
                 spec_decode_k=cfg.spec_decode_k,
                 prompt_ids=[int(i) for i in sample["input_ids"]]
                 if cfg.spec_decode_k > 1 else None,
+                spec_draft_layers=cfg.spec_draft_layers,
             )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(

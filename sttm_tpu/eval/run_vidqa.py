@@ -111,6 +111,11 @@ def parse_args(argv=None):
                    help=">=2 enables greedy speculative decoding (token-"
                         "exact): n-gram prompt-lookup drafts k-1 tokens, "
                         "one verify dispatch scores them all")
+    p.add_argument("--spec_draft_layers", type=int, default=0,
+                   help="with --spec_decode_k: draft through the first E "
+                        "layers on device (self-speculative / layer-skip) "
+                        "instead of the n-gram drafter; one fused draft+"
+                        "verify dispatch per cycle (per-sample path only)")
     p.add_argument("--prefix_cache", action="store_true",
                    help="reuse the [sys|video] prefill cache across "
                         "questions of the same video (token-exact; ttft_llm "
@@ -199,6 +204,7 @@ def _eval_config(args, name):
         frame_bucket=args.frame_bucket,
         decode_chunk_size=args.decode_chunk_size,
         spec_decode_k=args.spec_decode_k,
+        spec_draft_layers=args.spec_draft_layers,
         batch_size=args.batch_size,
         sp=args.sp,
         prefix_cache=args.prefix_cache,

@@ -308,26 +308,96 @@ def build_verify_step(cfg: DecoderConfig, spec, k: int):
     bounds = _group_bounds(cfg, specs)
 
     def fn(params, tokens, cache, step):
+        return _verify_tokens(params, tokens, cache, step, bounds, cfg, k)
+
+    return jax.jit(fn, donate_argnums=(2,))
+
+
+def _verify_tokens(params, tokens, cache, step, bounds, cfg, k):
+    """Multi-token verify body shared by build_verify_step and
+    build_selfspec_step: score k tokens, write their K/V into tail slots
+    step..step+k-1."""
+    layers = params["layers"]
+    x = qwen2.embed_tokens(params, tokens, cfg)[None]  # [1, k, D]
+    pos = (cache.pos_base + step + jnp.arange(k)).astype(jnp.int32)  # [k]
+    if cfg.mrope_section:  # all three M-RoPE rows advance together
+        pos = jnp.broadcast_to(pos[None], (3, k))
+    cos, sin = qwen2.rope_cos_sin(cfg, pos)
+    new_ks, new_vs = [], []
+    for gi, (lo, hi) in enumerate(bounds):
+        s_c = cache.ks[gi].shape[2]
+        tail_start = s_c - MAX_DECODE
+        x, ck, cv, _ = qwen2.decode_layers(
+            layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
+            cache.lens[gi], step, tail_start, cfg,
+        )
+        new_ks.append(ck)
+        new_vs.append(cv)
+    h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
+    logits = qwen2.lm_head(params, cfg, h)[0]  # [k, V]
+    new_cache = dataclasses.replace(cache, ks=tuple(new_ks), vs=tuple(new_vs))
+    return logits, new_cache
+
+
+@functools.lru_cache(maxsize=8)
+def build_selfspec_step(cfg: DecoderConfig, spec, k: int, exit_layer: int):
+    """Self-speculative decode: draft k-1 tokens through the first
+    ``exit_layer`` layers only (early exit via the final norm + lm_head),
+    then verify all k in the SAME dispatch — a training-free drafter that,
+    unlike prompt-lookup (ngram_draft), needs no repeated token history.
+    Layer-skip drafting in the LayerSkip / Draft&Verify family; greedy
+    verify acceptance keeps any drafter token-exact, so ``exit_layer`` only
+    sets the acceptance rate, never correctness.
+
+    Cost model: the draft scan re-reads the first E of L layers' weights
+    per drafted token, so one dispatch costs ~(1 + (k-1)·E/L) plain steps
+    of HBM traffic vs the accepted+1 tokens it can emit.
+
+    (params, token [1], cache, step) -> (logits [k, V], cache, drafts [k-1]).
+    Draft-phase K/V writes for layers < E land in the same tail slots the
+    verify pass then rewrites with identical values (same inputs through
+    the same layers), so the cache ends exactly as build_verify_step
+    leaves it; rejected slots are handled identically (never visible past
+    the next write bound).
+    """
+    specs = _normalize_specs(spec)
+    bounds = _group_bounds(cfg, specs)
+    e = exit_layer
+    if not 0 < e < cfg.num_layers:
+        raise ValueError(f"exit_layer must be in (0, {cfg.num_layers})")
+
+    def fn(params, token, cache, step):
         layers = params["layers"]
-        x = qwen2.embed_tokens(params, tokens, cfg)[None]  # [1, k, D]
-        pos = (cache.pos_base + step + jnp.arange(k)).astype(jnp.int32)  # [k]
-        if cfg.mrope_section:  # all three M-RoPE rows advance together
-            pos = jnp.broadcast_to(pos[None], (3, k))
-        cos, sin = qwen2.rope_cos_sin(cfg, pos)
-        new_ks, new_vs = [], []
-        for gi, (lo, hi) in enumerate(bounds):
-            s_c = cache.ks[gi].shape[2]
-            tail_start = s_c - MAX_DECODE
-            x, ck, cv, _ = qwen2.decode_layers(
-                layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
-                cache.lens[gi], step, tail_start, cfg,
-            )
-            new_ks.append(ck)
-            new_vs.append(cv)
-        h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
-        logits = qwen2.lm_head(params, cfg, h)[0]  # [k, V]
-        new_cache = dataclasses.replace(cache, ks=tuple(new_ks), vs=tuple(new_vs))
-        return logits, new_cache
+
+        def body(carry, j):
+            cur, ks, vs = carry
+            x = qwen2.embed_tokens(params, cur, cfg)[:, None, :]  # [1, 1, D]
+            pos = (cache.pos_base + step + j)[None].astype(jnp.int32)
+            if cfg.mrope_section:
+                pos = jnp.broadcast_to(pos, (3, 1))
+            cos, sin = qwen2.rope_cos_sin(cfg, pos)
+            ks, vs = list(ks), list(vs)
+            for gi, (lo, hi) in enumerate(bounds):
+                if lo >= e:
+                    break
+                s_c = ks[gi].shape[2]
+                x, ck, cv, _ = qwen2.decode_layers(
+                    layers, lo, min(hi, e), x, cos, sin, ks[gi], vs[gi],
+                    cache.lens[gi], step + j, s_c - MAX_DECODE, cfg,
+                )
+                ks[gi], vs[gi] = ck, cv
+            h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
+            logits = qwen2.lm_head(params, cfg, h)[:, 0]
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (nxt, tuple(ks), tuple(vs)), nxt[0]
+
+        (_, ks, vs), drafts = jax.lax.scan(
+            body, (token, cache.ks, cache.vs), jnp.arange(k - 1, dtype=jnp.int32)
+        )
+        cache = dataclasses.replace(cache, ks=ks, vs=vs)
+        feed = jnp.concatenate([token, drafts])
+        logits, new_cache = _verify_tokens(params, feed, cache, step, bounds, cfg, k)
+        return logits, new_cache, drafts
 
     return jax.jit(fn, donate_argnums=(2,))
 
@@ -1536,6 +1606,7 @@ def generate(
     spec_decode_k: int = 0,
     draft_fn=None,
     prompt_ids=None,
+    spec_draft_layers: int = 0,
 ):
     """Greedy generation. Returns (token_ids list, runtime dict).
 
@@ -1563,6 +1634,11 @@ def generate(
     prompt-lookup over ``prompt_ids`` (if given) + generated ids
     (ngram_draft). Takes precedence over decode_chunk_size; unsupported
     with dycoke/StreamingLLM windows (falls back to their paths).
+    ``spec_draft_layers`` = E > 0 switches to SELF-speculative drafting
+    (build_selfspec_step): the draft runs the first E layers on device,
+    fused with the verify in one dispatch — no token-history repetition
+    needed, acceptance set by how well the early-exit head predicts the
+    full model.
     """
     from .framefusion import FrameFusionSpec
 
@@ -1618,8 +1694,12 @@ def generate(
     )
     if speculative:
         k = max(2, min(spec_decode_k, MAX_DECODE))
-        verify = build_verify_step(cfg, spec_key, k)
-        drafter = draft_fn or ngram_draft
+        selfspec = spec_draft_layers > 0
+        if selfspec:  # layer-skip drafting happens on device, fused w/ verify
+            vstep = build_selfspec_step(cfg, spec_key, k, spec_draft_layers)
+        else:
+            verify = build_verify_step(cfg, spec_key, k)
+            drafter = draft_fn or ngram_draft
         history = (list(prompt_ids) if prompt_ids is not None else []) + ids
         n_drafted = n_hit = 0
         while (
@@ -1627,11 +1707,18 @@ def generate(
             and ids[-1] not in gen.eos_token_ids
             and step + k <= MAX_DECODE
         ):
-            drafts = [int(t) for t in drafter(history, k - 1)]
-            feed = jnp.asarray([ids[-1]] + drafts, jnp.int32)
             t0 = time.perf_counter()
-            logits, cache = verify(params, feed, cache, jnp.int32(step))
-            preds = np.asarray(jnp.argmax(logits, -1))  # host sync
+            if selfspec:
+                logits, cache, drafts_dev = vstep(
+                    params, jnp.asarray([ids[-1]], jnp.int32), cache, jnp.int32(step)
+                )
+                preds = np.asarray(jnp.argmax(logits, -1))  # host sync
+                drafts = [int(t) for t in np.asarray(drafts_dev)]
+            else:
+                drafts = [int(t) for t in drafter(history, k - 1)]
+                feed = jnp.asarray([ids[-1]] + drafts, jnp.int32)
+                logits, cache = verify(params, feed, cache, jnp.int32(step))
+                preds = np.asarray(jnp.argmax(logits, -1))  # host sync
             time_decoding += time.perf_counter() - t0
             # preds[j] = model's next token after feed[j]; accept drafts
             # while they match, then append the model's own token (the

@@ -515,3 +515,30 @@ def test_cli_smoke_framefusion_compact(tmp_path, synthetic_benchmark):
     assert rt_files
     rows = [_json.loads(l) for l in rt_files[0].read_text().splitlines()]
     assert rows and any("compact_exact" in r for r in rows)
+
+
+def test_cli_smoke_selfspec(tmp_path, synthetic_benchmark):
+    """run_vidqa --spec_decode_k with --spec_draft_layers drives the fused
+    layer-skip draft+verify path through the CLI; runtime rows carry the
+    acceptance stats."""
+    import json as _json
+
+    from sttm_tpu.eval.run_vidqa import main as cli_main
+
+    anno_path, feat_dir, meta_dir, annos = synthetic_benchmark
+    out_dir = tmp_path / "cli_selfspec"
+    cli_main([
+        "--dataset_name", "videomme",
+        "--anno_filepath", str(anno_path), "--metadata_dir", str(meta_dir),
+        "--smoke", "--first_sample", "--max_new_tokens", "6",
+        "--attention_impl", "xla", "--output_dir", str(out_dir),
+        "--sa_pattern", "quadtree", "--sa_start_layer_idx", "1",
+        "--sa_tree_thresh", "0.7", "--sa_tree_temporal_thresh", "0.6",
+        "--spec_decode_k", "3", "--spec_draft_layers", "2",
+        "--model_name_or_path", "ckpts/tiny-llava",
+        "--feature_dir", str(feat_dir),
+    ])
+    run_dirs = list(out_dir.iterdir())
+    rt_files = list(run_dirs[0].glob("*runtime*"))
+    rows = [_json.loads(l) for l in rt_files[0].read_text().splitlines()]
+    assert rows and any("spec_drafted" in r for r in rows)

@@ -30,4 +30,8 @@ def test_parity_sweep_regenerates_and_matches():
     assert result["all_match"] is True
     assert len(result["cases"]) == 14  # quadtree sweep
     kinds = {e["kind"] for e in result["extras"]}
-    assert kinds == {"tome", "dycoke", "octree", "framefusion-merge"}
+    assert {"tome", "dycoke", "octree", "framefusion-merge"} <= kinds
+    # round-2 RLHF math vs the vendored TRL torch code
+    assert {"trl-masked-whiten", "trl-ppo-loss"} <= kinds
+    assert any(k.startswith("trl-compute-rewards") for k in kinds)
+    assert any(k.startswith("trl-gae") for k in kinds)
