@@ -249,6 +249,14 @@ def main(argv=None):
                 "--prefix_cache composes with --decode_chunk_size only "
                 "when batched (--batch_size > 1) or pooled (--prefix_pool)"
             )
+    if args.spec_draft_layers > 0:
+        if args.spec_decode_k < 2:
+            raise SystemExit("--spec_draft_layers requires --spec_decode_k >= 2")
+        if args.batch_size > 1 or args.prefix_cache or args.prefix_pool or args.sp > 1:
+            raise SystemExit(
+                "--spec_draft_layers supports the per-sample path only; "
+                "batched/pooled/sp serving uses the host n-gram drafter"
+            )
     if args.prefix_cascade and not (args.prefix_cache and args.batch_size > 1):
         raise SystemExit(
             "--prefix_cascade requires --prefix_cache and --batch_size > 1"

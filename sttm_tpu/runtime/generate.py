@@ -345,15 +345,17 @@ def build_selfspec_step(cfg: DecoderConfig, spec, k: int, exit_layer: int):
     ``exit_layer`` layers only (early exit via the final norm + lm_head),
     then verify all k in the SAME dispatch — a training-free drafter that,
     unlike prompt-lookup (ngram_draft), needs no repeated token history.
-    Layer-skip drafting in the LayerSkip / Draft&Verify family; greedy
-    verify acceptance keeps any drafter token-exact, so ``exit_layer`` only
-    sets the acceptance rate, never correctness.
+    Layer-skip drafting in the LayerSkip / Draft-and-Verify family of
+    self-speculative methods; greedy verify acceptance keeps any drafter
+    token-exact, so ``exit_layer`` only sets the acceptance rate, never
+    correctness.
 
     Cost model: the draft scan re-reads the first E of L layers' weights
     per drafted token, so one dispatch costs ~(1 + (k-1)·E/L) plain steps
     of HBM traffic vs the accepted+1 tokens it can emit.
 
-    (params, token [1], cache, step) -> (logits [k, V], cache, drafts [k-1]).
+    (params, token [1], cache, step) -> (out [2k-1] int32, cache) where
+    out = argmax-preds [k] ++ drafts [k-1] (one small host fetch per cycle).
     Draft-phase K/V writes for layers < E land in the same tail slots the
     verify pass then rewrites with identical values (same inputs through
     the same layers), so the cache ends exactly as build_verify_step
@@ -397,7 +399,11 @@ def build_selfspec_step(cfg: DecoderConfig, spec, k: int, exit_layer: int):
         cache = dataclasses.replace(cache, ks=ks, vs=vs)
         feed = jnp.concatenate([token, drafts])
         logits, new_cache = _verify_tokens(params, feed, cache, step, bounds, cfg, k)
-        return logits, new_cache, drafts
+        # argmax on device, one small fetchable array [2k-1] = preds ++
+        # drafts: the caller needs exactly these ints, and a single host
+        # fetch per cycle matters under ~27 ms/dispatch tunnels
+        preds = jnp.argmax(logits, -1).astype(jnp.int32)
+        return jnp.concatenate([preds, drafts]), new_cache
 
     return jax.jit(fn, donate_argnums=(2,))
 
@@ -1709,11 +1715,11 @@ def generate(
         ):
             t0 = time.perf_counter()
             if selfspec:
-                logits, cache, drafts_dev = vstep(
+                out, cache = vstep(
                     params, jnp.asarray([ids[-1]], jnp.int32), cache, jnp.int32(step)
                 )
-                preds = np.asarray(jnp.argmax(logits, -1))  # host sync
-                drafts = [int(t) for t in np.asarray(drafts_dev)]
+                out = np.asarray(out)  # ONE host sync: preds [k] ++ drafts [k-1]
+                preds, drafts = out[:k], [int(t) for t in out[k:]]
             else:
                 drafts = [int(t) for t in drafter(history, k - 1)]
                 feed = jnp.asarray([ids[-1]] + drafts, jnp.int32)

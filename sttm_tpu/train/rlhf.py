@@ -291,9 +291,13 @@ def make_sample_rollout(cfg: DecoderConfig, prompt_len: int, max_new: int,
             pos = jnp.full((1,), prompt_len, jnp.int32) + t
             cos_t, sin_t = qwen2.rope_cos_sin(cfg, pos)
             x = qwen2.embed_tokens(params, tok[:, None], cfg)
+            # unroll: the rollout cache has a REAL batch axis, and the
+            # scan-form layer loop pays a full cache layout copy per layer
+            # per token on TPU in that case (decode_layers docstring /
+            # CLAUDE.md); static layer indexing keeps the update in place
             x, ck, cv, _ = qwen2.decode_layers(
                 params["layers"], 0, cfg.num_layers, x, cos_t, sin_t,
-                ck, cv, prompt_len, t, prompt_len, cfg)
+                ck, cv, prompt_len, t, prompt_len, cfg, unroll=True)
             h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
             logits = qwen2.lm_head(params, cfg, h)[:, 0].astype(jnp.float32)
             key, kt = jax.random.split(key)

@@ -80,6 +80,21 @@ def main(argv=None):
     ref_params = params  # frozen pre-update policy (KL anchor)
     v_head = rlhf.init_value_head(jax.random.key(args.seed + 2), cfg)
     rm_head = rlhf.init_value_head(jax.random.key(args.seed + 3), cfg)
+    if args.reward_model_path:
+        # the trunk loader covers decoder weights only; the scalar reward
+        # head ships as value_head.npz (w [D,1], b [1]) next to them —
+        # without it the "reward" is a random readout, so refuse to proceed
+        vh_path = os.path.join(args.reward_model_path, "value_head.npz")
+        if os.path.exists(vh_path):
+            import numpy as _np
+
+            vh = _np.load(vh_path)
+            rm_head = {"w": jnp.asarray(vh["w"], jnp.float32),
+                       "b": jnp.asarray(vh["b"], jnp.float32)}
+        else:
+            raise SystemExit(
+                f"--reward_model_path has no value_head.npz at {vh_path}; "
+                "a reward model without its trained head scores noise")
 
     ppo_cfg = rlhf.PPOConfig(
         cliprange=args.cliprange, cliprange_value=args.cliprange,
@@ -93,24 +108,34 @@ def main(argv=None):
         data = json.load(fp)
     rank0_print(f"loaded {len(data)} prompts")
 
-    from .dataset import preprocess_qwen_chat
+    from .dataset import _encode_with_image, preprocess_qwen_chat
+
+    # generation header, NOT a closed empty assistant turn: the rollout must
+    # be conditioned on "<|im_start|>assistant\n" with no <|im_end|>, or the
+    # policy samples a brand-new turn after a terminated (empty) answer
+    gen_header = _encode_with_image("<|im_start|>assistant\n", tokenizer)
 
     def prompt_tokens(sample):
-        convs = list(sample["prompt"]) + [{"from": "gpt", "value": ""}]
-        ids, _ = preprocess_qwen_chat(convs, tokenizer)
-        ids = ids[: args.prompt_len]
+        ids, _ = preprocess_qwen_chat(list(sample["prompt"]), tokenizer)
+        ids = list(ids) + list(gen_header)
+        # left-truncate: keep the final user turn + generation header
+        ids = ids[-args.prompt_len :]
         pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
-        return [pad_id] * (args.prompt_len - len(ids)) + list(ids)
+        return [pad_id] * (args.prompt_len - len(ids)) + ids
 
     import optax
 
     tx = optax.adam(args.learning_rate)
     opt_state = tx.init((params, v_head))
+    # frozen trees (rm_params/ref_params) are jit ARGUMENTS, not closures:
+    # closed-over params bake the full weights into the executable as
+    # constants (7 GB per program at the 7B point; CLAUDE.md numerics rules)
     rollout = jax.jit(rlhf.make_sample_rollout(
         cfg, args.prompt_len, args.max_new_tokens, args.temperature))
-    score_fn = jax.jit(lambda ids, m: rlhf.reward_score(rm_params, rm_head, cfg, ids, m))
-    exp_fn = jax.jit(lambda p, vh, ids, mask, scores, coef: rlhf.ppo_make_experience(
-        p, ref_params, vh, cfg, ids, mask, scores, ppo_cfg, coef))
+    score_fn = jax.jit(lambda rp, rh, ids, m: rlhf.reward_score(rp, rh, cfg, ids, m))
+    exp_fn = jax.jit(lambda p, refp, vh, ids, mask, scores, coef:
+                     rlhf.ppo_make_experience(p, refp, vh, cfg, ids, mask,
+                                              scores, ppo_cfg, coef))
     step_fn = jax.jit(rlhf.make_ppo_train_step(cfg, ppo_cfg, tx))
 
     s_total = args.prompt_len + args.max_new_tokens
@@ -128,8 +153,9 @@ def main(argv=None):
         prompts = jnp.asarray([prompt_tokens(data[i]) for i in idx], jnp.int32)
         key, kroll = jax.random.split(key)
         ids = rollout(params, prompts, kroll)
-        scores = score_fn(ids, attn_mask)
-        batch, mean_kl = exp_fn(params, v_head, ids, resp_mask, scores, kl_ctl.value)
+        scores = score_fn(rm_params, rm_head, ids, attn_mask)
+        batch, mean_kl = exp_fn(params, ref_params, v_head, ids, resp_mask,
+                                scores, kl_ctl.value)
         for _ in range(args.ppo_epochs):
             params, v_head, opt_state, loss, stats = step_fn(
                 params, v_head, opt_state, batch)
@@ -142,7 +168,10 @@ def main(argv=None):
         if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
             path = os.path.abspath(os.path.join(args.output_dir, f"checkpoint_{step + 1}"))
             if not os.path.isdir(path):
-                save_checkpoint(path, params, opt_state, step + 1)
+                # v_head rides the payload: opt_state is shaped for
+                # (params, v_head), so resume needs both trees
+                save_checkpoint(path, {"policy": params, "v_head": v_head},
+                                opt_state, step + 1)
     rank0_print("ppo done")
     return float(loss)
 
