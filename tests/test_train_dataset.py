@@ -132,3 +132,23 @@ def test_run_ppo_smoke(tmp_path):
                      "--save_every", "2", "--log_every", "1"])
     assert np.isfinite(loss)
     assert os.path.isdir(out / "checkpoint_2")
+
+
+def test_run_rm_smoke(tmp_path):
+    from sttm_tpu.train.run_rm import main as rm_main
+
+    data = [
+        {"prompt": [{"from": "human", "value": f"q{i}?"}],
+         "chosen": f"good answer {i}.", "rejected": f"bad {i}.", "margin": 0.5}
+        for i in range(4)
+    ]
+    p = tmp_path / "pairs.json"
+    p.write_text(json.dumps(data))
+    out = tmp_path / "run"
+    loss = rm_main(["--data_path", str(p), "--output_dir", str(out), "--smoke",
+                    "--steps", "2", "--batch_size", "2", "--seq_len", "96",
+                    "--use_margin", "--save_every", "2", "--log_every", "1"])
+    assert np.isfinite(loss) and loss > 0
+    assert os.path.isdir(out / "checkpoint_2")
+    vh = np.load(out / "value_head.npz")  # the artifact run_ppo consumes
+    assert vh["w"].ndim == 2 and vh["b"].shape == (1,)
