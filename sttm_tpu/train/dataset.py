@@ -16,7 +16,10 @@ import numpy as np
 
 from ..models.llava import IMAGE_TOKEN_INDEX
 
-__all__ = ["IGNORE_INDEX", "preprocess_qwen_chat", "SFTDataset", "pad_collate"]
+__all__ = [
+    "IGNORE_INDEX", "preprocess_qwen_chat", "preprocess_vicuna_v1",
+    "PREPROCESSORS", "SFTDataset", "pad_collate", "mm_collate",
+]
 
 IGNORE_INDEX = -100
 DEFAULT_IMAGE_TOKEN = "<image>"
@@ -77,6 +80,73 @@ def preprocess_qwen_chat(
     return input_ids, labels
 
 
+VICUNA_SYSTEM = (
+    "A chat between a curious user and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the user's "
+    "questions."
+)
+
+
+def preprocess_vicuna_v1(
+    conversations: list[dict],
+    tokenizer,
+    system_message: str = VICUNA_SYSTEM,
+    unmask_token_ids: tuple = (),
+):
+    """Vicuna v1 template (SeparatorStyle.TWO): ``{system} USER: {q}
+    ASSISTANT: {a}</s>`` per round — the reference's preprocess_v1
+    (llava/train/train.py:776-851) over conv_vicuna_v1
+    (llava/conversation.py:345-354, sep=" ", sep2="</s>").
+
+    The reference masks by token-count arithmetic over the rendered string
+    (train.py:813-841, with the -2/-1 BOS offsets of its sentencepiece
+    tokenizer); this port applies the same *semantics* segment-wise —
+    system + user turns + the "ASSISTANT:" role header masked, answer +
+    trailing sep2 supervised — which transfers across tokenizers. Used by
+    the Vicuna config family (models/config.py VICUNA_7B).
+    """
+    roles = {"human": "user", "gpt": "assistant"}
+    msgs = []
+    for conv in conversations:
+        role = conv.get("role", conv.get("from"))
+        content = conv.get("content", conv.get("value"))
+        msgs.append({"role": roles.get(role, role), "content": content})
+    if msgs and msgs[0]["role"] != "user":
+        msgs = msgs[1:]
+
+    input_ids: list[int] = []
+    labels: list[int] = []
+
+    def add(text: str, supervised: bool):
+        seg = _encode_with_image(text, tokenizer)
+        input_ids.extend(seg)
+        for tok in seg:
+            if tok == IMAGE_TOKEN_INDEX:
+                labels.append(IGNORE_INDEX)
+            elif supervised or tok in unmask_token_ids:
+                labels.append(tok)
+            else:
+                labels.append(IGNORE_INDEX)
+
+    add(system_message + " ", supervised=False)
+    for m in msgs:
+        if m["role"] == "user":
+            add(f"USER: {m['content']} ", supervised=False)
+        else:
+            add("ASSISTANT: ", supervised=False)
+            add(f"{m['content']}</s>", supervised=True)
+    return input_ids, labels
+
+
+# conv-version dispatch (the reference's preprocess() switch,
+# llava/train/train.py:1009-1035: conv version -> preprocess_* function)
+PREPROCESSORS = {
+    "qwen": preprocess_qwen_chat,
+    "v1": preprocess_vicuna_v1,
+    "vicuna_v1": preprocess_vicuna_v1,
+}
+
+
 class SFTDataset:
     """Lazy dataset over a llava-format annotation JSON: a list of
     {"conversations": [...], optional "video"/"image" keys}. Feature loading
@@ -84,12 +154,16 @@ class SFTDataset:
     media key so trainers can splice features (train.py:1009-1343)."""
 
     def __init__(self, data_path: str, tokenizer, max_len: int = 2048,
-                 system_message: str = "You are a helpful assistant."):
+                 system_message: str | None = None, conv_version: str = "qwen"):
         with open(data_path) as fp:
             self.data = json.load(fp)
         self.tokenizer = tokenizer
         self.max_len = max_len
-        self.system_message = system_message
+        if conv_version not in PREPROCESSORS:
+            raise ValueError(
+                f"unknown conv_version {conv_version!r} (have {sorted(PREPROCESSORS)})")
+        self.conv_version = conv_version
+        self.system_message = system_message  # None -> the template's default
 
     def __len__(self):
         return len(self.data)
@@ -105,9 +179,11 @@ class SFTDataset:
 
     def __getitem__(self, idx: int) -> dict:
         d = self.data[idx]
-        ids, labels = preprocess_qwen_chat(
-            d["conversations"], self.tokenizer, self.system_message
-        )
+        fn = PREPROCESSORS[self.conv_version]
+        if self.system_message is None:
+            ids, labels = fn(d["conversations"], self.tokenizer)
+        else:
+            ids, labels = fn(d["conversations"], self.tokenizer, self.system_message)
         ids, labels = ids[: self.max_len], labels[: self.max_len]
         return {
             "input_ids": ids,
@@ -115,6 +191,52 @@ class SFTDataset:
             "media": d.get("video", d.get("image")),
             "id": d.get("id", idx),
         }
+
+
+def mm_collate(batch: list[dict], pad_to: int, n_video: int, pad_id: int = 0):
+    """Multimodal collate: expand each sample's single IMAGE_TOKEN_INDEX
+    placeholder into ``n_video`` slots — the host-side half of the
+    reference's prepare_inputs_labels_for_multimodal expansion
+    (llava/model/llava_arch.py:324); the training forward
+    (``sft.mm_forward``) overwrites the slots' embeddings with projected
+    video features in-graph so gradients reach the projector.
+
+    -> dict(input_ids [B, pad_to] int32 (video slots = pad_id),
+            labels [B, pad_to] int32 (video slots = IGNORE_INDEX),
+            video_start [B] int32, has_video [B] bool).
+    Text-only samples get video_start 0 / has_video False (their splice is
+    a no-op, like the reference's dummy 0-weight image feature path).
+    """
+    b = len(batch)
+    ids = np.full((b, pad_to), pad_id, np.int32)
+    labels = np.full((b, pad_to), IGNORE_INDEX, np.int32)
+    video_start = np.zeros((b,), np.int32)
+    has_video = np.zeros((b,), bool)
+    for i, s in enumerate(batch):
+        row = list(s["input_ids"])
+        lab = list(s["labels"])
+        img = [j for j, t in enumerate(row) if t == IMAGE_TOKEN_INDEX]
+        if len(img) > 1:
+            raise ValueError(f"sample {i}: {len(img)} image tokens (expected <= 1)")
+        if img:
+            p = img[0]
+            if p + n_video > pad_to:
+                raise ValueError(
+                    f"sample {i}: video span [{p}, {p + n_video}) exceeds pad_to={pad_to}"
+                )
+            row = row[:p] + [pad_id] * n_video + row[p + 1 :]
+            lab = lab[:p] + [IGNORE_INDEX] * n_video + lab[p + 1 :]
+            video_start[i] = p
+            has_video[i] = True
+        n = min(len(row), pad_to)
+        ids[i, :n] = np.asarray(row[:n], np.int32)
+        labels[i, :n] = np.asarray(lab[:n], np.int32)
+    return {
+        "input_ids": ids,
+        "labels": labels,
+        "video_start": video_start,
+        "has_video": has_video,
+    }
 
 
 def pad_collate(batch: list[dict], pad_to: int, pad_id: int = 0):

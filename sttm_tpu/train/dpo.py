@@ -14,9 +14,12 @@ import optax
 
 from ..models import qwen2
 from ..models.config import DecoderConfig
-from .sft import IGNORE_INDEX
+from .sft import IGNORE_INDEX, mm_forward
 
-__all__ = ["sequence_logprobs", "dpo_loss", "make_dpo_train_step"]
+__all__ = [
+    "sequence_logprobs", "dpo_loss", "make_dpo_train_step",
+    "mm_sequence_logprobs", "mm_dpo_loss", "make_mm_dpo_train_step",
+]
 
 
 def sequence_logprobs(params, cfg: DecoderConfig, input_ids, labels):
@@ -44,6 +47,58 @@ def dpo_loss(params, ref_params, cfg, chosen_ids, chosen_labels, rejected_ids,
     loss = -jax.nn.log_sigmoid(beta * logits).mean()
     reward_acc = (logits > 0).mean()
     return loss, reward_acc
+
+
+def _summed_token_logprobs(logits, labels):
+    tgt = labels[:, 1:]
+    lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    mask = tgt != IGNORE_INDEX
+    tok_lp = jnp.take_along_axis(lp, jnp.where(mask, tgt, 0)[..., None], axis=-1)[..., 0]
+    return jnp.sum(tok_lp * mask, axis=-1)
+
+
+def mm_sequence_logprobs(params, lcfg, input_ids, labels, video_feats,
+                         video_start, has_video):
+    """Summed per-sequence logprobs through the multimodal training forward
+    (video features spliced in-graph; gradients reach the projector). The
+    reference's DPO trainer computes the same over multimodal batches
+    (llava/train/train_dpo.py)."""
+    logits = mm_forward(params, lcfg, input_ids, video_feats, video_start, has_video)
+    return _summed_token_logprobs(logits, labels)
+
+
+def mm_dpo_loss(params, ref_params, lcfg, batch, beta: float = 0.1):
+    """Sigmoid DPO over a multimodal batch: chosen/rejected responses share
+    the sample's video (train_dpo.py pairs both over one clip). batch keys:
+    chosen_ids/chosen_labels/rejected_ids/rejected_labels [B, S],
+    video_feats [B, T, P, C], video_start [B], has_video [B]."""
+    vf, vs, hv = batch["video_feats"], batch["video_start"], batch["has_video"]
+    pc = mm_sequence_logprobs(params, lcfg, batch["chosen_ids"], batch["chosen_labels"], vf, vs, hv)
+    pr = mm_sequence_logprobs(params, lcfg, batch["rejected_ids"], batch["rejected_labels"], vf, vs, hv)
+    rc = jax.lax.stop_gradient(
+        mm_sequence_logprobs(ref_params, lcfg, batch["chosen_ids"], batch["chosen_labels"], vf, vs, hv))
+    rr = jax.lax.stop_gradient(
+        mm_sequence_logprobs(ref_params, lcfg, batch["rejected_ids"], batch["rejected_labels"], vf, vs, hv))
+    logits = (pc - pr) - (rc - rr)
+    loss = -jax.nn.log_sigmoid(beta * logits).mean()
+    reward_acc = (logits > 0).mean()
+    return loss, reward_acc
+
+
+def make_mm_dpo_train_step(lcfg, tx, beta: float = 0.1):
+    """(params, ref_params, opt_state, batch) -> (params, opt_state, loss,
+    acc); params = {"lm", "mm"} as in sft.mm_forward."""
+
+    def step(params, ref_params, opt_state, batch):
+        def lf(p):
+            return mm_dpo_loss(p, ref_params, lcfg, batch, beta)
+
+        (loss, acc), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    return step
 
 
 def make_dpo_train_step(cfg: DecoderConfig, tx, beta: float = 0.1):

@@ -32,7 +32,7 @@ __all__ = [
     "init_value_head", "forward_with_value", "token_logprobs",
     "reward_score", "reward_loss", "make_reward_train_step",
     "compute_rewards", "compute_advantages", "ppo_loss", "make_ppo_train_step",
-    "make_sample_rollout", "ppo_make_experience",
+    "make_sample_rollout", "ppo_make_experience", "make_best_of_n",
 ]
 
 
@@ -360,3 +360,45 @@ def make_ppo_train_step(cfg: DecoderConfig, ppo_cfg: PPOConfig, tx):
         return params, v_head, opt_state, loss, stats
 
     return step
+
+
+def make_best_of_n(cfg: DecoderConfig, prompt_len: int, max_new: int,
+                   sample_size: int = 4, n_candidates: int = 1,
+                   temperature: float = 1.0):
+    """Best-of-N sampling over the reward head (the vendored TRL
+    BestOfNSampler, trl/extras/best_of_n_sampler.py:62-113).
+
+    The reference loops queries on the host, repeats each query
+    ``sample_size`` times, generates, decodes to text, and scores via a
+    host callable; here the whole thing is ONE jittable program: tile the
+    prompt batch, run the batched sampling rollout, score every candidate
+    with ``reward_score``, and gather the top ``n_candidates`` rows per
+    query with a static top-k.
+
+    Returns best_of_n(params, v_head, prompt_ids [B, prompt_len], key) ->
+    (ids [B, n_candidates, prompt_len + max_new], scores [B, n_candidates]).
+    Pass ``score_fn(ids, mask) -> [B*N]`` to ``best_of_n`` via functools
+    partial-application at call sites that need a custom scorer (the
+    reference's queries_to_scores hook) by wrapping this builder.
+    """
+    if n_candidates > sample_size:
+        raise ValueError(f"n_candidates {n_candidates} > sample_size {sample_size}")
+    rollout = make_sample_rollout(cfg, prompt_len, max_new, temperature)
+    s_c = prompt_len + max_new
+
+    def best_of_n(params, v_head, prompt_ids, key, score_fn=None):
+        b = prompt_ids.shape[0]
+        tiled = jnp.repeat(prompt_ids, sample_size, axis=0)  # [B*N, P]
+        ids = rollout(params, tiled, key)  # [B*N, P+T]
+        mask = jnp.ones((b * sample_size, s_c), jnp.int32)
+        if score_fn is None:
+            scores = reward_score(params, v_head, cfg, ids, mask)
+        else:
+            scores = score_fn(ids, mask)
+        scores = scores.reshape(b, sample_size)
+        top_scores, top_idx = jax.lax.top_k(scores, n_candidates)
+        cand = ids.reshape(b, sample_size, s_c)
+        best = jnp.take_along_axis(cand, top_idx[:, :, None], axis=1)
+        return best, top_scores
+
+    return best_of_n

@@ -32,8 +32,23 @@ def parse_args(argv=None):
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the layer scan (memory for FLOPs)")
+    p.add_argument("--multimodal", action="store_true",
+                   help="train the multimodal forward: features -> projector "
+                        "(trainable) -> splice at the image token -> trunk CE "
+                        "(reference llava_arch.py:324 in training mode)")
+    p.add_argument("--feature_dir", default="",
+                   help="dir of per-video {vid}.npy SigLIP features "
+                        "[T, P_vis, C_vis]; smoke mode synthesizes them")
+    p.add_argument("--frames", type=int, default=8,
+                   help="frames per video in the multimodal batch")
+    p.add_argument("--mm_projector_lr", type=float, default=0.0,
+                   help="split LR for the projector group (reference "
+                        "llava_trainer.py:356 mm_projector_lr); 0 = shared LR")
     p.add_argument("--save_every", type=int, default=50)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--conv_version", default="qwen",
+                   help="chat template: qwen | v1/vicuna_v1 (the reference's "
+                        "per-version preprocess dispatch, train.py:1009-1035)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -68,16 +83,45 @@ def main(argv=None):
         tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path)
         params = load_safetensors_dir(cfg, args.model_name_or_path)
 
+    lcfg = None
+    if args.multimodal:
+        from ..models.llava import (
+            LlavaConfig, init_multimodal_params, load_projector_safetensors,
+        )
+        from .sft import make_mm_train_step
+
+        if args.smoke:
+            lcfg = LlavaConfig(decoder=cfg, vision_hidden_size=24,
+                               vision_patches_per_side=4, spatial_pool_stride=2)
+            mm = init_multimodal_params(lcfg, jax.random.key(args.seed + 1))
+        else:
+            lcfg = LlavaConfig(decoder=cfg)
+            mm = load_projector_safetensors(lcfg, args.model_name_or_path)
+        params = {"lm": params, "mm": mm}
+        n_video = args.frames * lcfg.tokens_per_frame()
+        p_vis = lcfg.vision_patches_per_side ** 2
+
     mesh = None
     if args.dp * args.tp > 1:
         mesh = create_mesh(dp=args.dp, tp=args.tp)
-        params = shard_params(params, mesh)
+        if args.multimodal:
+            params = {"lm": shard_params(params["lm"], mesh), "mm": params["mm"]}
+        else:
+            params = shard_params(params, mesh)
 
-    dataset = SFTDataset(args.data_path, tokenizer, max_len=args.seq_len)
+    dataset = SFTDataset(args.data_path, tokenizer, max_len=args.seq_len,
+                         conv_version=args.conv_version)
     rank0_print(f"loaded {len(dataset)} samples from {args.data_path}")
 
-    tx, opt_state = init_train_state(params, args.learning_rate, args.weight_decay)
-    step_fn = make_train_step(cfg, tx, remat=args.remat)
+    module_lrs = {"mm": args.mm_projector_lr} if (
+        args.multimodal and args.mm_projector_lr > 0) else None
+    tx, opt_state = init_train_state(
+        params, args.learning_rate, args.weight_decay, module_lrs=module_lrs
+    )
+    if args.multimodal:
+        step_fn = make_mm_train_step(lcfg, tx, remat=args.remat)
+    else:
+        step_fn = make_train_step(cfg, tx, remat=args.remat)
 
     def ckpt_path(step):
         return os.path.abspath(os.path.join(args.output_dir, f"checkpoint_{step}"))
@@ -105,10 +149,26 @@ def main(argv=None):
 
             return rec(tree)
 
-        pshard = to_sharding(param_specs(params))
+        if args.multimodal:
+            pshard = {
+                "lm": to_sharding(param_specs(params["lm"])),
+                "mm": jax.tree.map(lambda _: NamedSharding(mesh, P()), params["mm"]),
+            }
+        else:
+            pshard = to_sharding(param_specs(params))
         data_sharding = NamedSharding(mesh, P("dp", None))
-        jstep = jax.jit(step_fn, in_shardings=(pshard, None, data_sharding, data_sharding),
-                        out_shardings=(pshard, None, None))
+        if args.multimodal:
+            row_sharding = NamedSharding(mesh, P("dp"))
+            batch_shardings = {
+                "input_ids": data_sharding, "labels": data_sharding,
+                "video_start": row_sharding, "has_video": row_sharding,
+                "video_feats": NamedSharding(mesh, P("dp", None, None, None)),
+            }
+            jstep = jax.jit(step_fn, in_shardings=(pshard, None, batch_shardings),
+                            out_shardings=(pshard, None, None))
+        else:
+            jstep = jax.jit(step_fn, in_shardings=(pshard, None, data_sharding, data_sharding),
+                            out_shardings=(pshard, None, None))
     else:
         data_sharding = None
         jstep = jax.jit(step_fn)
@@ -123,17 +183,42 @@ def main(argv=None):
             cursor = 0
         batch = [dataset[i] for i in order[cursor : cursor + args.batch_size]]
         cursor += args.batch_size
-        ids, labels = pad_collate(batch, args.seq_len)
-        if (labels != -100).sum() == 0:
-            rank0_print(
-                f"WARNING: step {step + 1}: no supervised tokens in batch "
-                f"(seq_len {args.seq_len} may truncate every assistant span)"
+        if args.multimodal:
+            from .dataset import mm_collate
+
+            mb = mm_collate(batch, args.seq_len, n_video)
+            feats = np.zeros(
+                (len(batch), args.frames, p_vis, lcfg.vision_hidden_size), np.float32
             )
-        ids, labels = jnp.asarray(ids), jnp.asarray(labels)
-        if data_sharding is not None:
-            ids = jax.device_put(ids, data_sharding)
-            labels = jax.device_put(labels, data_sharding)
-        params, opt_state, loss = jstep(params, opt_state, ids, labels)
+            frng = np.random.default_rng(args.seed + step)
+            for i, s in enumerate(batch):
+                if not mb["has_video"][i]:
+                    continue
+                if args.feature_dir and s.get("media"):
+                    vid = os.path.splitext(os.path.basename(str(s["media"])))[0]
+                    f = np.load(os.path.join(args.feature_dir, f"{vid}.npy"))
+                    feats[i] = f[: args.frames]
+                else:  # smoke: synthetic features
+                    feats[i] = frng.normal(size=feats[i].shape)
+            mb["video_feats"] = feats
+            if (mb["labels"] != -100).sum() == 0:
+                rank0_print(f"WARNING: step {step + 1}: no supervised tokens in batch")
+            mb = {k: jnp.asarray(v) for k, v in mb.items()}
+            if mesh is not None:
+                mb = {k: jax.device_put(v, batch_shardings[k]) for k, v in mb.items()}
+            params, opt_state, loss = jstep(params, opt_state, mb)
+        else:
+            ids, labels = pad_collate(batch, args.seq_len)
+            if (labels != -100).sum() == 0:
+                rank0_print(
+                    f"WARNING: step {step + 1}: no supervised tokens in batch "
+                    f"(seq_len {args.seq_len} may truncate every assistant span)"
+                )
+            ids, labels = jnp.asarray(ids), jnp.asarray(labels)
+            if data_sharding is not None:
+                ids = jax.device_put(ids, data_sharding)
+                labels = jax.device_put(labels, data_sharding)
+            params, opt_state, loss = jstep(params, opt_state, ids, labels)
         if (step + 1) % args.log_every == 0 or step == start_step:
             rank0_print(f"step {step + 1}/{args.steps} loss {float(loss):.4f}")
         if (step + 1) % args.save_every == 0 or step + 1 == args.steps:

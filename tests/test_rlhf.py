@@ -184,3 +184,57 @@ def test_ppo_step_runs_and_updates(tiny_params):
         jax.tree.map(lambda a, b_: (a.astype(jnp.float32) - b_.astype(jnp.float32)),
                      params, tiny_params), 0.0)
     assert delta > 0.0
+
+
+def test_best_of_n_selects_highest_reward():
+    """make_best_of_n: one batched rollout + reward-head scoring must return
+    the same candidates a host-side loop over the scored samples picks
+    (the vendored TRL BestOfNSampler semantics,
+    trl/extras/best_of_n_sampler.py:100-113)."""
+    cfg = TINY
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    v_head = rlhf.init_value_head(jax.random.key(1), cfg)
+    b, prompt_len, max_new, n = 2, 6, 5, 4
+    prompts = jnp.asarray(
+        np.random.default_rng(2).integers(1, 200, size=(b, prompt_len)), jnp.int32)
+
+    bon = rlhf.make_best_of_n(cfg, prompt_len, max_new, sample_size=n,
+                              n_candidates=2)
+    best, top_scores = jax.jit(bon)(params, v_head, prompts, jax.random.key(3))
+    assert best.shape == (b, 2, prompt_len + max_new)
+    assert top_scores.shape == (b, 2)
+    # prompts preserved in every returned candidate
+    for q in range(b):
+        for c in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(best[q, c, :prompt_len]), np.asarray(prompts[q]))
+    # oracle: rescore the rollout directly and check the argmax row matches
+    rollout = rlhf.make_sample_rollout(cfg, prompt_len, max_new)
+    ids = rollout(params, jnp.repeat(prompts, n, axis=0), jax.random.key(3))
+    mask = jnp.ones(ids.shape, jnp.int32)
+    scores = np.asarray(rlhf.reward_score(params, v_head, cfg, ids, mask)).reshape(b, n)
+    cand = np.asarray(ids).reshape(b, n, -1)
+    for q in range(b):
+        order = np.argsort(-scores[q])
+        np.testing.assert_array_equal(np.asarray(best[q, 0]), cand[q, order[0]])
+        np.testing.assert_allclose(np.asarray(top_scores[q, 0]),
+                                   scores[q, order[0]], rtol=1e-5)
+    # scores strictly ordered
+    assert float(top_scores[0, 0]) >= float(top_scores[0, 1])
+    with pytest.raises(ValueError):
+        rlhf.make_best_of_n(cfg, prompt_len, max_new, sample_size=2, n_candidates=3)
+
+
+def test_best_of_n_custom_score_fn():
+    cfg = TINY
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    v_head = rlhf.init_value_head(jax.random.key(1), cfg)
+    prompts = jnp.asarray(
+        np.random.default_rng(4).integers(1, 200, size=(1, 4)), jnp.int32)
+    bon = rlhf.make_best_of_n(cfg, 4, 3, sample_size=3, n_candidates=1)
+
+    def score_fn(ids, mask):  # favor the candidate with the largest last token
+        return ids[:, -1].astype(jnp.float32)
+
+    best, sc = bon(params, v_head, prompts, jax.random.key(5), score_fn=score_fn)
+    assert float(sc[0, 0]) == float(best[0, 0, -1])

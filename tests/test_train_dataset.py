@@ -152,3 +152,50 @@ def test_run_rm_smoke(tmp_path):
     assert os.path.isdir(out / "checkpoint_2")
     vh = np.load(out / "value_head.npz")  # the artifact run_ppo consumes
     assert vh["w"].ndim == 2 and vh["b"].shape == (1,)
+
+
+def test_preprocess_vicuna_v1_masking():
+    """Vicuna v1 template (preprocess_v1, train.py:776-851 over
+    conv_vicuna_v1): system + USER turns + the ASSISTANT role header are
+    masked; the answer and its trailing </s> are supervised."""
+    from sttm_tpu.train.dataset import VICUNA_SYSTEM, preprocess_vicuna_v1
+
+    convs = [
+        {"from": "human", "value": "<image>\nWhat is this?"},
+        {"from": "gpt", "value": "A cat."},
+        {"from": "human", "value": "Sure?"},
+        {"from": "gpt", "value": "Yes."},
+    ]
+    tok = ByteTok()
+    ids, labels = preprocess_vicuna_v1(convs, tok)
+    assert len(ids) == len(labels)
+    img = [i for i, t in enumerate(ids) if t == IMAGE_TOKEN_INDEX]
+    assert len(img) == 1 and labels[img[0]] == IGNORE_INDEX
+    # system + " " fully masked
+    sys_len = len(tok.encode(VICUNA_SYSTEM + " "))
+    assert all(l == IGNORE_INDEX for l in labels[:sys_len])
+    # supervised ids == exactly the two answers with </s>
+    sup = [l for l in labels if l != IGNORE_INDEX]
+    assert sup == tok.encode("A cat.</s>") + tok.encode("Yes.</s>")
+    # leading assistant turn dropped
+    ids2, _ = preprocess_vicuna_v1([{"from": "gpt", "value": "hi"}] + convs, tok)
+    assert ids2 == ids
+
+
+def test_sft_dataset_conv_version_dispatch(tmp_path):
+    from sttm_tpu.train.dataset import PREPROCESSORS
+
+    assert set(PREPROCESSORS) >= {"qwen", "v1", "vicuna_v1"}
+    data = [{"conversations": [
+        {"from": "human", "value": "q?"}, {"from": "gpt", "value": "a."}]}]
+    p = tmp_path / "anns.json"
+    p.write_text(json.dumps(data))
+    ds_q = SFTDataset(str(p), ByteTok(), max_len=512, conv_version="qwen")
+    ds_v = SFTDataset(str(p), ByteTok(), max_len=512, conv_version="v1")
+    assert ds_q[0]["input_ids"] != ds_v[0]["input_ids"]
+    # vicuna rendering contains "USER: " bytes
+    user = ByteTok().encode("USER: ")
+    row = ds_v[0]["input_ids"]
+    assert any(row[i : i + len(user)] == user for i in range(len(row)))
+    with pytest.raises(ValueError, match="conv_version"):
+        SFTDataset(str(p), ByteTok(), conv_version="nope")

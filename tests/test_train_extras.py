@@ -81,3 +81,30 @@ def test_module_lrs():
     d_default = float(jnp.abs(new["layers"]["w"] - 1).max())
     d_mm = float(jnp.abs(new["mm"]["p"] - 1).max())
     assert d_mm > 10 * d_default  # mm group stepped with the larger LR
+
+
+def test_iterative_sft_trainer():
+    """IterativeSFT: ad-hoc per-step batches, labels default to input_ids,
+    texts path tokenizes (trl/trainer/iterative_sft_trainer.py:207-300)."""
+    import pytest
+
+    from sttm_tpu.models import qwen2
+    from sttm_tpu.models.config import TINY
+    from sttm_tpu.train.sft import IterativeSFT
+
+    class ByteTok:
+        def encode(self, text, add_special_tokens=False):
+            return [ord(c) % 250 for c in text]
+
+    params = qwen2.init_params(TINY, jax.random.key(0))
+    tr = IterativeSFT(TINY, params, tokenizer=ByteTok(), learning_rate=5e-3,
+                      max_length=32)
+    rows = [[5, 6, 7, 8, 9, 10] * 3, [11, 12, 13] * 5]
+    losses = [tr.step(input_ids=rows) for _ in range(5)]
+    assert losses[-1] < losses[0]
+    assert tr.global_step == 5
+    # texts path
+    l = tr.step(texts=["hello world", "iterate me"])
+    assert np.isfinite(l)
+    with pytest.raises(ValueError, match="input_ids or texts"):
+        tr.step()
