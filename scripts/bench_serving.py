@@ -38,14 +38,18 @@ def main():
     ap.add_argument("--s_sfx", type=int, default=64)
     args = ap.parse_args()
 
+    sys.path.insert(0, ".")
     if args.tiny:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from bench import _enable_compile_cache
+
+        _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
     from bench import build_case
 
     from sttm_tpu.runtime.generate import (
@@ -162,21 +166,47 @@ def main():
 
     # -- 3. batched speculative decode over the shared prefix ----------------
     # One verify dispatch scores B*k candidate tokens for ~one weight read.
-    # Ceiling: oracle drafter (every draft accepted -> ceil(n/k) dispatches).
     # Floor: adversarial drafter (one accepted token per dispatch) prices the
-    # per-dispatch overhead vs a plain batched step.
+    # per-dispatch overhead vs a plain batched step. Ceiling: SELF-CONSISTENT
+    # oracle — drafts come from the adversarial pass's OWN emitted chain
+    # (pure verify-program corrections), so acceptance is not depressed by
+    # argmax near-tie flips between DIFFERENT compiled programs (the round-2
+    # flaw: drafting from the flat-decode program's output measured tie-flip
+    # rate, not the verify ceiling — VERDICT r2 weak #2, CLAUDE.md).
     results["spec_batched"] = {}
     k = 8
-    for b in batches[:2]:  # extended-tail cache: keep the HBM footprint modest
+    for b in batches:
         sfx_b = jnp.asarray(0.02 * rng.normal(size=(b, s_sfx, d)), cfg.dtype)
         lens = [s_sfx // 2 + (i % 3) for i in range(b)]
         entry = {}
         try:
-            want, _ = generate_batch_from_prefix(
-                params, cfg, pc2, sfx_b, lens, spec, gen, decode_chunk_size=1,
-            )
+            def adversarial(history, n):
+                return [(history[-1] + 1) % 250] * n
 
-            def oracle(history, n, _want=want):
+            # warm with the SAME gen: tail_slots = k*(max_new-1) is part of
+            # the compiled shape, so a shorter warm-up would recompile
+            # inside the timed run
+            generate_batch_from_prefix(
+                params, cfg, pc2, sfx_b, lens, spec, gen,
+                spec_decode_k=k, draft_fn=adversarial,
+            )
+            ids_adv, rt = generate_batch_from_prefix(
+                params, cfg, pc2, sfx_b, lens, spec, gen,
+                spec_decode_k=k, draft_fn=adversarial,
+            )
+            n_tok = sum(rt["num_dec_token"]) - b
+            entry["adversarial"] = {
+                "decode_tok_per_s": n_tok / rt["time_decoding"],
+                "ms_per_dispatch": 1e3 * rt["time_decoding"]
+                / max(rt["spec_dispatches"], 1),
+                "dispatches": rt["spec_dispatches"],
+                "accept_rate": rt["spec_accepted"] / max(rt["spec_drafted"], 1),
+            }
+            print(f"b={b} spec[adversarial]: "
+                  f"{entry['adversarial']['decode_tok_per_s']:.1f} tok/s "
+                  f"x{rt['spec_dispatches']} dispatches", flush=True)
+
+            def oracle(history, n, _want=ids_adv):
                 r = history[0]
                 m = len(history) - 1
                 nxt = list(_want[r][m: m + n])
@@ -184,48 +214,33 @@ def main():
                     nxt.append(history[-1])
                 return nxt
 
-            def adversarial(history, n):
-                return [(history[-1] + 1) % 250] * n
-
-            for name, drafter in (("oracle", oracle), ("adversarial", adversarial)):
-                hist = [[r] for r in range(b)] if name == "oracle" else None
-                # warm with the SAME gen: tail_slots = k*(max_new-1) is part
-                # of the compiled shape, so a shorter warm-up would recompile
-                # inside the timed run
-                generate_batch_from_prefix(
-                    params, cfg, pc2, sfx_b, lens, spec, gen,
-                    spec_decode_k=k, histories=hist, draft_fn=drafter,
-                )
-                ids, rt = generate_batch_from_prefix(
-                    params, cfg, pc2, sfx_b, lens, spec, gen,
-                    spec_decode_k=k, histories=hist, draft_fn=drafter,
-                )
-                if name == "oracle":
-                    # exactness is asserted on CPU fp32 in tests; on-TPU,
-                    # argmax near-ties can flip between the verify and
-                    # plain-decode programs (CLAUDE.md), so record rather
-                    # than abort
-                    flips = sum(
-                        a != b for i_, w_ in zip(ids, want)
-                        for a, b in zip(i_, w_)
-                    )
-                    entry["oracle_token_flips_vs_flat"] = flips
-                    if flips:
-                        print(f"b={b} spec[oracle]: {flips} near-tie token "
-                              f"flips vs plain decode (expected on TPU)",
-                              flush=True)
-                n_tok = sum(rt["num_dec_token"]) - b
-                entry[name] = {
-                    "decode_tok_per_s": n_tok / rt["time_decoding"],
-                    "ms_per_dispatch": 1e3 * rt["time_decoding"]
-                    / max(rt["spec_dispatches"], 1),
-                    "dispatches": rt["spec_dispatches"],
-                    "accept_rate": rt["spec_accepted"] / max(rt["spec_drafted"], 1),
-                }
-                print(f"b={b} spec[{name}]: "
-                      f"{entry[name]['decode_tok_per_s']:.1f} tok/s, "
-                      f"{entry[name]['ms_per_dispatch']:.2f} ms/dispatch "
-                      f"x{rt['spec_dispatches']}", flush=True)
+            hist = [[r] for r in range(b)]
+            ids_o, rt_o = generate_batch_from_prefix(
+                params, cfg, pc2, sfx_b, lens, spec, gen,
+                spec_decode_k=k, histories=hist, draft_fn=oracle,
+            )
+            # residual flips: same compiled verify program, drafts = its own
+            # chain; only tail-slot reduction-order near-ties can differ
+            flips = sum(
+                a != c for i_, w_ in zip(ids_o, ids_adv)
+                for a, c in zip(i_, w_)
+            )
+            entry["oracle_token_flips_vs_selfchain"] = flips
+            if flips:
+                print(f"b={b} spec[oracle]: {flips} residual near-tie flips "
+                      f"vs the program's own chain", flush=True)
+            n_tok = sum(rt_o["num_dec_token"]) - b
+            entry["oracle"] = {
+                "decode_tok_per_s": n_tok / rt_o["time_decoding"],
+                "ms_per_dispatch": 1e3 * rt_o["time_decoding"]
+                / max(rt_o["spec_dispatches"], 1),
+                "dispatches": rt_o["spec_dispatches"],
+                "accept_rate": rt_o["spec_accepted"] / max(rt_o["spec_drafted"], 1),
+            }
+            print(f"b={b} spec[oracle]: "
+                  f"{entry['oracle']['decode_tok_per_s']:.1f} tok/s, "
+                  f"accept {entry['oracle']['accept_rate']:.2f} "
+                  f"x{rt_o['spec_dispatches']} dispatches", flush=True)
             flat = results["batched"].get(str(b), {}).get("flat", {})
             if "decode_tok_per_s" in flat:
                 entry["oracle_speedup_vs_flat"] = (

@@ -1,0 +1,86 @@
+"""Splash-attention block sweep at the bench operating points (VERDICT r2 #4).
+
+Round 2 landed 1280/2560/256 (q/kv/kv-compute) at 66% MFU, swept at 25.6k
+only. This sweeps a wider grid at BOTH the full (25.6k) and merged (12.8k)
+lengths, reports per-call MFU against the v5e bf16 peak, and records the
+best combo per length so bench.py's prefill can pick per-shape blocks.
+
+Usage: python scripts/sweep_splash.py   (real chip; ~minutes with warm cache)
+Writes BENCH_SPLASH_SWEEP.json.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import sys
+import time
+
+import numpy as np
+
+V5E_BF16_PEAK = 197e12
+
+
+def main():
+    sys.path.insert(0, ".")
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from sttm_tpu.ops.attention import _splash_mha
+
+    hq, hkv, hd = 28, 4, 128
+    rng = np.random.default_rng(0)
+    results = {}
+    for s in (25600, 12800):
+        q = jnp.asarray(rng.normal(size=(1, s, hq, hd)) * 0.1, jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(1, s, hkv, hd)) * 0.1, jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(1, s, hkv, hd)) * 0.1, jnp.bfloat16)
+        vl = jnp.int32(s)
+        # causal: S*(S+1)/2 scored pairs; QK^T + AV each 2*hd FLOPs per pair
+        flops = 2 * (s * (s + 1) / 2) * hd * 2 * hq
+        grid = {}
+        combos = [
+            (1024, 1024, 1024), (1280, 2560, 256),  # round-2 reference points
+            (1280, 2560, 128), (1280, 2560, 512),
+            (1280, 1280, 256), (2560, 2560, 256), (2560, 2560, 512),
+            (1280, 3200, 256), (640, 2560, 256), (1280, 6400, 256),
+            (3200, 3200, 256), (1280, 12800, 256), (2560, 6400, 256),
+        ]
+        for bq, bkv, bkc in combos:
+            if s % bq or s % bkv or bkv % bkc:
+                continue
+            try:
+                f = jax.jit(lambda q, k, v, vl, bq=bq, bkv=bkv, bkc=bkc: _splash_mha(
+                    q, k, v, vl, hd**-0.5,
+                    block_q=bq, block_kv=bkv, block_kv_compute=bkc))
+                np.asarray(f(q, k, v, vl))[0, 0, 0]  # warm
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    out = f(q, k, v, vl)
+                    np.asarray(out[0, :8, 0, 0])  # small host fetch = sync
+                    times.append(time.perf_counter() - t0)
+                dt = float(np.median(times)) - 0.027  # tunnel RTT
+                mfu = flops / dt / V5E_BF16_PEAK
+                grid[f"{bq}/{bkv}/{bkc}"] = {"ms": round(dt * 1e3, 2),
+                                             "mfu": round(mfu, 4)}
+                print(f"S={s} {bq}/{bkv}/{bkc}: {dt*1e3:.1f} ms  MFU {mfu:.3f}",
+                      flush=True)
+            except Exception as e:
+                grid[f"{bq}/{bkv}/{bkc}"] = {"error": str(e)[:120]}
+                print(f"S={s} {bq}/{bkv}/{bkc}: FAILED {type(e).__name__}",
+                      flush=True)
+        best = min((v["ms"], k) for k, v in grid.items() if "ms" in v)
+        grid["best"] = {"combo": best[1], "ms": best[0]}
+        results[str(s)] = grid
+
+    with open("BENCH_SPLASH_SWEEP.json", "w") as fp:
+        json.dump(results, fp, indent=2)
+    print(json.dumps({s: r["best"] for s, r in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

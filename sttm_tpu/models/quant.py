@@ -23,6 +23,7 @@ import jax.numpy as jnp
 __all__ = [
     "quantize_tensor", "dequantize", "quantize_params", "is_quantized",
     "matmul_w8a8", "quantize_tensor_int4", "is_quantized4", "matmul_w4",
+    "fuse_layer_projections",
 ]
 
 # weight matrices worth quantizing (stacked-layer projections)
@@ -159,9 +160,56 @@ def quantize_params(params: dict, host: bool = True, bits: int = 8) -> dict:
     return out
 
 
-def random_quantized_init(cfg, key, bits: int = 8) -> dict:
+def fuse_layer_projections(params: dict) -> dict:
+    """Concatenate the per-layer QKV and gate/up projections along the
+    OUTPUT axis: wq|wk|wv -> "wqkv" [L, D, Nq+2*Nkv], wg|wu -> "wgu"
+    [L, D, 2*I] (biases fused likewise). The decoder splits the outputs
+    (qwen2.qkv_proj / mlp_block dispatch on the fused keys).
+
+    Why: decode GEMVs are weight-bandwidth-bound and XLA streams each at
+    ~90% of HBM peak, but a 28-layer step still issues 196 separate GEMV
+    ops whose per-op ramp-in/out never overlaps (round-2 gap: 12.9 ms/token
+    measured vs the 8.4 ms int8 weight-read floor). Fusing QKV and gate/up
+    keeps the math identical (same columns, same per-output-channel scales)
+    while cutting the op count to ~112 with larger, better-streaming reads.
+
+    Works for bf16, int8 ("q"/"s" concat) and int4 ("q4"/"s") layouts.
+    Note: the fused layout is a SINGLE-CHIP serving optimization — tp
+    sharding splits the out axis across section boundaries; shard first,
+    fuse per shard, or keep unfused params for multi-chip.
+    """
+
+    def cat(ws, axis=-1):
+        if is_quantized(ws[0]):
+            return {"q": jnp.concatenate([w["q"] for w in ws], axis=axis),
+                    "s": jnp.concatenate([w["s"] for w in ws], axis=axis)}
+        if is_quantized4(ws[0]):
+            return {"q4": jnp.concatenate([w["q4"] for w in ws], axis=axis),
+                    "s": jnp.concatenate([w["s"] for w in ws], axis=axis)}
+        return jnp.concatenate(ws, axis=axis)
+
+    layers = dict(params["layers"])
+    if all(k in layers for k in ("wq", "wk", "wv")):
+        layers["wqkv"] = cat([layers.pop("wq"), layers.pop("wk"), layers.pop("wv")])
+        if "bq" in layers:
+            layers["bqkv"] = jnp.concatenate(
+                [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")], axis=-1
+            )
+    if all(k in layers for k in ("wg", "wu")):
+        layers["wgu"] = cat([layers.pop("wg"), layers.pop("wu")])
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def random_quantized_init(cfg, key, bits: int = 8, on_device: bool = True) -> dict:
     """Random params with projections born int8/int4 (benchmarking: avoids
-    ever materializing full-precision weights on device)."""
+    ever materializing full-precision weights on device).
+
+    on_device=True (default) generates the int8 tensors with jax.random on
+    the accelerator — host generation + transfer of ~6.7 GB through the
+    remote-TPU tunnel dominated the bench's wall-clock (the driver-timeout
+    fight, BENCH_r02 rc=124); on-device generation is seconds."""
     import numpy as np
 
     from . import qwen2
@@ -171,19 +219,26 @@ def random_quantized_init(cfg, key, bits: int = 8) -> dict:
     proto = qwen2.init_params(small, key)  # one layer on device (tiny)
     rng = np.random.default_rng(0)
     l = cfg.num_layers
+    keys = iter(jax.random.split(jax.random.key(0), 64))
+
+    def rand_int8(shape, lo, hi):
+        if on_device:
+            return jax.random.randint(next(keys), shape, lo, hi, dtype=jnp.int8)
+        return jnp.asarray(rng.integers(lo, hi, size=shape, dtype=np.int8))
+
     layers = {}
     for k, v in proto["layers"].items():
         shape = (l,) + v.shape[1:]
         if k in _QUANT_KEYS and bits == 4:
             pshape = (l, shape[1] // 2, shape[2])
             layers[k] = {
-                "q4": jnp.asarray(rng.integers(-128, 128, size=pshape, dtype=np.int8)),
+                "q4": rand_int8(pshape, -128, 128),
                 "s": jnp.full((l,) + (1,) * (len(shape) - 2) + (shape[-1],),
                               v.shape[-2] ** -0.5 / 4.0, jnp.float32),
             }
         elif k in _QUANT_KEYS:
             layers[k] = {
-                "q": jnp.asarray(rng.integers(-127, 128, size=shape, dtype=np.int8)),
+                "q": rand_int8(shape, -127, 128),
                 "s": jnp.full((l,) + (1,) * (len(shape) - 2) + (shape[-1],),
                               v.shape[-2] ** -0.5 / 64.0, jnp.float32),
             }

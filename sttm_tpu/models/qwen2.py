@@ -195,13 +195,28 @@ def _take_layer(layers: dict, li) -> dict:
 
 
 def qkv_proj(lp: dict, h, cfg: DecoderConfig):
-    """QKV projection; biases only when the config family has them."""
+    """QKV projection; biases only when the config family has them.
+
+    A fused "wqkv" weight (quant.fuse_layer_projections) runs ONE matmul and
+    splits the outputs — identical math (same columns, same per-channel
+    scales), ~3x fewer decode GEMV ops (decode is weight-bandwidth-bound and
+    per-op ramp time never overlaps across ops)."""
     b, s, _ = h.shape
-    q = _mat(h, lp["wq"], cfg.act_quant)
-    k = _mat(h, lp["wk"], cfg.act_quant)
-    v = _mat(h, lp["wv"], cfg.act_quant)
-    if "bq" in lp:
-        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+    nq = cfg.num_heads * cfg.head_dim
+    nkv = cfg.num_kv_heads * cfg.head_dim
+    if "wqkv" in lp:
+        qkv = _mat(h, lp["wqkv"], cfg.act_quant)
+        if "bqkv" in lp:
+            qkv = qkv + lp["bqkv"]
+        q = qkv[..., :nq]
+        k = qkv[..., nq : nq + nkv]
+        v = qkv[..., nq + nkv :]
+    else:
+        q = _mat(h, lp["wq"], cfg.act_quant)
+        k = _mat(h, lp["wk"], cfg.act_quant)
+        v = _mat(h, lp["wv"], cfg.act_quant)
+        if "bq" in lp:
+            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
     return (
         q.reshape(b, s, cfg.num_heads, cfg.head_dim),
         k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
@@ -217,6 +232,10 @@ def mlp_block(lp: dict, h: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
 
         return moe_mlp(lp, h, cfg, getattr(cfg, "moe_dispatch", "auto"))
     aq = cfg.act_quant
+    if "wgu" in lp:  # fused gate|up (quant.fuse_layer_projections)
+        gu = _mat(h, lp["wgu"], aq)
+        i = gu.shape[-1] // 2
+        return _mat(mlp_act(gu[..., :i], cfg) * gu[..., i:], lp["wd"], aq)
     return _mat(mlp_act(_mat(h, lp["wg"], aq), cfg) * _mat(h, lp["wu"], aq), lp["wd"], aq)
 
 

@@ -63,3 +63,59 @@ def test_splash_mha_kv_compute_subblock_matches():
     out = _splash_mha(q, k, v, valid, sm_scale, interpret=True,
                       block_q=128, block_kv=256, block_kv_compute=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_fuse_layer_projections_exact():
+    """Fused wqkv/wgu (quant.fuse_layer_projections) must reproduce the
+    unfused forward: same columns + same per-output-channel scales, so the
+    int8 path is integer-exact and bf16 agrees to fp tolerance."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sttm_tpu.models import qwen2
+    from sttm_tpu.models.config import TINY
+    from sttm_tpu.models.quant import fuse_layer_projections, quantize_params
+
+    cfg = dataclasses.replace(TINY, dtype=jnp.float32)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    fused = fuse_layer_projections(params)
+    assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5, cfg.hidden_size)), jnp.float32)
+    lp = jax.tree.map(lambda a: a[1], params["layers"])
+    lpf = jax.tree.map(lambda a: a[1], fused["layers"])
+    q0, k0, v0 = qwen2.qkv_proj(lp, x, cfg)
+    q1, k1, v1 = qwen2.qkv_proj(lpf, x, cfg)
+    np.testing.assert_allclose(np.asarray(q0), np.asarray(q1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k0), np.asarray(k1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-5, atol=1e-5)
+    m0 = qwen2.mlp_block(lp, x, cfg)
+    m1 = qwen2.mlp_block(lpf, x, cfg)
+    np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), rtol=1e-5, atol=1e-5)
+
+    # int8 path: integer accumulation with identical scales -> exact match
+    qparams = quantize_params(params, host=False)
+    qcfg = dataclasses.replace(cfg, act_quant=True)
+    qfused = fuse_layer_projections(qparams)
+    lpq = jax.tree.map(lambda a: a[1], qparams["layers"])
+    lpqf = jax.tree.map(lambda a: a[1], qfused["layers"])
+    q0, k0, v0 = qwen2.qkv_proj(lpq, x, qcfg)
+    q1, k1, v1 = qwen2.qkv_proj(lpqf, x, qcfg)
+    np.testing.assert_array_equal(np.asarray(q0), np.asarray(q1))
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    m0 = qwen2.mlp_block(lpq, x, qcfg)
+    m1 = qwen2.mlp_block(lpqf, x, qcfg)
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+
+    # full generate() end-to-end: fused params produce the same tokens
+    from sttm_tpu.runtime.generate import GenerateConfig, generate
+
+    emb = jnp.asarray(np.random.default_rng(1).normal(size=(1, 64, cfg.hidden_size)) * 0.1, jnp.float32)
+    gen = GenerateConfig(max_new_tokens=6, eos_token_ids=())
+    ids0, _ = generate(params, cfg, emb, 40, 4, None, gen)
+    ids1, _ = generate(fused, cfg, emb, 40, 4, None, gen)
+    assert ids0 == ids1
