@@ -318,6 +318,11 @@ def main():
         "speedup": speedup,
         "visual_merged_ratio_pct_raw_features": raw_ratio,
         "visual_merged_ratio_pct_in_model_random_weights": 100.0 * visual_kept / nv,
+        "merged_ratio_note": (
+            "the raw-features ratio (~47%) is the tuned operating point; the "
+            "in-model ratio is an artifact of RANDOM weights (attention with "
+            "random projections homogenizes tokens and over-merges). Timing "
+            "is budget-bound either way (static shapes)."),
         "prefill_tokens_per_s_base": valid / ttft_base,
         "prefill_tokens_per_s_merged": valid / ttft_merged,
         "roofline": {

@@ -21,7 +21,8 @@ import time
 import numpy as np
 
 
-def run_decode(params, cfg, spec, embeds, valid, vstart, impl, n_tokens, chunk):
+def run_decode(params, cfg, spec, embeds, valid, vstart, impl, n_tokens, chunk,
+               unroll=False):
     import jax
     import jax.numpy as jnp
 
@@ -31,9 +32,9 @@ def run_decode(params, cfg, spec, embeds, valid, vstart, impl, n_tokens, chunk):
     # warm (compile)
     generate(params, cfg, embeds, valid, vstart, spec,
              GenerateConfig(max_new_tokens=n_tokens, eos_token_ids=()),
-             impl=impl, decode_chunk_size=chunk)
+             impl=impl, decode_chunk_size=chunk, decode_unroll=unroll)
     ids, rt = generate(params, cfg, embeds, valid, vstart, spec, gen,
-                       impl=impl, decode_chunk_size=chunk)
+                       impl=impl, decode_chunk_size=chunk, decode_unroll=unroll)
     ms_per_tok = 1e3 * rt["time_decoding"] / max(rt["num_dec_token"] - 1, 1)
     return ids, ms_per_tok, rt
 
@@ -47,6 +48,11 @@ def main():
     ap.add_argument("--quant", default="int8w8a")
     ap.add_argument("--tokens", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--unroll", action="store_true",
+                    help="unroll the fused run's layer loop (static weight "
+                         "indices; required for Pallas int4 GEMVs to avoid "
+                         "per-layer weight copies)")
+    ap.add_argument("--out", default="BENCH_DECODE_FUSED.json")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -81,9 +87,11 @@ def main():
     fused = fuse_layer_projections(params)
     del params
     ids_f, ms_f, _ = run_decode(
-        fused, cfg, spec, embeds, valid, vstart, impl, n_tok, chunk)
+        fused, cfg, spec, embeds, valid, vstart, impl, n_tok, chunk,
+        unroll=args.unroll)
     print(f"fused:   {ms_f:.2f} ms/token", flush=True)
     results["fused_ms_per_token"] = ms_f
+    results["unroll"] = args.unroll
     results["speedup"] = ms_u / ms_f
     # token agreement (same math; argmax near-ties may flip under random
     # weights on TPU — record, don't assert; CPU tests assert exactness)
@@ -91,7 +99,7 @@ def main():
     results["token_flips"] = flips
     print(f"speedup {ms_u / ms_f:.3f}x, {flips} token flips", flush=True)
 
-    out = "BENCH_DECODE_FUSED_TINY.json" if args.tiny else "BENCH_DECODE_FUSED.json"
+    out = "BENCH_DECODE_FUSED_TINY.json" if args.tiny else args.out
     with open(out, "w") as fp:
         json.dump(results, fp, indent=2)
 

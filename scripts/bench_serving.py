@@ -237,10 +237,21 @@ def main():
                 "dispatches": rt_o["spec_dispatches"],
                 "accept_rate": rt_o["spec_accepted"] / max(rt_o["spec_drafted"], 1),
             }
+            # the arithmetic ceiling from the MEASURED dispatch cost: at full
+            # acceptance every dispatch emits k tokens per row, so ceiling =
+            # b*k / ms_per_dispatch. Residual accept < 1 under random weights
+            # is pure argmax near-tie numerics (margins ~0; the CPU fp32
+            # suite asserts accept == 1.0 for the same oracle on the same
+            # program — tests/test_batched_spec_decode.py), so the ceiling
+            # is the honest full-acceptance number.
+            ms_d = entry["oracle"]["ms_per_dispatch"]
+            entry["ceiling_tok_per_s_full_acceptance"] = b * k / (ms_d / 1e3)
             print(f"b={b} spec[oracle]: "
                   f"{entry['oracle']['decode_tok_per_s']:.1f} tok/s, "
                   f"accept {entry['oracle']['accept_rate']:.2f} "
-                  f"x{rt_o['spec_dispatches']} dispatches", flush=True)
+                  f"x{rt_o['spec_dispatches']} dispatches; ceiling "
+                  f"{entry['ceiling_tok_per_s_full_acceptance']:.1f} tok/s",
+                  flush=True)
             flat = results["batched"].get(str(b), {}).get("flat", {})
             if "decode_tok_per_s" in flat:
                 entry["oracle_speedup_vs_flat"] = (
@@ -250,6 +261,63 @@ def main():
             entry["error"] = f"{type(e).__name__}: {e}"[:200]
             print(f"b={b} spec: FAILED {type(e).__name__}", flush=True)
         results["spec_batched"][str(b)] = entry
+
+    # -- 3b. batched spec over the CASCADE layout (one shared prefix copy in
+    # the verify dispatches; the config that FITS b=8 where flat's B full
+    # cache copies OOM) -----------------------------------------------------
+    results["spec_batched_cascade"] = {}
+    for b in batches:
+        sfx_b = jnp.asarray(0.02 * rng.normal(size=(b, s_sfx, d)), cfg.dtype)
+        lens = [s_sfx // 2 + (i % 3) for i in range(b)]
+        entry = {}
+        try:
+            def adversarial(history, n):
+                return [(history[-1] + 1) % 250] * n
+
+            generate_batch_from_prefix(
+                params, cfg, pc2, sfx_b, lens, spec, gen,
+                spec_decode_k=k, draft_fn=adversarial, cascade=True,
+            )
+            ids_adv, rt = generate_batch_from_prefix(
+                params, cfg, pc2, sfx_b, lens, spec, gen,
+                spec_decode_k=k, draft_fn=adversarial, cascade=True,
+            )
+
+            def oracle(history, n, _want=ids_adv):
+                r = history[0]
+                m = len(history) - 1
+                nxt = list(_want[r][m: m + n])
+                while len(nxt) < n:
+                    nxt.append(history[-1])
+                return nxt
+
+            hist = [[r] for r in range(b)]
+            ids_o, rt_o = generate_batch_from_prefix(
+                params, cfg, pc2, sfx_b, lens, spec, gen,
+                spec_decode_k=k, histories=hist, draft_fn=oracle, cascade=True,
+            )
+            n_tok = sum(rt_o["num_dec_token"]) - b
+            ms_d = 1e3 * rt_o["time_decoding"] / max(rt_o["spec_dispatches"], 1)
+            entry = {
+                "decode_tok_per_s": n_tok / rt_o["time_decoding"],
+                "ms_per_dispatch": ms_d,
+                "accept_rate": rt_o["spec_accepted"] / max(rt_o["spec_drafted"], 1),
+                "ceiling_tok_per_s_full_acceptance": b * k / (ms_d / 1e3),
+            }
+            casc = results["batched"].get(str(b), {}).get("cascade", {})
+            if "decode_tok_per_s" in casc:
+                entry["oracle_speedup_vs_cascade"] = (
+                    entry["decode_tok_per_s"] / casc["decode_tok_per_s"]
+                )
+            print(f"b={b} spec-cascade[oracle]: "
+                  f"{entry['decode_tok_per_s']:.1f} tok/s, accept "
+                  f"{entry['accept_rate']:.2f}; ceiling "
+                  f"{entry['ceiling_tok_per_s_full_acceptance']:.1f} tok/s",
+                  flush=True)
+        except Exception as e:
+            entry["error"] = f"{type(e).__name__}: {e}"[:200]
+            print(f"b={b} spec-cascade: FAILED {type(e).__name__}", flush=True)
+        results["spec_batched_cascade"][str(b)] = entry
 
     out = "BENCH_SERVING_TINY.json" if args.tiny else "BENCH_SERVING.json"
     with open(out, "w") as fp:

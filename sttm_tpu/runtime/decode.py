@@ -115,6 +115,7 @@ def build_decode_chunk(
     chunk: int,
     attn_sinks: int = 0,
     attn_window: int = 0,
+    unroll: bool = False,
 ):
     """On-device multi-token decode: one dispatch greedily generates ``chunk``
     tokens with a lax.scan over the single-step body (build_decode_step).
@@ -132,7 +133,8 @@ def build_decode_chunk(
     n_run = steps actually decoded).
     """
     decode = build_decode_step(
-        cfg, spec, jit=False, attn_sinks=attn_sinks, attn_window=attn_window
+        cfg, spec, jit=False, attn_sinks=attn_sinks, attn_window=attn_window,
+        unroll=unroll,
     )
 
     def fn(params, token, cache, start_step, done0, eos_arr, n_steps):

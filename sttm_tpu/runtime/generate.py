@@ -105,6 +105,7 @@ def generate(
     draft_fn=None,
     prompt_ids=None,
     spec_draft_layers: int = 0,
+    decode_unroll: bool = False,
 ):
     """Greedy generation. Returns (token_ids list, runtime dict).
 
@@ -137,6 +138,13 @@ def generate(
     fused with the verify in one dispatch — no token-history repetition
     needed, acceptance set by how well the early-exit head predicts the
     full model.
+
+    ``decode_unroll`` unrolls the chunked decode's layer loop with STATIC
+    weight indices — required for Pallas GEMV weights (int4): a custom-call
+    cannot consume a scan's dynamic-slice in place, so the scanned form
+    materializes a full weight copy per layer per token (CLAUDE.md); XLA
+    matmuls fuse the gather for free, so bf16/int8 paths keep the
+    (faster-compiling) scan default.
     """
     from .framefusion import FrameFusionSpec
 
@@ -240,7 +248,8 @@ def generate(
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens - 1))
     if chunk > 1 and dycoke is None and not speculative:
         dchunk = build_decode_chunk(
-            cfg, spec_key, chunk, attn_sinks=attn_sinks, attn_window=attn_window
+            cfg, spec_key, chunk, attn_sinks=attn_sinks, attn_window=attn_window,
+            unroll=decode_unroll,
         )
         eos_arr = jnp.asarray(list(gen.eos_token_ids) or [-1], jnp.int32)
         done = jnp.asarray(ids[-1] in gen.eos_token_ids)

@@ -18,6 +18,7 @@ from ..models.llava import IMAGE_TOKEN_INDEX
 
 __all__ = [
     "IGNORE_INDEX", "preprocess_qwen_chat", "preprocess_vicuna_v1",
+    "preprocess_llama_2", "preprocess_gemma",
     "PREPROCESSORS", "SFTDataset", "pad_collate", "mm_collate",
 ]
 
@@ -138,12 +139,105 @@ def preprocess_vicuna_v1(
     return input_ids, labels
 
 
+LLAMA2_SYSTEM = (
+    "You are a helpful, respectful and honest assistant. Always answer as "
+    "helpfully as possible, while being safe.  Your answers should not "
+    "include any harmful, unethical, racist, sexist, toxic, dangerous, or "
+    "illegal content. Please ensure that your responses are socially "
+    "unbiased and positive in nature.\n\nIf a question does not make any "
+    "sense, or is not factually coherent, explain why instead of answering "
+    "something not correct. If you don't know the answer to a question, "
+    "please don't share false information."
+)
+
+
+def _roles_msgs(conversations):
+    roles = {"human": "user", "gpt": "assistant"}
+    msgs = []
+    for conv in conversations:
+        role = conv.get("role", conv.get("from"))
+        content = conv.get("content", conv.get("value"))
+        msgs.append({"role": roles.get(role, role), "content": content})
+    if msgs and msgs[0]["role"] != "user":
+        msgs = msgs[1:]
+    return msgs
+
+
+def _segment_preprocess(segments, tokenizer, unmask_token_ids=()):
+    """Render (text, supervised) segments to (input_ids, labels) with image
+    placeholders never supervised — the shared core of every template port."""
+    input_ids: list[int] = []
+    labels: list[int] = []
+    for text, supervised in segments:
+        seg = _encode_with_image(text, tokenizer)
+        input_ids.extend(seg)
+        for tok in seg:
+            if tok == IMAGE_TOKEN_INDEX:
+                labels.append(IGNORE_INDEX)
+            elif supervised or tok in unmask_token_ids:
+                labels.append(tok)
+            else:
+                labels.append(IGNORE_INDEX)
+    return input_ids, labels
+
+
+def preprocess_llama_2(
+    conversations: list[dict],
+    tokenizer,
+    system_message: str = LLAMA2_SYSTEM,
+    unmask_token_ids: tuple = (),
+):
+    """Llama-2 chat template (SeparatorStyle.LLAMA_2): per round
+    ``<s>[INST] {q} [/INST] {a} </s>`` with ``<<SYS>>`` wrapping the system
+    prompt into the first instruction — the reference's preprocess_llama_2
+    (llava/train/train.py:614-699 over conv_llama_2,
+    llava/conversation.py:142-160). Instruction segments (incl. "[/INST] ")
+    are masked; answers + their trailing " </s>" are supervised."""
+    msgs = _roles_msgs(conversations)
+    wrap_sys = f"<<SYS>>\n{system_message}\n<</SYS>>\n\n" if system_message else ""
+    segments = []
+    for i, m in enumerate(msgs):
+        if m["role"] == "user":
+            content = (wrap_sys + m["content"]) if i == 0 else m["content"]
+            segments.append((f"<s>[INST] {content} [/INST]", False))
+        else:
+            segments.append((f" {m['content']} </s>", True))
+    return _segment_preprocess(segments, tokenizer, unmask_token_ids)
+
+
+def preprocess_gemma(
+    conversations: list[dict],
+    tokenizer,
+    system_message: str = "",
+    unmask_token_ids: tuple = (),
+):
+    """Gemma instruct template (SeparatorStyle.GEMMA): per turn
+    ``<start_of_turn>{role}\\n{content}<end_of_turn>\\n`` with roles
+    user/model and no system prompt — the reference's preprocess_gemma
+    (llava/train/train.py over conv_gemma_instruct,
+    llava/conversation.py:131-140,454). Model answers + their trailing
+    ``<end_of_turn>\\n`` are supervised; user turns and role headers are
+    masked."""
+    del system_message  # conv_gemma_instruct has no system prompt
+    msgs = _roles_msgs(conversations)
+    segments = []
+    for m in msgs:
+        if m["role"] == "user":
+            segments.append((f"<start_of_turn>user\n{m['content']}<end_of_turn>\n", False))
+        else:
+            segments.append(("<start_of_turn>model\n", False))
+            segments.append((f"{m['content']}<end_of_turn>\n", True))
+    return _segment_preprocess(segments, tokenizer, unmask_token_ids)
+
+
 # conv-version dispatch (the reference's preprocess() switch,
 # llava/train/train.py:1009-1035: conv version -> preprocess_* function)
 PREPROCESSORS = {
     "qwen": preprocess_qwen_chat,
     "v1": preprocess_vicuna_v1,
     "vicuna_v1": preprocess_vicuna_v1,
+    "llama_2": preprocess_llama_2,
+    "gemma": preprocess_gemma,
 }
 
 

@@ -199,3 +199,40 @@ def test_sft_dataset_conv_version_dispatch(tmp_path):
     assert any(row[i : i + len(user)] == user for i in range(len(row)))
     with pytest.raises(ValueError, match="conv_version"):
         SFTDataset(str(p), ByteTok(), conv_version="nope")
+
+
+def test_preprocess_llama2_and_gemma_masking():
+    """Llama-2 ([INST]...[/INST] answer </s>) and Gemma (<start_of_turn>)
+    templates: answers + trailing separators supervised, everything else
+    masked (reference preprocess_llama_2 / preprocess_gemma dispatch,
+    train.py:614-699, conversation.py:131-160)."""
+    from sttm_tpu.train.dataset import preprocess_gemma, preprocess_llama_2
+
+    convs = [
+        {"from": "human", "value": "<image>\nWhat is this?"},
+        {"from": "gpt", "value": "A cat."},
+        {"from": "human", "value": "Sure?"},
+        {"from": "gpt", "value": "Yes."},
+    ]
+    tok = ByteTok()
+
+    ids, labels = preprocess_llama_2(convs, tok)
+    assert len(ids) == len(labels)
+    img = [i for i, t in enumerate(ids) if t == IMAGE_TOKEN_INDEX]
+    assert len(img) == 1 and labels[img[0]] == IGNORE_INDEX
+    sup = [l for l in labels if l != IGNORE_INDEX]
+    assert sup == tok.encode(" A cat. </s>") + tok.encode(" Yes. </s>")
+    # system prompt is wrapped into the FIRST instruction: <s>[INST] <<SYS>>
+    head = tok.encode("<s>[INST] <<SYS>>")
+    assert ids[: len(head)] == head
+
+    ids_g, labels_g = preprocess_gemma(convs, tok)
+    sup_g = [l for l in labels_g if l != IGNORE_INDEX]
+    assert sup_g == tok.encode("A cat.<end_of_turn>\n") + tok.encode("Yes.<end_of_turn>\n")
+    head_g = tok.encode("<start_of_turn>user\n")
+    assert ids_g[: len(head_g)] == head_g
+    # role header of the model turn is masked
+    hdr = tok.encode("<start_of_turn>model\n")
+    s = ids_g
+    pos = next(i for i in range(len(s)) if s[i : i + len(hdr)] == hdr)
+    assert all(l == IGNORE_INDEX for l in labels_g[pos : pos + len(hdr)])
