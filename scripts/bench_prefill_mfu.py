@@ -31,22 +31,28 @@ import time
 import numpy as np
 
 
-def _timed(fn, arg, n=3):
+def _timed(fn, args, n=3):
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(arg)
+        out = fn(*args)
         np.asarray(out[:1, :8])  # device->host sync (tunnel)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
 
 def slope_time(build_scan, lo=4, hi=20, n=3):
-    """Per-iteration seconds via two-point slope (cancels dispatch RTT)."""
+    """Per-iteration seconds via two-point slope (cancels dispatch RTT).
+
+    build_scan(iters) returns a jitted fn with .__wrapped_args__ — the
+    operands are ARGUMENTS, never closures: a closed-over bf16 weight is
+    baked into the program as a constant and the remote-compile request
+    then exceeds the tunnel's body limit (HTTP 413 at gate/down shapes).
+    """
     f_lo, f_hi = build_scan(lo), build_scan(hi)
-    x = f_lo.__wrapped_arg__
-    t_lo = _timed(f_lo, x, n)
-    t_hi = _timed(f_hi, x, n)
+    args = f_lo.__wrapped_args__
+    t_lo = _timed(f_lo, args, n)
+    t_hi = _timed(f_hi, args, n)
     return (t_hi - t_lo) / (hi - lo)
 
 
@@ -85,18 +91,23 @@ def main():
         wq = quantize_tensor(w) if quant else w
         x0 = jax.random.normal(kx, (S, K), jnp.bfloat16)
 
-        def body(x, _):
-            if quant:
-                y = matmul_w8a8(x, wq)
-            else:
-                y = jnp.matmul(x, wq, preferred_element_type=jnp.float32
-                               ).astype(jnp.bfloat16)
-            # scalar fold-back: keeps the chain without an extra HBM pass
-            return x * (1.0 + 1e-20 * y[0, 0].astype(jnp.bfloat16)), None
+        def body_w(w):
+            def body(x, _):
+                if quant:
+                    y = matmul_w8a8(x, w)
+                else:
+                    y = jnp.matmul(x, w, preferred_element_type=jnp.float32
+                                   ).astype(jnp.bfloat16)
+                # scalar fold-back: keeps the chain w/o an extra HBM pass
+                return x * (1.0 + 1e-20 * y[0, 0].astype(jnp.bfloat16)), None
+
+            return body
 
         def build(iters):
-            f = jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
-            f.__wrapped_arg__ = x0
+            f = jax.jit(
+                lambda x, w: jax.lax.scan(body_w(w), x, None, length=iters)[0]
+            )
+            f.__wrapped_args__ = (x0, wq)
             return f
 
         sec = slope_time(build)
@@ -135,7 +146,7 @@ def main():
 
         def build(iters):
             f = jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
-            f.__wrapped_arg__ = x0
+            f.__wrapped_args__ = (x0,)
             return f
 
         sec = slope_time(build)

@@ -176,9 +176,23 @@ def main():
     results["spec_batched"] = {}
     k = 8
     for b in batches:
+        entry = {}
+        # The flat layout holds B full-cache copies; where the plain batched
+        # flat leg already hit RESOURCE_EXHAUSTED, the spec-flat leg cannot
+        # fit either — and a failed large allocation through the axon tunnel
+        # poisons subsequent allocations (measured: after a flat-b=8 OOM even
+        # a 4 MB asarray OOMs). Skip instead of re-failing.
+        flat_prev = results["batched"].get(str(b), {}).get("flat", {})
+        if "error" in flat_prev:
+            entry["skipped"] = (
+                "flat layout OOMs at this batch (see batched[b].flat.error); "
+                "cascade is the layout that fits — spec_batched_cascade"
+            )
+            print(f"b={b} spec[flat]: SKIPPED (flat layout OOMs)", flush=True)
+            results["spec_batched"][str(b)] = entry
+            continue
         sfx_b = jnp.asarray(0.02 * rng.normal(size=(b, s_sfx, d)), cfg.dtype)
         lens = [s_sfx // 2 + (i % 3) for i in range(b)]
-        entry = {}
         try:
             def adversarial(history, n):
                 return [(history[-1] + 1) % 250] * n
@@ -257,6 +271,37 @@ def main():
                 entry["oracle_speedup_vs_flat"] = (
                     entry["oracle"]["decode_tok_per_s"] / flat["decode_tok_per_s"]
                 )
+            # iterate the oracle once: draft from the ORACLE pass's own
+            # output. Each near-tie flip early in a dispatch discards the
+            # dispatch's remaining drafts (accept 0.60 from only 4 flips at
+            # b=2); the chain is deterministic per program, so one more
+            # iteration converges acceptance toward 1.0 and gives the
+            # MEASURED full-acceptance throughput, not just the arithmetic
+            # ceiling.
+            def oracle2(history, n, _want=ids_o):
+                r = history[0]
+                m = len(history) - 1
+                nxt = list(_want[r][m: m + n])
+                while len(nxt) < n:
+                    nxt.append(history[-1])
+                return nxt
+
+            hist2 = [[r] for r in range(b)]
+            ids_o2, rt_o2 = generate_batch_from_prefix(
+                params, cfg, pc2, sfx_b, lens, spec, gen,
+                spec_decode_k=k, histories=hist2, draft_fn=oracle2,
+            )
+            n_tok2 = sum(rt_o2["num_dec_token"]) - b
+            entry["oracle_iter2"] = {
+                "decode_tok_per_s": n_tok2 / rt_o2["time_decoding"],
+                "accept_rate": rt_o2["spec_accepted"]
+                / max(rt_o2["spec_drafted"], 1),
+                "dispatches": rt_o2["spec_dispatches"],
+            }
+            print(f"b={b} spec[oracle iter2]: "
+                  f"{entry['oracle_iter2']['decode_tok_per_s']:.1f} tok/s, "
+                  f"accept {entry['oracle_iter2']['accept_rate']:.2f}",
+                  flush=True)
         except Exception as e:
             entry["error"] = f"{type(e).__name__}: {e}"[:200]
             print(f"b={b} spec: FAILED {type(e).__name__}", flush=True)
@@ -309,6 +354,32 @@ def main():
                 entry["oracle_speedup_vs_cascade"] = (
                     entry["decode_tok_per_s"] / casc["decode_tok_per_s"]
                 )
+
+            def oracle2(history, n, _want=ids_o):
+                r = history[0]
+                m = len(history) - 1
+                nxt = list(_want[r][m: m + n])
+                while len(nxt) < n:
+                    nxt.append(history[-1])
+                return nxt
+
+            hist2 = [[r] for r in range(b)]
+            ids_o2, rt_o2 = generate_batch_from_prefix(
+                params, cfg, pc2, sfx_b, lens, spec, gen,
+                spec_decode_k=k, histories=hist2, draft_fn=oracle2,
+                cascade=True,
+            )
+            n_tok2 = sum(rt_o2["num_dec_token"]) - b
+            entry["oracle_iter2"] = {
+                "decode_tok_per_s": n_tok2 / rt_o2["time_decoding"],
+                "accept_rate": rt_o2["spec_accepted"]
+                / max(rt_o2["spec_drafted"], 1),
+                "dispatches": rt_o2["spec_dispatches"],
+            }
+            print(f"b={b} spec-cascade[oracle iter2]: "
+                  f"{entry['oracle_iter2']['decode_tok_per_s']:.1f} tok/s, "
+                  f"accept {entry['oracle_iter2']['accept_rate']:.2f}",
+                  flush=True)
             print(f"b={b} spec-cascade[oracle]: "
                   f"{entry['decode_tok_per_s']:.1f} tok/s, accept "
                   f"{entry['accept_rate']:.2f}; ceiling "

@@ -72,6 +72,15 @@ class EvalConfig:
     # host n-gram drafter — one fused draft+verify dispatch per cycle.
     # Per-sample path only (batched/pooled serving keeps the host drafter).
     spec_draft_layers: int = 0
+    # Sampling (runtime/sampling.py): temperature > 0 switches token
+    # selection from greedy (the reference's do_sample=False default,
+    # eval_vidqa_by_feat_llavavideo.py:167) to temperature/top-k/top-p
+    # sampling with a seed-deterministic per-step key. Sampling uses the
+    # per-step decode path (speculative/chunked decode stay greedy-only).
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    sample_seed: int = 0
     # Sequence-parallel prefill devices (1 = off): ring-attention prefill
     # over an sp mesh for prompts beyond one chip's HBM (>128-frame
     # prefills), merged/decoded on device 0 — parallel/ring.py sp_generate.
@@ -118,6 +127,16 @@ class EvalConfig:
     # prefix read traffic, 2x resident videos per chip; bounded
     # approximation — runtime/generate.py build_prefix_pool).
     pool_int8: bool = False
+
+    def gen_config(self) -> GenerateConfig:
+        sp = None
+        if self.temperature > 0.0:
+            from ..runtime.sampling import SamplingParams
+
+            sp = SamplingParams(
+                self.temperature, self.top_k, self.top_p, self.sample_seed
+            )
+        return GenerateConfig(self.max_new_tokens, self.eos_token_ids, sp)
 
 
 def _prefix_compatible(spec) -> bool:
@@ -202,7 +221,7 @@ class Qwen2VLEvaluator:
         t0 = time.perf_counter()
         ids, runtime = generate(
             self.decoder_params, self.decoder_cfg, embeds, valid, video_start, spec,
-            GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids),
+            cfg.gen_config(),
             impl=cfg.attention_impl, position_ids=pos,
             attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window,
             decode_chunk_size=cfg.decode_chunk_size,
@@ -364,13 +383,13 @@ class LlavaEvaluator:
             ids, runtime = sp_generate(
                 self.decoder_params, self.decoder_cfg, embeds, valid, video_start,
                 spec, create_sp_mesh(cfg.sp),
-                gen=GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids),
+                gen=cfg.gen_config(),
                 impl=cfg.attention_impl, pos_base=pos_base, t_valid=t_valid,
             )
         else:
             ids, runtime = generate(
                 self.decoder_params, self.decoder_cfg, embeds, valid, video_start, spec,
-                GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids), impl=cfg.attention_impl,
+                cfg.gen_config(), impl=cfg.attention_impl,
                 attn_sinks=cfg.attn_sinks, attn_window=cfg.attn_window, dycoke=dyc,
                 pos_base=pos_base, t_valid=t_valid,
                 decode_chunk_size=cfg.decode_chunk_size,
@@ -504,7 +523,7 @@ class LlavaEvaluator:
             key = self._prefix_key(s)
             groups[key if key is not None else ("solo", s["id"])].append(s)
 
-        gen = GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids)
+        gen = cfg.gen_config()
         warmed: set = set()
         for key, grp in groups.items():
             plan = None
@@ -712,7 +731,7 @@ class LlavaEvaluator:
         clusters: dict = defaultdict(list)
         for key, plan in plans.items():
             clusters[plan["spec"]].append(key)
-        gen = GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids)
+        gen = cfg.gen_config()
         for spec, keys in clusters.items():
             s_sfx_u = max(plans[k]["s_sfx"] for k in keys)
             s_full_u = max(
@@ -880,7 +899,7 @@ class LlavaEvaluator:
                     return generate_batch(
                         self.decoder_params, self.decoder_cfg, embs, valids,
                         vstarts, spec,
-                        GenerateConfig(cfg.max_new_tokens, cfg.eos_token_ids),
+                        cfg.gen_config(),
                         impl=cfg.attention_impl, decode_chunk_size=chunked,
                         pos_bases=pb, t_valids=tv,
                         spec_decode_k=cfg.spec_decode_k,

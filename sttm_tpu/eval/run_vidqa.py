@@ -98,6 +98,15 @@ def parse_args(argv=None):
     # eval
     p.add_argument("--output_dir", default="outputs")
     p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="> 0 enables temperature/top-k/top-p sampling on the "
+                        "per-sample decode paths (seed-deterministic, "
+                        "runtime/sampling.py); 0 = greedy, the reference's "
+                        "do_sample=False eval default. Batched/pooled "
+                        "serving stays greedy.")
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=1.0)
+    p.add_argument("--sample_seed", type=int, default=0)
     p.add_argument("--reproduce", action="store_true")
     p.add_argument("--batch_size", type=int, default=1,
                    help="samples per generate call (>1 = head-packed batched "
@@ -205,6 +214,8 @@ def _eval_config(args, name):
         decode_chunk_size=args.decode_chunk_size,
         spec_decode_k=args.spec_decode_k,
         spec_draft_layers=args.spec_draft_layers,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        sample_seed=args.sample_seed,
         batch_size=args.batch_size,
         sp=args.sp,
         prefix_cache=args.prefix_cache,

@@ -35,6 +35,7 @@ from .decode import (
 )
 from .prefill import build_prefill
 from .reducer import ReducerSpec
+from .sampling import make_key, select_token
 from .spec import (
     _batched_spec_decode,
     _make_update_mask,
@@ -183,7 +184,9 @@ def generate_from_prefix(
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
 
-    token = jnp.argmax(logits, -1).astype(jnp.int32)
+    sp = gen.sampling
+    skey = make_key(sp.seed) if sp is not None and not sp.greedy else None
+    token = select_token(logits, sp, skey, 0)
     ids = [int(token[0])]
     merged_len = int(cache.merged_len)
     time_decoding = 0.0
@@ -193,7 +196,7 @@ def generate_from_prefix(
         logits, cache = decode(params, token, cache, jnp.int32(step))
         logits = jax.block_until_ready(logits)
         time_decoding += time.perf_counter() - t0
-        token = jnp.argmax(logits, -1).astype(jnp.int32)
+        token = select_token(logits, sp, skey, len(ids))
         ids.append(int(token[0]))
         step += 1
 

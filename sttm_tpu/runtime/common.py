@@ -24,6 +24,9 @@ MAX_DECODE = 64
 class GenerateConfig:
     max_new_tokens: int = 32
     eos_token_ids: tuple = (151645, 151643)  # Qwen2 <|im_end|>, <|endoftext|>
+    # None or SamplingParams(temperature=0) = greedy (the reference's eval
+    # default, do_sample=False); see runtime/sampling.py for semantics.
+    sampling: "object" = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -84,6 +84,7 @@ from .paged import (  # noqa: F401
     build_paged_verify_chunk,
     build_prefix_pool,
 )
+from .sampling import SamplingParams, make_key, select_token  # noqa: F401
 
 def generate(
     params,
@@ -139,6 +140,12 @@ def generate(
     needed, acceptance set by how well the early-exit head predicts the
     full model.
 
+    ``gen.sampling`` (runtime/sampling.py SamplingParams) with
+    temperature > 0 switches token selection to temperature/top-k/top-p
+    sampling with a seed-deterministic per-step key. Sampling uses the
+    per-step decode path (speculative/chunked decode are greedy machinery
+    and are bypassed while sampling is on).
+
     ``decode_unroll`` unrolls the chunked decode's layer loop with STATIC
     weight indices — required for Pallas GEMV weights (int4): a custom-call
     cannot consume a scan's dynamic-slice in place, so the scanned form
@@ -171,7 +178,10 @@ def generate(
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
 
-    token = jnp.argmax(logits, -1).astype(jnp.int32)
+    sp = gen.sampling
+    sampling_on = sp is not None and not sp.greedy
+    skey = make_key(sp.seed) if sampling_on else None
+    token = select_token(logits, sp, skey, 0)
     ids = [int(token[0])]
     merged_len = int(cache.merged_len)
     overflow = 0 if cache.budget_overflow is None else int(cache.budget_overflow)
@@ -196,7 +206,8 @@ def generate(
     step = 0
     spec_stats = None
     speculative = (
-        spec_decode_k > 1 and dycoke is None and attn_sinks == 0 and attn_window == 0
+        spec_decode_k > 1 and dycoke is None and attn_sinks == 0
+        and attn_window == 0 and not sampling_on
     )
     if speculative:
         k = max(2, min(spec_decode_k, MAX_DECODE))
@@ -246,6 +257,8 @@ def generate(
         token = jnp.asarray([ids[-1]], jnp.int32)  # per-step tail fallback
         spec_stats = {"spec_drafted": n_drafted, "spec_accepted": n_hit}
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens - 1))
+    if sampling_on:
+        chunk = 1  # chunked decode is greedy machinery (on-device argmax)
     if chunk > 1 and dycoke is None and not speculative:
         dchunk = build_decode_chunk(
             cfg, spec_key, chunk, attn_sinks=attn_sinks, attn_window=attn_window,
@@ -273,7 +286,7 @@ def generate(
             logits, cache = decode(params, token, cache, jnp.int32(step))
         logits = jax.block_until_ready(logits)
         time_decoding += time.perf_counter() - t0
-        token = jnp.argmax(logits, -1).astype(jnp.int32)
+        token = select_token(logits, sp, skey, len(ids))
         ids.append(int(token[0]))
         step += 1
 
@@ -313,7 +326,9 @@ def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen
     # fixed-slot decode writes land there, and the [valid_len, s_full) pad
     # gap is hidden by decode_layers' composite mask)
     kv_mask = jnp.concatenate([alive, jnp.ones((MAX_DECODE,), bool)])
-    token = jnp.argmax(logits, -1).astype(jnp.int32)
+    sp = gen.sampling
+    skey = make_key(sp.seed) if sp is not None and not sp.greedy else None
+    token = select_token(logits, sp, skey, 0)
     ids = [int(token[0])]
     merged_len = int(alive.sum())
 
@@ -324,7 +339,7 @@ def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen
         logits, cache = decode(params, token, cache, jnp.int32(step), kv_mask)
         logits = jax.block_until_ready(logits)
         time_decoding += time.perf_counter() - t0
-        token = jnp.argmax(logits, -1).astype(jnp.int32)
+        token = select_token(logits, sp, skey, len(ids))
         ids.append(int(token[0]))
         step += 1
 
@@ -355,7 +370,9 @@ def _generate_framefusion_compact(params, cfg, embeds, valid_len, video_start,
     # group-0 mask: surviving tokens; the decode tail is always visible and
     # the pad gap is hidden by decode_layers' composite mask
     kv_mask0 = jnp.concatenate([alive, jnp.ones((MAX_DECODE,), bool)])
-    token = jnp.argmax(logits, -1).astype(jnp.int32)
+    sp = gen.sampling
+    skey = make_key(sp.seed) if sp is not None and not sp.greedy else None
+    token = select_token(logits, sp, skey, 0)
     ids = [int(token[0])]
     merged_len = int(new_valid)
 
@@ -366,7 +383,7 @@ def _generate_framefusion_compact(params, cfg, embeds, valid_len, video_start,
         logits, cache = decode(params, token, cache, jnp.int32(step), kv_mask0)
         logits = jax.block_until_ready(logits)
         time_decoding += time.perf_counter() - t0
-        token = jnp.argmax(logits, -1).astype(jnp.int32)
+        token = select_token(logits, sp, skey, len(ids))
         ids.append(int(token[0]))
         step += 1
 

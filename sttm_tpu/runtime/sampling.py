@@ -1,0 +1,89 @@
+"""On-device token sampling: temperature / top-k / top-p (nucleus).
+
+The reference evaluates with HF ``model.generate(do_sample=False)`` (e.g.
+llava/eval/eval_vidqa_by_feat_llavavideo.py:166-167) but the HF generation
+surface it rides exposes sampling; a serving framework needs it. TPU-native
+design:
+
+- One jitted sampler per (top_k, use_top_p) *shape* key (lru-cached builder,
+  CLAUDE.md: inner jits must be module-level + cached). ``temperature`` and
+  ``top_p`` are traced scalars — changing them does NOT recompile; changing
+  ``top_k`` does (it is a gather width).
+- top-p uses a full-vocab descending sort; at V=152k that is a few hundred
+  microseconds on one v5e — negligible against a 7B decode step (~13 ms) and
+  exact, so no truncated-candidate approximation.
+- HF semantics: top-p keeps the smallest prefix of the descending
+  distribution whose mass reaches ``top_p`` (exclusive-cumsum < p), always
+  keeping the argmax; top-k keeps the k highest logits. Logit ties AT the
+  cut survive together here (mask by threshold value, not sorted position) —
+  a superset of HF's positional cut only on exact ties.
+- Greedy is ``temperature == 0.0`` (the default everywhere, preserving the
+  framework's token-exactness guarantees); sampling composes with the
+  per-step decode paths, not with speculative/chunked greedy machinery
+  (``generate`` falls back to the per-step loop when sampling is on).
+
+Determinism: callers derive the step key via ``jax.random.fold_in(base,
+step)`` from a seed, so a (seed, prompt) pair replays exactly —
+the reference's --reproduce contract extended to sampling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SamplingParams", "sample_fn", "select_token", "make_key"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Sampling knobs, HF-compatible meanings. temperature == 0 -> greedy."""
+
+    temperature: float = 0.0
+    top_k: int = 0  # 0 = disabled
+    top_p: float = 1.0  # 1.0 = disabled
+    seed: int = 0
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature <= 0.0
+
+
+@functools.lru_cache(maxsize=8)
+def sample_fn(top_k: int, use_top_p: bool):
+    """Jitted (logits [B, V], key, temperature, top_p) -> token [B] int32."""
+
+    def fn(logits, key, temperature, top_p):
+        lg = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+        if top_k > 0:
+            kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        if use_top_p:
+            srt = jnp.sort(lg, axis=-1)[..., ::-1]  # descending
+            probs = jax.nn.softmax(srt, axis=-1)
+            excl = jnp.cumsum(probs, axis=-1) - probs
+            keep = excl < top_p  # position 0 always kept
+            thr = jnp.min(
+                jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True
+            )
+            lg = jnp.where(lg < thr, -jnp.inf, lg)
+        return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+
+    return jax.jit(fn)
+
+
+def make_key(seed: int):
+    return jax.random.key(seed)
+
+
+def select_token(logits, sp: SamplingParams | None, key=None, step: int = 0):
+    """argmax when greedy/None; else sample with the step-folded key."""
+    if sp is None or sp.greedy:
+        return jnp.argmax(logits, -1).astype(jnp.int32)
+    k = jax.random.fold_in(key, step)
+    return sample_fn(int(sp.top_k), sp.top_p < 1.0)(
+        logits, k, jnp.float32(sp.temperature), jnp.float32(sp.top_p)
+    )

@@ -542,3 +542,33 @@ def test_cli_smoke_selfspec(tmp_path, synthetic_benchmark):
     rt_files = list(run_dirs[0].glob("*runtime*"))
     rows = [_json.loads(l) for l in rt_files[0].read_text().splitlines()]
     assert rows and any("spec_drafted" in r for r in rows)
+
+
+def test_cli_smoke_sampling(tmp_path, synthetic_benchmark):
+    """run_vidqa --temperature/--top_p drives sampled decoding through the
+    CLI (per-sample path); same seed is replay-deterministic."""
+    import json as _json
+
+    from sttm_tpu.eval.run_vidqa import main as cli_main
+
+    anno_path, feat_dir, meta_dir, annos = synthetic_benchmark
+
+    def run(tag):
+        out_dir = tmp_path / tag
+        cli_main([
+            "--dataset_name", "videomme",
+            "--anno_filepath", str(anno_path), "--metadata_dir", str(meta_dir),
+            "--smoke", "--first_sample", "--max_new_tokens", "4",
+            "--attention_impl", "xla", "--output_dir", str(out_dir),
+            "--sa_pattern", "quadtree", "--sa_start_layer_idx", "1",
+            "--sa_tree_thresh", "0.7", "--sa_tree_temporal_thresh", "0.6",
+            "--temperature", "1.3", "--top_p", "0.9", "--sample_seed", "5",
+            "--model_name_or_path", "ckpts/tiny-llava",
+            "--feature_dir", str(feat_dir),
+        ])
+        run_dir = next(iter(out_dir.iterdir()))
+        pred = run_dir / "predictions.jsonl"
+        return [_json.loads(l) for l in pred.read_text().splitlines()]
+
+    a, b = run("cli_sample_a"), run("cli_sample_b")
+    assert a and a[0]["answer"] == b[0]["answer"]

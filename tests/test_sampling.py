@@ -1,0 +1,140 @@
+"""Sampling (runtime/sampling.py): temperature / top-k / top-p semantics,
+determinism, and integration with generate()'s per-step decode path.
+
+The reference evaluates greedy (do_sample=False,
+eval_vidqa_by_feat_llavavideo.py:167); sampling extends the serving surface.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sttm_tpu.models import qwen2
+from sttm_tpu.models.config import TINY
+from sttm_tpu.runtime.generate import GenerateConfig, generate
+from sttm_tpu.runtime.reducer import ReducerSpec
+from sttm_tpu.runtime.sampling import SamplingParams, sample_fn, select_token
+
+
+def _draws(logits, n, top_k=0, top_p=1.0, temperature=1.0, seed=0):
+    fn = sample_fn(top_k, top_p < 1.0)
+    base = jax.random.key(seed)
+    lg = jnp.asarray(logits, jnp.float32)[None, :]
+    return [
+        int(fn(lg, jax.random.fold_in(base, i), jnp.float32(temperature),
+               jnp.float32(top_p))[0])
+        for i in range(n)
+    ]
+
+
+def test_low_temperature_concentrates_on_argmax():
+    logits = np.array([1.0, 3.0, 2.0, -1.0])
+    assert set(_draws(logits, 20, temperature=0.01)) == {1}
+
+
+def test_top_k_1_is_greedy_at_any_temperature():
+    logits = np.array([1.0, 3.0, 2.0, -1.0])
+    assert set(_draws(logits, 20, top_k=1, temperature=5.0)) == {1}
+
+
+def test_top_k_restricts_support():
+    logits = np.array([5.0, 4.9, 4.8, 4.7, -10.0])
+    got = set(_draws(logits, 200, top_k=3, temperature=2.0))
+    assert got <= {0, 1, 2} and len(got) > 1
+
+
+def test_top_p_keeps_smallest_prefix_reaching_p():
+    # probs ~ [0.5, 0.3, 0.15, 0.05]; exclusive cumsum [0, .5, .8, .95]
+    # -> top_p=0.8 keeps {0, 1} (HF semantics: smallest set with mass >= p)
+    probs = np.array([0.5, 0.3, 0.15, 0.05])
+    logits = np.log(probs)
+    got = set(_draws(logits, 300, top_p=0.8, temperature=1.0))
+    assert got == {0, 1}
+
+
+def test_top_p_tiny_is_greedy():
+    logits = np.array([1.0, 3.0, 2.0, -1.0])
+    assert set(_draws(logits, 20, top_p=1e-6, temperature=5.0)) == {1}
+
+
+def test_same_seed_replays_exactly():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=64)
+    a = _draws(logits, 16, top_k=8, top_p=0.9, seed=7)
+    b = _draws(logits, 16, top_k=8, top_p=0.9, seed=7)
+    c = _draws(logits, 16, top_k=8, top_p=0.9, seed=8)
+    assert a == b
+    assert a != c  # 16 iid draws over ~8 candidates collide with prob ~0
+
+
+def test_select_token_greedy_paths():
+    logits = jnp.asarray([[1.0, 3.0, 2.0]])
+    assert int(select_token(logits, None)[0]) == 1
+    assert int(select_token(logits, SamplingParams())[0]) == 1  # temp 0
+
+
+def _case(seed=0):
+    params = qwen2.init_params(TINY, jax.random.key(0))
+    rng = np.random.default_rng(seed)
+    t, h, w = 4, 4, 4
+    nv = t * h * w
+    valid = 4 + nv + 8
+    s_full = 96
+    emb = np.zeros((1, s_full, TINY.hidden_size), np.float32)
+    emb[0, :valid] = rng.normal(size=(valid, TINY.hidden_size)) * 0.2
+    spec = ReducerSpec(
+        kind="quadtree", layer_idx=2, t=t, h=h, w=w, video_budget=nv // 2,
+        spatial_thresh=0.85, temporal_thresh=0.65, root_level=0,
+    )
+    return params, jnp.asarray(emb), valid, 4, spec
+
+
+def test_generate_sampling_topk1_matches_greedy():
+    params, emb, valid, vs, spec = _case()
+    greedy = GenerateConfig(max_new_tokens=9, eos_token_ids=())
+    ref, _ = generate(params, TINY, emb, valid, vs, spec, greedy)
+    sampled = GenerateConfig(
+        max_new_tokens=9, eos_token_ids=(),
+        sampling=SamplingParams(temperature=1.0, top_k=1),
+    )
+    got, _ = generate(params, TINY, emb, valid, vs, spec, sampled)
+    assert got == ref
+
+
+def test_generate_sampling_seed_deterministic():
+    params, emb, valid, vs, spec = _case()
+    mk = lambda seed: GenerateConfig(
+        max_new_tokens=9, eos_token_ids=(),
+        sampling=SamplingParams(temperature=1.5, top_k=0, top_p=0.95,
+                                seed=seed),
+    )
+    a, rt = generate(params, TINY, emb, valid, vs, spec, mk(3))
+    b, _ = generate(params, TINY, emb, valid, vs, spec, mk(3))
+    assert a == b
+    assert rt["num_dec_token"] == 9
+    # chunked/speculative requests fall back to per-step sampling unchanged
+    c, _ = generate(params, TINY, emb, valid, vs, spec, mk(3),
+                    decode_chunk_size=4, spec_decode_k=3)
+    assert c == a
+
+
+def test_generate_from_prefix_sampling():
+    from sttm_tpu.runtime.generate import generate_from_prefix, prefix_prefill
+
+    params, emb, valid, vs, spec = _case()
+    pfx_valid = 4 + 64  # sys + video only
+    cache = prefix_prefill(params, TINY, emb[:, :80], pfx_valid, vs, spec)
+    rng = np.random.default_rng(5)
+    sfx = np.zeros((1, 16, TINY.hidden_size), np.float32)
+    sfx[0, :8] = rng.normal(size=(8, TINY.hidden_size)) * 0.2
+    gen = GenerateConfig(
+        max_new_tokens=7, eos_token_ids=(),
+        sampling=SamplingParams(temperature=1.2, top_p=0.9, seed=11),
+    )
+    a, rt = generate_from_prefix(params, TINY, cache, jnp.asarray(sfx), 8,
+                                 spec, gen)
+    cache2 = prefix_prefill(params, TINY, emb[:, :80], pfx_valid, vs, spec)
+    b, _ = generate_from_prefix(params, TINY, cache2, jnp.asarray(sfx), 8,
+                                spec, gen)
+    assert a == b and len(a) == 7
