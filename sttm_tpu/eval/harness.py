@@ -75,8 +75,10 @@ class EvalConfig:
     # Sampling (runtime/sampling.py): temperature > 0 switches token
     # selection from greedy (the reference's do_sample=False default,
     # eval_vidqa_by_feat_llavavideo.py:167) to temperature/top-k/top-p
-    # sampling with a seed-deterministic per-step key. Sampling uses the
-    # per-step decode path (speculative/chunked decode stay greedy-only).
+    # sampling with a seed-deterministic global-step-folded key. Per-sample
+    # generation samples per step; batched serving samples ON DEVICE inside
+    # the chunked decode (chunk-size invariant). Speculative decode and the
+    # continuous/paged pools stay greedy (sampling overrides spec_decode_k).
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0

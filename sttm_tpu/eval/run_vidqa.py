@@ -99,11 +99,12 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", default="outputs")
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--temperature", type=float, default=0.0,
-                   help="> 0 enables temperature/top-k/top-p sampling on the "
-                        "per-sample decode paths (seed-deterministic, "
-                        "runtime/sampling.py); 0 = greedy, the reference's "
-                        "do_sample=False eval default. Batched/pooled "
-                        "serving stays greedy.")
+                   help="> 0 enables temperature/top-k/top-p sampling "
+                        "(seed-deterministic, runtime/sampling.py) on the "
+                        "per-sample and batched decode paths; 0 = greedy, "
+                        "the reference's do_sample=False eval default. "
+                        "Speculative decode and the continuous/paged pools "
+                        "stay greedy.")
     p.add_argument("--top_k", type=int, default=0)
     p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument("--sample_seed", type=int, default=0)

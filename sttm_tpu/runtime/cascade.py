@@ -35,7 +35,7 @@ from .decode import (
 )
 from .prefill import build_prefill
 from .reducer import ReducerSpec
-from .sampling import make_key, select_token
+from .sampling import make_key, sample_body, select_token, static_sample_key
 from .spec import (
     _batched_spec_decode,
     _make_update_mask,
@@ -255,6 +255,7 @@ def build_decode_chunk_cascade(
     eos_ids: tuple,
     kvh: int,
     s_sfx: int,
+    sample: tuple | None = None,  # (top_k, use_top_p) -> sampled decode
 ):
     """Cached builders for cascade batched prefix decoding (one shared prefix
     cache + head-packed per-row suffix tails — CascadeTail). Returns
@@ -327,10 +328,18 @@ def build_decode_chunk_cascade(
     if chunk == 1:
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_chunk(p, token, tail, pfx, start_step, done0, n_steps):
+        def decode_chunk(p, token, tail, pfx, start_step, done0, n_steps,
+                         sample_args=None):
             eos_arr = jnp.asarray(eos_arr_np)
             lg, t2 = decode(p, token, tail, pfx, start_step)
-            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            if sample is None:
+                nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            else:
+                key, temperature, top_p = sample_args
+                nxt = sample_body(*sample)(
+                    lg, jax.random.fold_in(key, start_step + 1),
+                    temperature, top_p,
+                )
             nxt = jnp.where(done0, token, nxt)
             buf = jnp.where(done0, -1, nxt)[:, None]
             done = done0 | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
@@ -339,12 +348,13 @@ def build_decode_chunk_cascade(
     else:
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_chunk(p, token, tail, pfx, start_step, done0, n_steps):
+        def decode_chunk(p, token, tail, pfx, start_step, done0, n_steps,
+                         sample_args=None):
             loop = _chunked_greedy_loop(
                 lambda tok, c, i: decode(p, tok, c, pfx, i),
-                chunk, eos_arr_np,
+                chunk, eos_arr_np, sample=sample,
             )
-            return loop(token, tail, start_step, done0, n_steps)
+            return loop(token, tail, start_step, done0, n_steps, sample_args)
 
     return pack_row, decode_chunk
 
@@ -485,12 +495,18 @@ def generate_batch_from_prefix(
     With ``cascade=True`` as well, the verify dispatches keep the single
     shared prefix copy (build_verify_chunk_cascade): one weight read + one
     prefix read scores B*k candidates.
+
+    ``gen.sampling`` (temperature > 0) samples ON DEVICE inside the chunked
+    decode on both layouts, folding the global step into the key (chunk-size
+    invariant, seed-replayable; flat and cascade draw identical tokens up to
+    fp reassociation near-ties). Overrides spec_decode_k (verify is greedy).
     """
     b, s_sfx, _ = suffix_embeds.shape
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     extend = build_extend(cfg, spec_key, s_sfx)
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
-    speculative = spec_decode_k > 1
+    samp = static_sample_key(gen.sampling)  # None = greedy programs
+    speculative = spec_decode_k > 1 and samp is None  # spec verify is greedy
     if speculative and cascade:
         k = max(2, min(spec_decode_k, MAX_DECODE))
         tail_slots = max(k * max(gen.max_new_tokens - 1, 1), k)
@@ -510,16 +526,18 @@ def generate_batch_from_prefix(
     elif cascade:
         pack_row, decode_chunk_c = build_decode_chunk_cascade(
             cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads,
-            s_sfx,
+            s_sfx, sample=samp,
         )
         insert_row = None
         decode_chunk = (
-            lambda p, tok, c, st, d, n: decode_chunk_c(p, tok, c, prefix_cache, st, d, n)
+            lambda p, tok, c, st, d, n, sample_args=None:
+            decode_chunk_c(p, tok, c, prefix_cache, st, d, n,
+                           sample_args=sample_args)
         )
     else:
         insert_row, decode_chunk = build_decode_chunk_batch(
             cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads,
-            attn_kernel=decode_attn_kernel,
+            attn_kernel=decode_attn_kernel, sample=samp,
         )
 
     t0 = time.perf_counter()

@@ -162,7 +162,7 @@ def build_decode_chunk(
 
     return jax.jit(fn, donate_argnums=(2,))
 
-def _chunked_greedy_loop(decode_fn, chunk: int, eos_arr_np):
+def _chunked_greedy_loop(decode_fn, chunk: int, eos_arr_np, sample=None):
     """The shared batched freeze-after-EOS chunked-decode loop (scan + cond,
     NOT while_loop — the round-1 while_loop variant compiled pathologically
     through remote-compile tunnels; steps past n_steps or after every row
@@ -170,15 +170,31 @@ def _chunked_greedy_loop(decode_fn, chunk: int, eos_arr_np):
     cascade, and paged decode-chunk builders, whose only difference is the
     per-step decode closure. decode_fn(token [B], carry, step) ->
     (logits [B, V], carry). Returns loop(token, carry, start_step, done0,
-    n_steps) -> (token, carry, done, buf [B, chunk] int32 with -1 after
-    EOS, n_run)."""
+    n_steps, sample_args) -> (token, carry, done, buf [B, chunk] int32 with
+    -1 after EOS, n_run).
 
-    def loop(token, carry0, start_step, done0, n_steps):
+    ``sample`` = (top_k, use_top_p) switches on-device token selection from
+    argmax to temperature/top-k/top-p sampling (runtime/sampling.py
+    sample_body); the loop then needs ``sample_args`` = (key, temperature,
+    top_p) and folds the GLOBAL step index into the key — every decoded
+    position draws a distinct, replayable key regardless of chunk size
+    (+1 offset: fold 0 is the caller's prefill first-token draw)."""
+
+    def loop(token, carry0, start_step, done0, n_steps, sample_args=None):
         eos_arr = jnp.asarray(eos_arr_np)
 
         def real(tok, c, done, i):
             lg, c2 = decode_fn(tok, c, start_step + i)
-            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            if sample is None:
+                nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            else:
+                from .sampling import sample_body
+
+                key, temperature, top_p = sample_args
+                nxt = sample_body(*sample)(
+                    lg, jax.random.fold_in(key, start_step + i + 1),
+                    temperature, top_p,
+                )
             nxt = jnp.where(done, tok, nxt)  # freeze finished rows
             out = jnp.where(done, -1, nxt)
             done = done | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
@@ -209,6 +225,7 @@ def build_decode_chunk_batch(
     eos_ids: tuple,
     kvh: int,
     attn_kernel: bool = False,
+    sample: tuple | None = None,  # (top_k, use_top_p) -> sampled decode
 ):
     """Cached builders for batched generation. These MUST be module-level and
     cached: defining the jitted decode chunk / row-insert inside
@@ -243,10 +260,20 @@ def build_decode_chunk_batch(
     if chunk == 1:
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_chunk(p, token, cache, start_step, done0, n_steps, tail_min=None):
+        def decode_chunk(p, token, cache, start_step, done0, n_steps,
+                         tail_min=None, sample_args=None):
             eos_arr = jnp.asarray(eos_arr_np)
             lg, c2 = decode(p, token, cache, start_step, tail_min)  # [B, V]
-            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            if sample is None:
+                nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            else:
+                from .sampling import sample_body
+
+                key, temperature, top_p = sample_args
+                nxt = sample_body(*sample)(
+                    lg, jax.random.fold_in(key, start_step + 1),
+                    temperature, top_p,
+                )
             nxt = jnp.where(done0, token, nxt)
             buf = jnp.where(done0, -1, nxt)[:, None]
             done = done0 | jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
@@ -255,12 +282,13 @@ def build_decode_chunk_batch(
     else:
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_chunk(p, token, cache, start_step, done0, n_steps, tail_min=None):
+        def decode_chunk(p, token, cache, start_step, done0, n_steps,
+                         tail_min=None, sample_args=None):
             loop = _chunked_greedy_loop(
                 lambda tok, c, i: decode(p, tok, c, i, tail_min),
-                chunk, eos_arr_np,
+                chunk, eos_arr_np, sample=sample,
             )
-            return loop(token, cache, start_step, done0, n_steps)
+            return loop(token, cache, start_step, done0, n_steps, sample_args)
 
     return insert_row, decode_chunk
 
@@ -397,10 +425,18 @@ def _build_decode_step_masked2(cfg: DecoderConfig, cut: int):
     return jax.jit(fn, donate_argnums=(2,))
 
 def _batched_greedy_decode(params, logits, cache, gen: GenerateConfig, decode_chunk, chunk: int):
-    """Shared batched greedy-decode loop (generate_batch /
+    """Shared batched decode loop (generate_batch /
     generate_batch_from_prefix): chunked head-packed decode with
-    freeze-after-EOS. Returns (ids list-of-lists, time_decoding)."""
-    token = jnp.argmax(logits, -1).astype(jnp.int32)  # [B]
+    freeze-after-EOS. Greedy by default; when ``gen.sampling`` is active the
+    decode_chunk must have been built with the matching
+    static_sample_key(gen.sampling) and tokens are drawn on device with
+    global-step-folded keys (seed-replayable). Returns (ids list-of-lists,
+    time_decoding)."""
+    from .sampling import sample_args_of, select_token
+
+    sp = gen.sampling
+    sargs = sample_args_of(sp)
+    token = select_token(logits, sp, None if sargs is None else sargs[0], 0)
     b = token.shape[0]
     ids = [[int(t)] for t in token]
     eos = set(gen.eos_token_ids)
@@ -411,7 +447,8 @@ def _batched_greedy_decode(params, logits, cache, gen: GenerateConfig, decode_ch
         n_this = min(chunk, gen.max_new_tokens - 1 - step)
         t0 = time.perf_counter()
         token, cache, done, buf, n = decode_chunk(
-            params, token, cache, jnp.int32(step), done, jnp.int32(n_this)
+            params, token, cache, jnp.int32(step), done, jnp.int32(n_this),
+            sample_args=sargs,
         )
         buf = np.asarray(buf)  # host sync
         time_decoding += time.perf_counter() - t0

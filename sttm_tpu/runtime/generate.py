@@ -84,7 +84,12 @@ from .paged import (  # noqa: F401
     build_paged_verify_chunk,
     build_prefix_pool,
 )
-from .sampling import SamplingParams, make_key, select_token  # noqa: F401
+from .sampling import (  # noqa: F401
+    SamplingParams,
+    make_key,
+    select_token,
+    static_sample_key,
+)
 
 def generate(
     params,
@@ -504,12 +509,18 @@ def generate_batch(
     one dispatch verifies B*k tokens for ~one weight read. Token-exact for
     any drafter. ``histories`` (optional, per-row prompt token ids) seeds
     the drafter like generate()'s prompt_ids.
+
+    ``gen.sampling`` (temperature > 0) samples ON DEVICE inside the chunked
+    decode, folding the GLOBAL step index into the key — chunk size cannot
+    change the draws and a seed replays exactly. Overrides spec_decode_k
+    (the verify machinery is greedy).
     """
     b, s_full, _ = embeds.shape
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     prefill = build_prefill(cfg, spec_key, s_full, impl)
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
-    speculative = spec_decode_k > 1
+    samp = static_sample_key(gen.sampling)  # None = greedy programs
+    speculative = spec_decode_k > 1 and samp is None  # spec verify is greedy
     if speculative:
         k, tail_slots, (init_row_buf, insert_row, update_mask, verify_chunk) = (
             _spec_batch_builders(cfg, spec_key, spec_decode_k, gen)
@@ -518,7 +529,7 @@ def generate_batch(
     else:
         insert_row, decode_chunk = build_decode_chunk_batch(
             cfg, spec_key, chunk, tuple(gen.eos_token_ids), cfg.num_kv_heads,
-            attn_kernel=decode_attn_kernel,
+            attn_kernel=decode_attn_kernel, sample=samp,
         )
 
         # Prefill samples sequentially, inserting each cache row into the

@@ -35,7 +35,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SamplingParams", "sample_fn", "select_token", "make_key"]
+__all__ = [
+    "SamplingParams", "sample_fn", "sample_body", "select_token", "make_key",
+    "static_sample_key", "sample_args_of",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,9 +55,10 @@ class SamplingParams:
         return self.temperature <= 0.0
 
 
-@functools.lru_cache(maxsize=8)
-def sample_fn(top_k: int, use_top_p: bool):
-    """Jitted (logits [B, V], key, temperature, top_p) -> token [B] int32."""
+def sample_body(top_k: int, use_top_p: bool):
+    """Traceable (logits [B, V], key, temperature, top_p) -> token [B] int32
+    — the sampler body for composition INSIDE other jitted programs (the
+    batched chunked-decode scan); sample_fn is its jitted standalone form."""
 
     def fn(logits, key, temperature, top_p):
         lg = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
@@ -72,11 +76,36 @@ def sample_fn(top_k: int, use_top_p: bool):
             lg = jnp.where(lg < thr, -jnp.inf, lg)
         return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
 
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=8)
+def sample_fn(top_k: int, use_top_p: bool):
+    """Jitted (logits [B, V], key, temperature, top_p) -> token [B] int32."""
+    return jax.jit(sample_body(top_k, use_top_p))
 
 
 def make_key(seed: int):
     return jax.random.key(seed)
+
+
+def static_sample_key(sp: SamplingParams | None) -> tuple | None:
+    """The (top_k, use_top_p) STATIC part of a SamplingParams — the builder
+    cache key for sampled decode-chunk programs (None = greedy program)."""
+    if sp is None or sp.greedy:
+        return None
+    return (int(sp.top_k), sp.top_p < 1.0)
+
+
+def sample_args_of(sp: SamplingParams | None):
+    """The traced-argument part: (key, temperature, top_p), or None."""
+    if sp is None or sp.greedy:
+        return None
+    return (
+        make_key(sp.seed),
+        jnp.float32(sp.temperature),
+        jnp.float32(sp.top_p),
+    )
 
 
 def select_token(logits, sp: SamplingParams | None, key=None, step: int = 0):

@@ -138,3 +138,73 @@ def test_generate_from_prefix_sampling():
     b, _ = generate_from_prefix(params, TINY, cache2, jnp.asarray(sfx), 8,
                                 spec, gen)
     assert a == b and len(a) == 7
+
+
+def test_generate_batch_sampling_chunk_invariant():
+    """Batched on-device sampling folds the GLOBAL step index into the key,
+    so chunk size must not change the drawn tokens; top_k=1 must equal the
+    greedy program's output."""
+    from sttm_tpu.runtime.generate import generate_batch
+
+    params, emb, valid, vs, spec = _case()
+    b = 3
+    embs = jnp.concatenate([emb] * b)
+    vls = [valid, valid - 2, valid - 1]
+    vss = [4] * b
+
+    greedy = GenerateConfig(max_new_tokens=8, eos_token_ids=())
+    ref, _ = generate_batch(params, TINY, embs, vls, vss, spec, greedy,
+                            decode_chunk_size=4)
+
+    topk1 = GenerateConfig(
+        max_new_tokens=8, eos_token_ids=(),
+        sampling=SamplingParams(temperature=1.0, top_k=1),
+    )
+    got, _ = generate_batch(params, TINY, embs, vls, vss, spec, topk1,
+                            decode_chunk_size=4)
+    assert got == ref
+
+    samp = GenerateConfig(
+        max_new_tokens=8, eos_token_ids=(),
+        sampling=SamplingParams(temperature=1.5, top_p=0.95, seed=9),
+    )
+    a, _ = generate_batch(params, TINY, embs, vls, vss, spec, samp,
+                          decode_chunk_size=1)
+    c, _ = generate_batch(params, TINY, embs, vls, vss, spec, samp,
+                          decode_chunk_size=4)
+    assert a == c  # global-step key folding: chunking cannot change draws
+    assert a != ref  # and at temperature 1.5 it is not the greedy chain
+
+
+def test_generate_batch_from_prefix_sampling_layouts():
+    """Sampled batched serving draws identically on the flat and cascade
+    layouts up to near-ties (CPU fp32: exactly), and replays by seed."""
+    from sttm_tpu.runtime.generate import (
+        generate_batch_from_prefix,
+        prefix_prefill,
+    )
+
+    params, emb, valid, vs, spec = _case()
+    pfx_valid = 4 + 64
+    b = 2
+    rng = np.random.default_rng(3)
+    sfx = np.zeros((b, 16, TINY.hidden_size), np.float32)
+    sfx[:, :8] = rng.normal(size=(b, 8, TINY.hidden_size)) * 0.2
+    lens = [8, 7]
+    samp = GenerateConfig(
+        max_new_tokens=6, eos_token_ids=(),
+        sampling=SamplingParams(temperature=1.3, top_k=16, seed=21),
+    )
+
+    def run(cascade):
+        cache = prefix_prefill(params, TINY, emb[:, :80], pfx_valid, vs, spec)
+        ids, rt = generate_batch_from_prefix(
+            params, TINY, cache, jnp.asarray(sfx), lens, spec, samp,
+            decode_chunk_size=2, cascade=cascade,
+        )
+        return ids
+
+    flat_a, flat_b = run(False), run(False)
+    assert flat_a == flat_b  # seed replay
+    casc = run(True)
+    assert casc == flat_a  # same draws across layouts (fp32 exact on CPU)
