@@ -39,8 +39,10 @@ class DecoderConfig:
     # Dynamic per-token int8 activation quantization for the layer
     # projections (requires int8-quantized weights): runs matmuls on the
     # int8 MXU path at 2x bf16 peak. A serving-efficiency mode the reference
-    # has no equivalent of; off by default.
-    act_quant: bool = False
+    # has no equivalent of; off by default. The string "kernel" additionally
+    # quantizes activations with the single-pass Pallas kernel
+    # (ops/kernels.py quantize_rows) instead of XLA's two-pass lowering.
+    act_quant: bool | str = False
     # Architectural sliding-window attention (Mistral family): every query
     # attends only to the last ``sliding_window`` positions. 0 = dense. The
     # reference carries a llava_mistral shim (llava/model/language_model/

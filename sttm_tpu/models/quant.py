@@ -49,16 +49,32 @@ def dequantize(w, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (w["q"].astype(jnp.float32) * w["s"]).astype(dtype)
 
 
-def matmul_w8a8(x: jnp.ndarray, w: dict) -> jnp.ndarray:
-    """int8 x int8 matmul on the int8 MXU path (2x bf16 peak on v5e:
-    394 TOPS vs 197 TFLOPs; measured ~1.5x end-to-end on [25.6k, 3584] x
-    [3584, 18944]). Per-token symmetric activation quantization fused into
-    the op; weights carry per-output-channel scales from quantize_tensor."""
-    q, s = w["q"], w["s"]  # [in, out] int8, [1, out] f32
+def quantize_act(x: jnp.ndarray):
+    """Dynamic per-token symmetric int8 activation quantization:
+    [..., K] -> (int8 [..., K], f32 scales [..., 1]). XLA path."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     xs = jnp.maximum(amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def matmul_w8a8(x: jnp.ndarray, w: dict, kernel: bool = False) -> jnp.ndarray:
+    """int8 x int8 matmul on the int8 MXU path (2x bf16 peak on v5e:
+    394 TOPS vs 197 TFLOPs; measured ~1.5x end-to-end on [25.6k, 3584] x
+    [3584, 18944]). Per-token symmetric activation quantization fused into
+    the op; weights carry per-output-channel scales from quantize_tensor.
+    ``kernel=True`` quantizes the activation with the single-pass Pallas
+    kernel (ops/kernels.py quantize_rows — XLA's two-pass lowering measured
+    266-330 GB/s eff, BENCH_PREFILL_MFU.json); same math (codes may
+    differ by 1 at exact rounding boundaries across programs)."""
+    q, s = w["q"], w["s"]  # [in, out] int8, [1, out] f32
+    if kernel:
+        from ..ops.kernels import quantize_rows
+
+        xq, xs = quantize_rows(x)
+    else:
+        xq, xs = quantize_act(x)
     acc = jax.lax.dot_general(
         xq, q, (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,

@@ -1270,13 +1270,15 @@ class KVCache:
         return self.lens[-1]
 
 
-def _mat(x: jnp.ndarray, w, act_quant: bool = False) -> jnp.ndarray:
+def _mat(x: jnp.ndarray, w, act_quant=False) -> jnp.ndarray:
     """x @ w, transparently dequantizing int8/int4 weight dicts
-    (models/quant.py). act_quant=True runs int8-weight matmuls on the int8
+    (models/quant.py). act_quant truthy runs int8-weight matmuls on the int8
     MXU path with dynamic per-token activation quantization (cfg.act_quant);
-    int4 weights use the fused-unpack GEMV kernel for decode shapes."""
+    the "kernel" value additionally quantizes activations with the
+    single-pass Pallas kernel (quantize_rows). int4 weights use the
+    fused-unpack GEMV kernel for decode shapes."""
     if is_quantized4(w):
         return matmul_w4(x, w)
     if act_quant and is_quantized(w):
-        return matmul_w8a8(x, w)
+        return matmul_w8a8(x, w, kernel=act_quant == "kernel")
     return x @ dequantize(w, x.dtype)

@@ -17,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cosine_rows"]
+__all__ = ["cosine_rows", "quantize_rows"]
 
 _BLOCK_ROWS = 256
 
@@ -177,3 +177,87 @@ def gemv_w4(
         ),
         interpret=interpret,
     )(x, q4, s2)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic per-token int8 activation quantization (the w8a8 prefill tax).
+#
+# XLA lowers quantize_act (models/quant.py) as two passes over x — an amax
+# row-reduction, then scale/round/clip — measured 266-330 GB/s effective
+# (BENCH_PREFILL_MFU.json quantize_pass) against the v5e's ~819 GB/s HBM.
+# This kernel streams each row block HBM->VMEM ONCE, reduces and quantizes
+# in VMEM (f32 math — Mosaic has no bf16 ALU ops, CLAUDE.md), and writes
+# only int8 + per-row scales back: 3 bytes/element of traffic instead of 5.
+# Same f32 ops and 1e-8/127 clamps as quantize_act; scales are bitwise
+# equal, codes can differ by 1 at exact rounding boundaries (separate
+# programs reassociate x/s differently).
+# ---------------------------------------------------------------------------
+
+
+def _quant_kernel(x_ref, q_ref, s_ref):
+    x = x_ref[:].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q_ref[:] = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    s_ref[:] = s
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "interpret"))
+def _quantize_rows_pallas(x, bs, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, k = x.shape
+    return pl.pallas_call(
+        _quant_kernel,
+        grid=(n // bs,),
+        in_specs=[
+            pl.BlockSpec((bs, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((bs, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k), jnp.int8),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x)
+
+
+def _quant_block_rows(n: int, k: int) -> int | None:
+    """Largest row block that tiles int8 outputs (32-multiples), divides n,
+    and keeps the block's f32 temporaries well inside one core's ~16 MB
+    VMEM (wide K=18944 blocks at 128 rows would not)."""
+    cap = 32 if k > 8192 else 128
+    for bs in (cap, 64, 32):
+        if bs <= cap and n % bs == 0:
+            return bs
+    return None
+
+
+def quantize_rows(x: jnp.ndarray, force: str | None = None):
+    """Per-row symmetric int8 quantization: [..., K] -> (int8 [..., K],
+    f32 scales [..., 1]). Pallas on TPU when the shape tiles (rows % 32 == 0,
+    K % 128 == 0); jnp fallback elsewhere — identical f32 math either way.
+    ``force``: "kernel" | "xla" | None (auto)."""
+    lead, k = x.shape[:-1], x.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    bs = _quant_block_rows(n, k)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_kernel = force == "kernel" or (
+        force is None and on_tpu and bs is not None and k % 128 == 0
+    )
+    if use_kernel and bs is not None and k % 128 == 0:
+        q, s = _quantize_rows_pallas(
+            x.reshape(n, k), bs, interpret=not on_tpu
+        )
+        return q.reshape(*lead, k), s.reshape(*lead, 1)
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s

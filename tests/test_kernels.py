@@ -119,3 +119,57 @@ def test_fuse_layer_projections_exact():
     ids0, _ = generate(params, cfg, emb, 40, 4, None, gen)
     ids1, _ = generate(fused, cfg, emb, 40, 4, None, gen)
     assert ids0 == ids1
+
+
+def _assert_quant_close(q, s, q_ref, s_ref):
+    """Cross-program quantize comparison: scales to 1 ulp (one program
+    contracts /127 into a reciprocal multiply), codes off-by-one at exact
+    rounding boundaries, both rare."""
+    np.testing.assert_allclose(
+        np.asarray(s), np.asarray(s_ref), rtol=1e-6, atol=0
+    )
+    diff = np.abs(np.asarray(q, np.int32) - np.asarray(q_ref, np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
+
+
+def test_quantize_rows_interpret_matches_xla():
+    """Single-pass Pallas activation quantize (interpret mode) matches the
+    XLA two-pass path up to cross-program rounding (same f32 math)."""
+    from sttm_tpu.models.quant import quantize_act
+    from sttm_tpu.ops.kernels import quantize_rows
+
+    rng = np.random.default_rng(0)
+    for n, k in [(64, 256), (96, 128), (128, 1024)]:
+        x = jnp.asarray(rng.normal(size=(n, k)) * 3.0, jnp.bfloat16)
+        q_ref, s_ref = quantize_act(x)
+        q, s = quantize_rows(x, force="kernel")
+        _assert_quant_close(q, s, q_ref, s_ref)
+
+
+def test_quantize_rows_nd_and_fallback():
+    from sttm_tpu.models.quant import quantize_act
+    from sttm_tpu.ops.kernels import quantize_rows
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 48, 256)), jnp.bfloat16)
+    q_ref, s_ref = quantize_act(x)
+    q, s = quantize_rows(x, force="kernel")  # 96 rows -> bs 32
+    assert q.shape == (2, 48, 256) and s.shape == (2, 48, 1)
+    _assert_quant_close(q, s, q_ref, s_ref)
+    # untileable shapes fall back to the XLA path transparently
+    y = jnp.asarray(rng.normal(size=(7, 100)), jnp.bfloat16)
+    q2, s2 = quantize_rows(y)
+    q2_ref, s2_ref = quantize_act(y)
+    _assert_quant_close(q2, s2, q2_ref, s2_ref)
+
+
+def test_matmul_w8a8_kernel_flag_matches():
+    from sttm_tpu.models.quant import matmul_w8a8, quantize_tensor
+
+    rng = np.random.default_rng(2)
+    w = quantize_tensor(jnp.asarray(rng.normal(size=(256, 128)), jnp.bfloat16))
+    x = jnp.asarray(rng.normal(size=(64, 256)), jnp.bfloat16)
+    a = np.asarray(matmul_w8a8(x, w))
+    b = np.asarray(matmul_w8a8(x, w, kernel=True))
+    np.testing.assert_array_equal(a, b)
