@@ -277,24 +277,36 @@ def main():
     nv = spec.n_video
     visual_kept = merged_len - (valid - nv)
 
-    def roofline(s_run, measured_s):
+    def roofline(s_run, measured_s, pre_merge=None):
         """Auditable roofline for one prefill (VERDICT r2 #9): GEMM FLOPs
         = 2*S*P over the projection/lm_head params, causal attention FLOPs
-        = 2*S^2*hd*Hq*L; ideal time charges GEMMs to the active matmul peak
-        (int8 MXU 394 TOPS for w8a8, else bf16 197 TFLOPs on v5e) and
-        attention to the bf16 peak. mfu = ideal / measured."""
+        = 2*S^2*hd*Hq per layer; ideal time charges GEMMs to the active
+        matmul peak (int8 MXU 394 TOPS for w8a8, else bf16 197 TFLOPs on
+        v5e) and attention to the bf16 peak. mfu = ideal / measured.
+
+        ``pre_merge`` = (n_layers, s_full): the merged prefill runs its
+        first n layers at the FULL length before the reducer fires (merge
+        layer k=2) — charging every layer at the merged length would
+        understate the required work and the MFU. The merge op itself
+        (cosine kernels, unions, gathers) is uncharged: MFU is vs model
+        FLOPs only."""
         d_model = cfg.hidden_size
         per_layer = (
             d_model * (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim  # qkv
             + cfg.num_heads * cfg.head_dim * d_model  # o
             + 3 * d_model * cfg.intermediate_size  # gate/up/down
         )
-        p_matmul = cfg.num_layers * per_layer
-        gemm_flops = 2.0 * s_run * p_matmul + 2.0 * d_model * cfg.vocab_size
-        attn_flops = 2.0 * s_run**2 * cfg.head_dim * cfg.num_heads * cfg.num_layers
+        lens = [s_run] * cfg.num_layers
+        if pre_merge is not None:
+            n_pre, s_pre = pre_merge
+            lens[:n_pre] = [s_pre] * n_pre
+        gemm_flops = 2.0 * per_layer * sum(lens) + 2.0 * d_model * cfg.vocab_size
+        attn_flops = sum(
+            2.0 * s**2 * cfg.head_dim * cfg.num_heads for s in lens
+        )
         gemm_peak = 394e12 if args.quant == "int8w8a" else 197e12
         ideal = gemm_flops / gemm_peak + attn_flops / 197e12
-        return {
+        out = {
             "seq_len": int(s_run),
             "gemm_tflop": round(gemm_flops / 1e12, 1),
             "attn_tflop": round(attn_flops / 1e12, 1),
@@ -302,6 +314,9 @@ def main():
             "measured_s": round(measured_s, 4),
             "mfu": round(ideal / measured_s, 4),
         }
+        if pre_merge is not None:
+            out["pre_merge_layers_at_full_len"] = list(pre_merge)
+        return out
 
     s_merged = s_full - nv + spec.video_budget
     details = {
@@ -330,7 +345,9 @@ def main():
                     "for GEMMs under w8a8, bf16 197 TFLOPs for attention); "
                     "mfu = ideal_s / measured_s",
             "base": roofline(s_full, ttft_base),
-            "merged": roofline(s_merged, ttft_merged),
+            "merged": roofline(
+                s_merged, ttft_merged, pre_merge=(spec.layer_idx, s_full)
+            ),
         },
     }
     # tiny CPU smoke runs must not clobber the recorded TPU details
