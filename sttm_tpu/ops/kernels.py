@@ -188,6 +188,14 @@ def gemv_w4(
 # This kernel streams each row block HBM->VMEM ONCE, reduces and quantizes
 # in VMEM (f32 math — Mosaic has no bf16 ALU ops, CLAUDE.md), and writes
 # only int8 + per-row scales back: 3 bytes/element of traffic instead of 5.
+#
+# MEASURED RESULT (BENCH_QUANT_KERNEL.json, v5e): the kernel LOSES — both
+# isolated (329 vs 617 GB/s eff at K=3584; XLA's lowering inside a fused
+# graph beats the 5-byte model this kernel assumed) and whole-model
+# (merged prefill 1089.6 vs 1072.7 ms). Kept as an opt-in
+# (act_quant="kernel") with the negative measurement on record — the same
+# pattern as the int4 GEMV finding (CLAUDE.md: per-op Pallas custom-calls
+# don't cross-op pipeline; XLA stays the default where it wins).
 # Same f32 ops and 1e-8/127 clamps as quantize_act; scales are bitwise
 # equal, codes can differ by 1 at exact rounding boundaries (separate
 # programs reassociate x/s differently).
