@@ -91,6 +91,12 @@ from .sampling import (  # noqa: F401
     static_sample_key,
 )
 
+def _token_logprob(logits, token) -> float:
+    """log P(token) under logits [1, V] — the output_scores surface."""
+    lp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+    return float(lp[token[0]])
+
+
 def generate(
     params,
     cfg: DecoderConfig,
@@ -112,8 +118,14 @@ def generate(
     prompt_ids=None,
     spec_draft_layers: int = 0,
     decode_unroll: bool = False,
+    return_logprobs: bool = False,
 ):
     """Greedy generation. Returns (token_ids list, runtime dict).
+
+    ``return_logprobs`` adds runtime["logprobs"] — the log-probability of
+    each emitted token (the reference's output_scores surface,
+    llava_qwen.py return_dict_in_generate). Forces the per-step decode
+    path (chunked/speculative buffers carry tokens, not distributions).
 
     ``spec`` may also be a FrameFusionSpec (layerwise budgeted merge-prune,
     runtime/framefusion.py), which uses its own prefill and a masked decode.
@@ -188,6 +200,9 @@ def generate(
     skey = make_key(sp.seed) if sampling_on else None
     token = select_token(logits, sp, skey, 0)
     ids = [int(token[0])]
+    logprobs = []
+    if return_logprobs:
+        logprobs.append(_token_logprob(logits, token))
     merged_len = int(cache.merged_len)
     overflow = 0 if cache.budget_overflow is None else int(cache.budget_overflow)
     if overflow > 0:
@@ -212,7 +227,7 @@ def generate(
     spec_stats = None
     speculative = (
         spec_decode_k > 1 and dycoke is None and attn_sinks == 0
-        and attn_window == 0 and not sampling_on
+        and attn_window == 0 and not sampling_on and not return_logprobs
     )
     if speculative:
         k = max(2, min(spec_decode_k, MAX_DECODE))
@@ -262,8 +277,8 @@ def generate(
         token = jnp.asarray([ids[-1]], jnp.int32)  # per-step tail fallback
         spec_stats = {"spec_drafted": n_drafted, "spec_accepted": n_hit}
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens - 1))
-    if sampling_on:
-        chunk = 1  # chunked decode is greedy machinery (on-device argmax)
+    if sampling_on or return_logprobs:
+        chunk = 1  # chunked decode buffers tokens only (on-device argmax)
     if chunk > 1 and dycoke is None and not speculative:
         dchunk = build_decode_chunk(
             cfg, spec_key, chunk, attn_sinks=attn_sinks, attn_window=attn_window,
@@ -293,6 +308,8 @@ def generate(
         time_decoding += time.perf_counter() - t0
         token = select_token(logits, sp, skey, len(ids))
         ids.append(int(token[0]))
+        if return_logprobs:
+            logprobs.append(_token_logprob(logits, token))
         step += 1
 
     runtime = {
@@ -303,6 +320,8 @@ def generate(
         "full_len": int(valid_len),
         "budget_overflow": overflow,
     }
+    if return_logprobs:
+        runtime["logprobs"] = logprobs
     if spec_stats is not None:
         runtime.update(spec_stats)
     return ids, runtime

@@ -208,3 +208,20 @@ def test_generate_batch_from_prefix_sampling_layouts():
     assert flat_a == flat_b  # seed replay
     casc = run(True)
     assert casc == flat_a  # same draws across layouts (fp32 exact on CPU)
+
+
+def test_generate_return_logprobs():
+    """runtime['logprobs'] carries log P(token) per emitted token (the
+    reference's output_scores surface); greedy logprobs are the max."""
+    import math
+
+    params, emb, valid, vs, spec = _case()
+    gen = GenerateConfig(max_new_tokens=5, eos_token_ids=())
+    ids, rt = generate(params, TINY, emb, valid, vs, spec, gen,
+                       return_logprobs=True, decode_chunk_size=4)
+    lps = rt["logprobs"]
+    assert len(lps) == len(ids) == 5
+    assert all(lp <= 0.0 and math.isfinite(lp) for lp in lps)
+    ref, rt2 = generate(params, TINY, emb, valid, vs, spec, gen)
+    assert ids == ref  # logprobs collection doesn't change tokens
+    assert "logprobs" not in rt2
