@@ -1,0 +1,193 @@
+"""A/B the MoE dispatch tiers on the real chip (GAPS.md #9 lever).
+
+Measures, at the Qwen1.5-MoE-A2.7B single-layer geometry (D=2048, E=60,
+k=4, Fe=1408, bf16) at N=4096 prefill tokens:
+  1. whole moe_mlp block per dispatch mode: dense (masked einsum) vs
+     sort (lax.ragged_dot) vs gmm (Pallas grouped-GEMM, ops/gmm.py) vs
+     gmm_fused (whole SwiGLU in one kernel) — the number that decides the
+     default prefill dispatch tier;
+  2. isolated grouped-GEMM: ragged_dot vs gmm at tm in {128, 256} on one
+     [M, D] x [E, D, Fe] selected-FLOPs matmul, with achieved TFLOP/s vs
+     the v5e bf16 MXU peak (197 TFLOP/s) — quantifies how much of the
+     ragged_dot gap the tile-padded kernel recovers.
+
+Timing is slope-based (scan-chained iterations) so the ~27 ms axon
+dispatch RTT cancels (CLAUDE.md). The reference has no grouped-GEMM path
+(its MoE shim defers to HF's per-expert python loop,
+llava/model/language_model/llava_qwen_moe.py); this bench tunes
+TPU-native infrastructure beyond reference scope.
+
+Usage: python scripts/bench_moe.py [--tiny]
+Writes BENCH_MOE.json (BENCH_MOE_TINY.json for the CPU smoke).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--tokens", type=int, default=4096)
+    args = ap.parse_args()
+
+    sys.path.insert(0, ".")
+    if args.tiny:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from bench import _enable_compile_cache
+
+        _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from sttm_tpu.models import config as mcfg
+    from sttm_tpu.models.moe import init_moe_layer_params, moe_mlp
+    from sttm_tpu.ops.gmm import gmm, grouped_layout
+
+    cfg = mcfg.TINY_MOE if args.tiny else mcfg.QWEN15_MOE_A27B
+    n = 64 if args.tiny else args.tokens
+    d, e, k, fe = (cfg.hidden_size, cfg.num_experts,
+                   cfg.num_experts_per_tok, cfg.moe_intermediate_size)
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 2)
+    scale = lambda kk, shape: (jax.random.normal(kk, shape, jnp.bfloat16)
+                               * (0.5 / np.sqrt(shape[-2])))
+    stacks = init_moe_layer_params(cfg, ks[0], scale)
+    lp = jax.tree.map(lambda a: a[0], stacks)
+    h = jax.random.normal(ks[1], (1, n, d), jnp.bfloat16)
+
+    results = {"geometry": {"d": d, "e": e, "k": k, "fe": fe, "tokens": n}}
+
+    def slope(build, x0, lo=2, hi=8, reps=3):
+        """Per-iteration time of a scan-chained body at two chain lengths;
+        the slope cancels dispatch RTT + output fetch (CLAUDE.md)."""
+        f_lo, f_hi = build(lo), build(hi)
+
+        def timed(f):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = f(x0)
+                np.asarray(out.ravel()[:8])
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        timed(f_lo), timed(f_hi)  # warm both compiles before measuring
+        return (timed(f_hi) - timed(f_lo)) / (hi - lo)
+
+    # -- 1. whole moe_mlp block per dispatch mode -------------------------
+    modes = ["dense", "sort", "gmm", "gmm_fused"]
+    ref = None
+    for mode in modes:
+        # jit the parity forward: an eager run through the axon tunnel
+        # dispatches op-by-op and holds every dense-mode intermediate
+        # (~GBs at E=60, N=4096) with no XLA memory planning
+        import functools
+
+        y = jax.jit(functools.partial(moe_mlp, cfg=cfg, mode=mode))(lp, h)
+        ynp = np.asarray(y, np.float32)
+        if ref is None:
+            ref = ynp
+        else:
+            err = float(np.max(np.abs(ynp - ref)) / (np.max(np.abs(ref)) + 1e-9))
+            results[f"relerr_{mode}_vs_dense"] = round(err, 5)
+            assert err < 0.05, f"{mode} diverges from dense: {err}"
+        del y
+        if args.tiny:
+            continue
+
+        def build(iters, mode=mode):
+            def body(x, _):
+                y = moe_mlp(lp, x, cfg, mode=mode)
+                return x + jnp.bfloat16(1e-20) * y, None
+
+            return jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
+
+        sec = slope(build, h)
+        # selected FLOPs: N*k assignment rows x 3 expert matmuls + shared
+        flops = (2.0 * n * k * 3 * d * fe
+                 + 2.0 * n * 3 * d * cfg.shared_expert_intermediate_size)
+        results[f"block_{mode}"] = {
+            "ms": round(sec * 1e3, 2),
+            "selected_tflop_s": round(flops / sec / 1e12, 1),
+        }
+        print(f"moe_mlp[{mode}]: {sec * 1e3:.2f} ms "
+              f"({flops / sec / 1e12:.1f} TFLOP/s selected)", flush=True)
+
+    # -- 2. isolated grouped-GEMM: ragged_dot vs gmm ----------------------
+    m = n * k
+    flat_e = jnp.sort(jax.random.randint(key, (m,), 0, e))
+    group_sizes = jnp.bincount(flat_e, length=e)
+    xs = jax.random.normal(ks[1], (m, d), jnp.bfloat16)
+    w = jax.random.normal(ks[0], (e, d, fe), jnp.bfloat16) * 0.02
+    gemm_flops = 2.0 * m * d * fe
+
+    if not args.tiny:
+        def b_ragged(iters):
+            def body(x, _):
+                y = jax.lax.ragged_dot(x, w, group_sizes)
+                return x + jnp.bfloat16(1e-20) * y[:, :d], None
+
+            return jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
+
+        sec = slope(b_ragged, xs)
+        results["gemm_ragged_dot"] = {
+            "ms": round(sec * 1e3, 2),
+            "tflop_s": round(gemm_flops / sec / 1e12, 1),
+            "mxu_pct": round(100 * gemm_flops / sec / 1e12 / V5E_BF16_PEAK_TFLOPS, 1),
+        }
+        print(f"ragged_dot: {sec * 1e3:.2f} ms "
+              f"({gemm_flops / sec / 1e12:.1f} TFLOP/s)", flush=True)
+
+    for tm in (128, 256):
+        order, row_dst, tile_group, m_pad = grouped_layout(flat_e, e, tm)
+        xp = jnp.zeros((m_pad, d), jnp.bfloat16).at[row_dst].set(xs[order])
+
+        if args.tiny:
+            y = gmm(xp, w, tile_group, tm)[row_dst]
+            yr = jax.lax.ragged_dot(xs, w, group_sizes)[order]
+            err = float(
+                np.max(np.abs(np.asarray(y, np.float32) - np.asarray(yr, np.float32)))
+                / (np.max(np.abs(np.asarray(yr, np.float32))) + 1e-9))
+            results[f"relerr_gmm_tm{tm}_vs_ragged"] = round(err, 6)
+            assert err < 1e-2
+            continue
+
+        def b_gmm(iters, tile_group=tile_group, tm=tm):
+            def body(x, _):
+                y = gmm(x, w, tile_group, tm)
+                return x + jnp.bfloat16(1e-20) * y[:, :d], None
+
+            return jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
+
+        sec = slope(b_gmm, xp)
+        pad_ratio = m_pad / m
+        results[f"gemm_gmm_tm{tm}"] = {
+            "ms": round(sec * 1e3, 2),
+            "tflop_s": round(gemm_flops / sec / 1e12, 1),
+            "mxu_pct": round(100 * gemm_flops / sec / 1e12 / V5E_BF16_PEAK_TFLOPS, 1),
+            "pad_ratio": round(pad_ratio, 3),
+        }
+        print(f"gmm tm={tm}: {sec * 1e3:.2f} ms "
+              f"({gemm_flops / sec / 1e12:.1f} TFLOP/s, pad {pad_ratio:.2f}x)",
+              flush=True)
+
+    out = "BENCH_MOE_TINY.json" if args.tiny else "BENCH_MOE.json"
+    with open(out, "w") as fp:
+        json.dump(results, fp, indent=2)
+    print(json.dumps(results, default=str)[:400], flush=True)
+
+
+if __name__ == "__main__":
+    main()

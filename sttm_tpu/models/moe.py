@@ -147,7 +147,9 @@ def moe_mlp(lp: dict, h: jnp.ndarray, cfg, mode: str = "auto") -> jnp.ndarray:
         u = jax.lax.ragged_dot(xs, we_u, group_sizes)
         o = jax.lax.ragged_dot(mlp_act(g, cfg) * u, we_d, group_sizes)
         w = topv.reshape(-1)[order]
-        y = jnp.zeros((n, d), x.dtype).at[tok].add(o * w[:, None])
+        # ragged_dot accumulates in f32; cast before the scatter-add (a
+        # mixed-dtype scatter is a FutureWarning today, an error soon)
+        y = jnp.zeros((n, d), x.dtype).at[tok].add((o * w[:, None]).astype(x.dtype))
     elif mode in ("gmm", "gmm_fused"):
         # same dropless sorted dispatch, but through the Pallas grouped-GEMM
         # (ops/gmm.py): groups padded to tm-multiples so every m-tile is one
