@@ -61,9 +61,16 @@ def main():
                    cfg.num_experts_per_tok, cfg.moe_intermediate_size)
     key = jax.random.key(0)
     ks = jax.random.split(key, 2)
+    # NOTE: multiply by a Python float — a np.float64 scalar promotes the
+    # bf16 weights to f32 under standard dtype promotion
     scale = lambda kk, shape: (jax.random.normal(kk, shape, jnp.bfloat16)
-                               * (0.5 / np.sqrt(shape[-2])))
-    stacks = init_moe_layer_params(cfg, ks[0], scale)
+                               * float(0.5 / np.sqrt(shape[-2])))
+    # init ONE layer only: the full 24-layer expert stack is 16.6 GB of
+    # we_g alone and does not fit one v5e chip
+    import dataclasses
+
+    cfg1 = dataclasses.replace(cfg, num_layers=1)
+    stacks = init_moe_layer_params(cfg1, ks[0], scale)
     lp = jax.tree.map(lambda a: a[0], stacks)
     h = jax.random.normal(ks[1], (1, n, d), jnp.bfloat16)
 
@@ -110,7 +117,7 @@ def main():
         def build(iters, mode=mode):
             def body(x, _):
                 y = moe_mlp(lp, x, cfg, mode=mode)
-                return x + jnp.bfloat16(1e-20) * y, None
+                return x + jnp.bfloat16(1e-20) * y.astype(x.dtype), None
 
             return jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
 
