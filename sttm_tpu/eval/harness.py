@@ -129,6 +129,13 @@ class EvalConfig:
     # prefix read traffic, 2x resident videos per chip; bounded
     # approximation — runtime/generate.py build_prefix_pool).
     pool_int8: bool = False
+    # int8 LIVE KV cache on the per-sample and flat-batched decode paths
+    # (qwen2.quantize_kv_cache + per-write-slot quantization in
+    # decode_layers): at the headline decode point the bf16 KV read
+    # dominates the int8 weight read, so this nearly halves per-step HBM
+    # traffic. Bounded approximation like pool_int8; unsupported with
+    # spec_decode_k / dycoke / FrameFusion / prefix paths.
+    kv_int8: bool = False
 
     def gen_config(self) -> GenerateConfig:
         sp = None
@@ -231,6 +238,7 @@ class Qwen2VLEvaluator:
             prompt_ids=[int(i) for i in sample["input_ids"]]
             if cfg.spec_decode_k > 1 else None,
             spec_draft_layers=cfg.spec_draft_layers,
+            kv_int8=cfg.kv_int8,
         )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(
@@ -399,6 +407,7 @@ class LlavaEvaluator:
                 prompt_ids=[int(i) for i in sample["input_ids"]]
                 if cfg.spec_decode_k > 1 else None,
                 spec_draft_layers=cfg.spec_draft_layers,
+                kv_int8=cfg.kv_int8,
             )
         runtime["all"] = time.perf_counter() - t0
         text = self.tokenizer.decode(
@@ -907,6 +916,7 @@ class LlavaEvaluator:
                         spec_decode_k=cfg.spec_decode_k,
                         histories=_spec_histories(chunk)
                         if cfg.spec_decode_k > 1 else None,
+                        kv_int8=cfg.kv_int8,
                     )
 
                 # The traced batch size is part of the compiled program's

@@ -126,6 +126,12 @@ def parse_args(argv=None):
                         "layers on device (self-speculative / layer-skip) "
                         "instead of the n-gram drafter; one fused draft+"
                         "verify dispatch per cycle (per-sample path only)")
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 live KV cache with per-(position, head) "
+                        "scales (bounded approximation, like --pool_int8 "
+                        "but for the writable decode cache): nearly halves "
+                        "per-step decode HBM traffic at long contexts. "
+                        "Per-sample and flat-batched paths only")
     p.add_argument("--prefix_cache", action="store_true",
                    help="reuse the [sys|video] prefill cache across "
                         "questions of the same video (token-exact; ttft_llm "
@@ -223,6 +229,7 @@ def _eval_config(args, name):
         prefix_cascade=args.prefix_cascade,
         prefix_pool=args.prefix_pool,
         pool_int8=args.pool_int8,
+        kv_int8=args.kv_int8,
         pad_multiple=32 if args.smoke else 128,
         eos_token_ids=() if args.smoke else (151645, 151643),
     )
@@ -261,6 +268,15 @@ def main(argv=None):
                 "--prefix_cache composes with --decode_chunk_size only "
                 "when batched (--batch_size > 1) or pooled (--prefix_pool)"
             )
+    if args.kv_int8 and (
+        args.spec_decode_k > 1 or args.prefix_cache or args.prefix_pool
+        or args.sa_pattern in ("dycoke", "framefusion", "merging")
+    ):
+        raise SystemExit(
+            "--kv_int8 supports the per-sample and flat-batched decode "
+            "paths (no speculative/prefix/dycoke/framefusion; pooled "
+            "serving has --pool_int8)"
+        )
     if args.spec_draft_layers > 0:
         if args.spec_decode_k < 2:
             raise SystemExit("--spec_draft_layers requires --spec_decode_k >= 2")

@@ -15,6 +15,7 @@ length — the KV-cache-per-layer-length invariant of the reference
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -331,6 +332,8 @@ def decode_layers(
     attn_kernel: bool = False,
     head_packed: bool = False,
     tail_min=None,
+    cache_ksc=None,
+    cache_vsc=None,
 ):
     """Decode through layers [lo, hi) for x [B, s, D] new tokens. cache_k/v:
     [hi-lo, B, S_c, KV, hd] where the last ``S_c - tail_start`` slots are the
@@ -370,10 +373,23 @@ def decode_layers(
     hides additional cached positions (DyCoke stage-2 pruning, FrameFusion
     dead slots, StreamingLLM windows). Also returns the per-layer roped
     queries q_all [Lg, B, 1, H, hd].
+
+    ``cache_ksc``/``cache_vsc`` [Lg, B, S_c, KV] fp32 switch on the
+    kv_int8 mode: cache_k/cache_v are int8 (quantize_kv_cache) and every
+    new token's K/V is quantized at its write slot with a fresh
+    per-(position, head) scale; attention dequantizes by scaling the
+    score/prob matrices (ops/attention._xla_mha) so the cache HBM read
+    stays int8. The return gains the updated scale stacks:
+    (x, ck, cv, ksc, vsc, q_all). XLA attention paths only.
     """
+    kv_int8 = cache_ksc is not None
+    if kv_int8 and attn_kernel:
+        raise ValueError("kv_int8 decode supports the XLA attention paths only")
     if hi <= lo:
         b, s_new = x.shape[:2]
         empty_q = jnp.zeros((0, b, s_new, cfg.num_heads, cfg.head_dim), x.dtype)
+        if kv_int8:
+            return x, cache_k, cache_v, cache_ksc, cache_vsc, empty_q
         return x, cache_k, cache_v, empty_q
     s_new = x.shape[1]
     if s_new > 1 and attn_kernel:
@@ -415,7 +431,7 @@ def decode_layers(
     # instead would materialize a fresh stacked output every step — a full
     # cache copy per decoded token (measured: +9.4 ms/token at a 25.6k cache
     # on v5e). Carries with a single DUS use alias in place.
-    def body(y, ck_all, cv_all, lp, li):
+    def body(y, ck_all, cv_all, ksc_all, vsc_all, lp, li):
         b, s, d = y.shape
         h = rms_norm(y, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
         q, k, v = qkv_proj(lp, h, cfg)
@@ -425,14 +441,27 @@ def decode_layers(
             # index r*KV + j (s == 1 makes the transpose a pure reshape)
             k = k.transpose(1, 0, 2, 3).reshape(1, s, b * cfg.num_kv_heads, cfg.head_dim)
             v = v.transpose(1, 0, 2, 3).reshape(1, s, b * cfg.num_kv_heads, cfg.head_dim)
+        if kv_int8:  # quantize the new token(s) at their write slots
+            k, ksc_new = quantize_kv(k)
+            v, vsc_new = quantize_kv(v)
+            ksc_all = jax.lax.dynamic_update_slice(
+                ksc_all, ksc_new[None], (li, 0, write_slot, 0))
+            vsc_all = jax.lax.dynamic_update_slice(
+                vsc_all, vsc_new[None], (li, 0, write_slot, 0))
         ck_all = jax.lax.dynamic_update_slice(ck_all, k[None], (li, 0, write_slot, 0, 0))
         cv_all = jax.lax.dynamic_update_slice(cv_all, v[None], (li, 0, write_slot, 0, 0))
+        ksc = vsc = None
         if isinstance(li, int):  # static index: a zero-copy view
             ck = ck_all[li]
             cv = cv_all[li]
+            if kv_int8:
+                ksc, vsc = ksc_all[li], vsc_all[li]
         else:
             ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
+            if kv_int8:
+                ksc = jax.lax.dynamic_index_in_dim(ksc_all, li, 0, keepdims=False)
+                vsc = jax.lax.dynamic_index_in_dim(vsc_all, li, 0, keepdims=False)
         kvh = cfg.num_kv_heads
         g = cfg.num_heads // kvh
         if head_packed and attn_kernel:
@@ -461,6 +490,8 @@ def decode_layers(
                 impl="xla",
                 kv_mask=mask,
                 kv_mask_per_head=mask.ndim == 2,
+                k_scale=ksc,
+                v_scale=vsc,
             ).reshape(s, b, cfg.num_heads, cfg.head_dim).transpose(1, 0, 2, 3)
         elif attn_kernel:
             from ..ops.attention import flash_decode_mha
@@ -474,6 +505,8 @@ def decode_layers(
                 causal=False,
                 impl="xla",
                 kv_mask=mask,
+                k_scale=ksc,
+                v_scale=vsc,
             )
         else:
             # verify window: causal over PHYSICAL slots via q_offset —
@@ -486,25 +519,45 @@ def decode_layers(
                 q_offset=write_slot,
                 impl="xla",
                 kv_mask=mask,
+                k_scale=ksc,
+                v_scale=vsc,
             )
         aq = cfg.act_quant
         y = y + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
         h = rms_norm(y, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
         y = y + mlp_block(lp, h, cfg)
-        return y, ck_all, cv_all, q
+        return y, ck_all, cv_all, ksc_all, vsc_all, q
 
     if unroll:
         qs = []
         for li in range(hi - lo):
             lp = jax.tree.map(lambda a: a[lo + li], layers)
-            x, cache_k, cache_v, q = body(x, cache_k, cache_v, lp, li)
+            x, cache_k, cache_v, cache_ksc, cache_vsc, q = body(
+                x, cache_k, cache_v, cache_ksc, cache_vsc, lp, li)
             qs.append(q)
+        if kv_int8:
+            return x, cache_k, cache_v, cache_ksc, cache_vsc, jnp.stack(qs)
         return x, cache_k, cache_v, jnp.stack(qs)
+
+    if kv_int8:
+        def step8(carry, li):
+            y, ck_all, cv_all, ksc_all, vsc_all = carry
+            lp = _take_layer(layers, lo + li)
+            y, ck_all, cv_all, ksc_all, vsc_all, q = body(
+                y, ck_all, cv_all, ksc_all, vsc_all, lp, li)
+            return (y, ck_all, cv_all, ksc_all, vsc_all), q
+
+        (x, cache_k, cache_v, cache_ksc, cache_vsc), q_all = jax.lax.scan(
+            step8,
+            (x, cache_k, cache_v, cache_ksc, cache_vsc),
+            jnp.arange(hi - lo, dtype=jnp.int32),
+        )
+        return x, cache_k, cache_v, cache_ksc, cache_vsc, q_all
 
     def step(carry, li):
         y, ck_all, cv_all = carry
         lp = _take_layer(layers, lo + li)
-        y, ck_all, cv_all, q = body(y, ck_all, cv_all, lp, li)
+        y, ck_all, cv_all, _, _, q = body(y, ck_all, cv_all, None, None, lp, li)
         return (y, ck_all, cv_all), q
 
     (x, cache_k, cache_v), q_all = jax.lax.scan(
@@ -1254,6 +1307,16 @@ class KVCache:
     # dropped (raster tail) — a parity break vs the budget-free reference
     # that must be reported, not hidden. None = no reducer ran.
     budget_overflow: Any = None
+    # int8 live-cache mode (quantize_kv_cache): per-(position, KV-head)
+    # symmetric dequant scales, [Lg, B, Sg, KV] fp32 per group; ks/vs are
+    # then int8. None = bf16 cache. Same scheme as the read-only prefix
+    # pool (runtime/paged.py), extended to the WRITABLE decode cache: every
+    # decoded token's K/V is quantized at its write slot with its own
+    # scale. Motivation: at the headline decode point the bf16 KV read
+    # (26 MB/layer at 12.8k tokens) dominates the int8 weight read
+    # (8.3 MB/layer) — int8 KV nearly halves per-step HBM traffic.
+    k_scales: Any = None
+    v_scales: Any = None
 
     @property
     def merged_len(self) -> jnp.ndarray:
@@ -1268,6 +1331,38 @@ class KVCache:
     @property
     def len_b(self):
         return self.lens[-1]
+
+
+def quantize_kv(x: jnp.ndarray):
+    """Symmetric int8 quantization over the trailing (head_dim) axis:
+    x [..., hd] -> (int8 [..., hd], fp32 scales [...]). The per-(position,
+    KV-head) scheme of the int8 prefix pool (runtime/paged.py)."""
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.round(x.astype(jnp.float32) / scale[..., None])
+    return q.astype(jnp.int8), scale
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def quantize_kv_cache(cache: KVCache) -> KVCache:
+    """bf16 KVCache -> int8 KVCache with per-(position, KV-head) scales
+    (the ``kv_int8`` decode mode). One pass over the cache at the
+    prefill->decode handoff; the reserved decode tail (zeros) quantizes to
+    zeros and every later token is re-quantized at its write slot by
+    decode_layers. Bounded approximation like the int8 pool:
+    |error| <= scale/2 per element on K and V reads."""
+    ks, vs, ksc, vsc = [], [], [], []
+    for k, v in zip(cache.ks, cache.vs):
+        kq, ks_ = quantize_kv(k)
+        vq, vs_ = quantize_kv(v)
+        ks.append(kq)
+        vs.append(vq)
+        ksc.append(ks_)
+        vsc.append(vs_)
+    return dataclasses.replace(
+        cache, ks=tuple(ks), vs=tuple(vs),
+        k_scales=tuple(ksc), v_scales=tuple(vsc),
+    )
 
 
 def _mat(x: jnp.ndarray, w, act_quant=False) -> jnp.ndarray:

@@ -15,12 +15,20 @@ import jax.numpy as jnp
 __all__ = ["mha"]
 
 
-def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks=0, attn_window=0, kv_mask=None, kv_mask_per_head=False):
+def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks=0, attn_window=0, kv_mask=None, kv_mask_per_head=False, k_scale=None, v_scale=None):
     b, sq, hq, hd = q.shape
     _, skv, hkv, _ = k.shape
     g = hq // hkv
     # fp32 accumulation WITHOUT materializing fp32 copies of K/V: decode reads
-    # the whole cache every token, so upcasting it would double HBM traffic
+    # the whole cache every token, so upcasting it would double HBM traffic.
+    # int8 K/V (kv_int8 mode): the int8->f32 operand convert fuses into the
+    # dot's HBM read and dequantization scales the score/prob matrices
+    # instead of K/V (runtime/paged.py pool pattern — never materializes a
+    # dequantized cache copy).
+    if k.dtype == jnp.int8:
+        k = k.astype(jnp.float32)
+    if v.dtype == jnp.int8:
+        v = v.astype(jnp.float32)
     qf = q.reshape(b, sq, hkv, g, hd)
     scores = jnp.einsum(
         "bqhgd,bkhd->bhgqk", qf, k,
@@ -28,6 +36,8 @@ def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks=0, at
         preferred_element_type=jnp.float32,
     )
     scores = scores * sm_scale
+    if k_scale is not None:  # [B, Skv, Hkv] -> [B, Hkv, 1, 1, Skv]
+        scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
     kpos = jnp.arange(skv)[None, :]
     mask = kpos < kv_valid_len
     if causal:
@@ -50,6 +60,8 @@ def _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks=0, at
         mask5 = mask[None, None, None] & kv_mask[:, None, None, None, :]
     scores = jnp.where(mask5, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:  # dequantize V by scaling the prob rows
+        probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
     out = jnp.einsum(
         "bhgqk,bkhd->bqhgd", probs, v,
         precision=jax.lax.Precision.HIGHEST,
@@ -297,8 +309,16 @@ def mha(
     attn_window: int = 0,
     kv_mask=None,
     kv_mask_per_head: bool = False,
+    k_scale=None,
+    v_scale=None,
 ) -> jnp.ndarray:
     sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    if k_scale is not None or v_scale is not None:
+        # int8 K/V with per-(position, KV-head) dequant scales [B, Skv, Hkv]
+        # (the kv_int8 live-cache mode) — XLA path only.
+        return _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale,
+                        attn_sinks, attn_window, kv_mask, kv_mask_per_head,
+                        k_scale, v_scale)
     # The Pallas kernels need 128-tileable sequence lengths; odd sizes fall
     # back to the (correct, slower) XLA path rather than mis-tiling the tail.
     if impl in ("flash", "flash_legacy") and q.shape[1] > 1 and causal \

@@ -72,7 +72,8 @@ def build_decode_step(
                 pos = jnp.broadcast_to(pos, (3, 1))
             cos, sin = qwen2.rope_cos_sin(cfg, pos)
 
-        new_ks, new_vs = [], []
+        kv_int8 = cache.k_scales is not None
+        new_ks, new_vs, new_ksc, new_vsc = [], [], [], []
         for gi, (lo, hi) in enumerate(bounds):
             s_c = cache.ks[gi].shape[2]
             tail_start = s_c - MAX_DECODE
@@ -84,17 +85,29 @@ def build_decode_step(
                 cur = kv_len + step
                 cur = cur[:, None] if jnp.ndim(cur) == 1 else cur
                 kv_mask = (logical < attn_sinks) | (cur - logical < attn_window)
-            x, ck, cv, _ = qwen2.decode_layers(
+            out = qwen2.decode_layers(
                 layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
                 kv_len, step, tail_start, cfg, kv_mask=kv_mask, unroll=unroll,
                 attn_kernel=attn_kernel, head_packed=head_packed,
                 tail_min=tail_min,
+                cache_ksc=None if not kv_int8 else cache.k_scales[gi],
+                cache_vsc=None if not kv_int8 else cache.v_scales[gi],
             )
+            if kv_int8:
+                x, ck, cv, ksc, vsc, _ = out
+                new_ksc.append(ksc)
+                new_vsc.append(vsc)
+            else:
+                x, ck, cv, _ = out
             new_ks.append(ck)
             new_vs.append(cv)
         h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         logits = qwen2.lm_head(params, cfg, h)[:, 0]
-        new_cache = dataclasses.replace(cache, ks=tuple(new_ks), vs=tuple(new_vs))
+        new_cache = dataclasses.replace(
+            cache, ks=tuple(new_ks), vs=tuple(new_vs),
+            k_scales=tuple(new_ksc) if kv_int8 else None,
+            v_scales=tuple(new_vsc) if kv_int8 else None,
+        )
         return logits, new_cache
 
     return jax.jit(fn, donate_argnums=(2,)) if jit else fn
@@ -246,8 +259,10 @@ def build_decode_chunk_batch(
 
     def _row_insert(buf, x, i):
         x = jnp.asarray(x)
-        if x.ndim >= 2:  # [Lg, 1, S, KV, hd] at head offset i*kvh
-            return jax.lax.dynamic_update_slice(buf, x, (0, 0, 0, i * kvh, 0))
+        if x.ndim >= 2:  # KV [Lg, 1, S, KV, hd] / kv_int8 scales
+            # [Lg, 1, S, KV] — both land at head offset i*kvh
+            idx = (0, 0, 0, i * kvh) + (0,) * (x.ndim - 4)
+            return jax.lax.dynamic_update_slice(buf, x, idx)
         return jax.lax.dynamic_update_index_in_dim(buf, x, i, 0)
 
     insert_row = jax.jit(

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models import qwen2
 from ..models.config import DecoderConfig
 from .reducer import ReducerSpec
 
@@ -119,8 +120,17 @@ def generate(
     spec_draft_layers: int = 0,
     decode_unroll: bool = False,
     return_logprobs: bool = False,
+    kv_int8: bool = False,
 ):
     """Greedy generation. Returns (token_ids list, runtime dict).
+
+    ``kv_int8`` quantizes the KV cache to int8 with per-(position, head)
+    scales at the prefill->decode handoff (qwen2.quantize_kv_cache); every
+    decoded token is quantized at its write slot. At the headline decode
+    point the bf16 KV read dominates the int8 weight read, so this nearly
+    halves per-step HBM traffic. Bounded approximation (like the int8
+    prefix pool); unsupported with dycoke / speculative decoding /
+    FrameFusion specs.
 
     ``return_logprobs`` adds runtime["logprobs"] — the log-probability of
     each emitted token (the reference's output_scores surface,
@@ -173,9 +183,13 @@ def generate(
     from .framefusion import FrameFusionSpec
 
     if isinstance(spec, FrameFusionSpec):
+        if kv_int8:
+            raise ValueError("kv_int8 is unsupported with FrameFusion specs")
         return _generate_framefusion(
             params, cfg, embeds, valid_len, video_start, spec, gen, position_ids
         )
+    if kv_int8 and (dycoke is not None or spec_decode_k > 1):
+        raise ValueError("kv_int8 is unsupported with dycoke/speculative decode")
     s_full = embeds.shape[1]
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     prefill = build_prefill(cfg, spec_key, s_full, impl, attn_sinks, attn_window)
@@ -194,6 +208,8 @@ def generate(
     )
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
+    if kv_int8:  # one-time cache pass (read bf16, write int8 + scales)
+        cache = qwen2.quantize_kv_cache(cache)
 
     sp = gen.sampling
     sampling_on = sp is not None and not sp.greedy
@@ -505,6 +521,7 @@ def generate_batch(
     spec_decode_k: int = 0,
     histories=None,
     draft_fn=None,
+    kv_int8: bool = False,
 ):
     """Batched greedy generation — beyond the reference's strict batch=1
     (eval_vidqa_by_feat_llavavideo.py:208). Samples share (s_full, spec);
@@ -540,6 +557,8 @@ def generate_batch(
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
     samp = static_sample_key(gen.sampling)  # None = greedy programs
     speculative = spec_decode_k > 1 and samp is None  # spec verify is greedy
+    if kv_int8 and speculative:
+        raise ValueError("kv_int8 is unsupported with batched speculative decode")
     if speculative:
         k, tail_slots, (init_row_buf, insert_row, update_mask, verify_chunk) = (
             _spec_batch_builders(cfg, spec_key, spec_decode_k, gen)
@@ -573,6 +592,8 @@ def generate_batch(
         jax.block_until_ready(out[0])
         logits_rows.append(out[0])
         ci = out[1]
+        if kv_int8:  # quantize the row before packing (int8 batched buffer)
+            ci = qwen2.quantize_kv_cache(ci)
         if cache is None:
             cache = jax.tree.map(_batched_init, ci)
         cache = insert_row(cache, ci, jnp.int32(i))

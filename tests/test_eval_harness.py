@@ -544,6 +544,37 @@ def test_cli_smoke_selfspec(tmp_path, synthetic_benchmark):
     assert rows and any("spec_drafted" in r for r in rows)
 
 
+def test_cli_smoke_kv_int8(tmp_path, synthetic_benchmark):
+    """run_vidqa --kv_int8 drives the int8 live-KV decode through the CLI;
+    rejects composition with --spec_decode_k."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from sttm_tpu.eval.run_vidqa import main as cli_main
+
+    anno_path, feat_dir, meta_dir, annos = synthetic_benchmark
+    out_dir = tmp_path / "cli_kv_int8"
+    base = [
+        "--dataset_name", "videomme",
+        "--anno_filepath", str(anno_path), "--metadata_dir", str(meta_dir),
+        "--smoke", "--first_sample", "--max_new_tokens", "5",
+        "--attention_impl", "xla", "--output_dir", str(out_dir),
+        "--sa_pattern", "quadtree", "--sa_start_layer_idx", "1",
+        "--sa_tree_thresh", "0.7", "--sa_tree_temporal_thresh", "0.6",
+        "--model_name_or_path", "ckpts/tiny-llava",
+        "--feature_dir", str(feat_dir),
+    ]
+    cli_main(base + ["--kv_int8", "--decode_chunk_size", "3"])
+    run_dir = next(iter(out_dir.iterdir()))
+    pred = run_dir / "predictions.jsonl"
+    rows = [_json.loads(l) for l in pred.read_text().splitlines()]
+    assert rows and rows[0]["answer"] is not None
+
+    with _pytest.raises(SystemExit, match="kv_int8"):
+        cli_main(base + ["--kv_int8", "--spec_decode_k", "3"])
+
+
 def test_cli_smoke_sampling(tmp_path, synthetic_benchmark):
     """run_vidqa --temperature/--top_p drives sampled decoding through the
     CLI (per-sample path); same seed is replay-deterministic."""

@@ -1,0 +1,136 @@
+"""int8 live KV cache (kv_int8): the writable decode cache carries int8 K/V
+with per-(position, KV-head) scales (qwen2.quantize_kv_cache), each decoded
+token re-quantized at its write slot (qwen2.decode_layers) and attention
+dequantizing via the score/prob matrices (ops/attention._xla_mha) — the
+same scheme as the read-only int8 prefix pool (runtime/paged.py), extended
+to the live per-sample and head-packed batched caches. Outputs are a
+bounded approximation of the bf16 cache; the chunked and batched layouts
+must match the per-step int8 path token-exactly (identical quantization)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+jax.config.update("jax_default_matmul_precision", "float32")
+
+from sttm_tpu.models import qwen2
+from sttm_tpu.models.config import TINY
+from sttm_tpu.runtime.generate import GenerateConfig, generate, generate_batch
+from sttm_tpu.runtime.reducer import ReducerSpec
+
+
+def _case(seed=0):
+    params = qwen2.init_params(TINY, jax.random.key(0))
+    rng = np.random.default_rng(seed)
+    t, h, w = 4, 4, 4
+    nv = t * h * w
+    sys_len, inst_len = 4, 8
+    valid = sys_len + nv + inst_len
+    s_full = 96
+    emb = np.zeros((1, s_full, TINY.hidden_size), np.float32)
+    emb[0, :valid] = rng.normal(size=(valid, TINY.hidden_size)) * 0.2
+    spec = ReducerSpec(
+        kind="quadtree", layer_idx=2, t=t, h=h, w=w, video_budget=nv // 2,
+        spatial_thresh=0.85, temporal_thresh=0.65, root_level=0,
+    )
+    return params, jnp.asarray(emb), valid, sys_len, spec
+
+
+def test_quantize_kv_roundtrip_bound():
+    """Per-element dequant error <= scale/2; grid-aligned values are exact."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 3, 8)).astype(np.float32))
+    q, s = qwen2.quantize_kv(x)
+    assert q.dtype == jnp.int8 and s.shape == x.shape[:-1]
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s)[..., None] - np.asarray(x))
+    assert (err <= np.asarray(s)[..., None] / 2 + 1e-7).all()
+    # values already on the int8 grid survive exactly
+    g = (q.astype(jnp.float32) * s[..., None]).astype(jnp.float32)
+    q2, s2 = qwen2.quantize_kv(g)
+    np.testing.assert_allclose(
+        np.asarray(q2, np.float32) * np.asarray(s2)[..., None], np.asarray(g),
+        rtol=0, atol=1e-6)
+
+
+def test_kv_int8_decode_bounded_vs_bf16():
+    """Greedy tokens under the int8 cache overwhelmingly agree with the
+    exact bf16 path; the quantized cache buffers really are int8."""
+    params, emb, valid, vs, spec = _case()
+    gen = GenerateConfig(max_new_tokens=13, eos_token_ids=())
+    ref, _ = generate(params, TINY, emb, valid, vs, spec, gen)
+    got, rt = generate(params, TINY, emb, valid, vs, spec, gen, kv_int8=True)
+    agree = sum(a == b for a, b in zip(got, ref))
+    assert agree / len(ref) >= 0.8, f"kv_int8 agreement {agree}/{len(ref)}"
+    assert rt["num_dec_token"] == len(got)
+
+    # dtype check on the handoff itself
+    from sttm_tpu.runtime.generate import build_prefill
+
+    prefill = build_prefill(TINY, spec, emb.shape[1], "xla", 0, 0)
+    _, cache = prefill(params, emb, jnp.int32(valid), jnp.int32(vs),
+                       None, None, None)
+    qc = qwen2.quantize_kv_cache(cache)
+    assert all(k.dtype == jnp.int8 for k in qc.ks)
+    assert all(v.dtype == jnp.int8 for v in qc.vs)
+    assert qc.k_scales is not None and qc.k_scales[0].dtype == jnp.float32
+    assert qc.k_scales[0].shape == qc.ks[0].shape[:-1]
+
+
+def test_kv_int8_chunked_matches_per_step():
+    """Chunked int8 decode reuses the per-step body — token-exact."""
+    params, emb, valid, vs, spec = _case(seed=3)
+    gen = GenerateConfig(max_new_tokens=12, eos_token_ids=())
+    ref, _ = generate(params, TINY, emb, valid, vs, spec, gen, kv_int8=True)
+    for chunk in (3, 5):
+        got, _ = generate(params, TINY, emb, valid, vs, spec, gen,
+                          kv_int8=True, decode_chunk_size=chunk)
+        assert got == ref, (chunk, got, ref)
+
+
+def test_kv_int8_batch_matches_single():
+    """Head-packed batched int8 decode matches per-sample int8 generate
+    (quantization is per row; head packing is exact)."""
+    params, emb, valid, vs, spec = _case(seed=7)
+    b = 3
+    rng = np.random.default_rng(7)
+    embs = np.asarray(jnp.broadcast_to(emb, (b,) + emb.shape[1:])).copy()
+    embs += 0.01 * rng.normal(size=embs.shape).astype(np.float32)
+    valids = [valid, valid - 2, valid - 4]
+    gen = GenerateConfig(max_new_tokens=9, eos_token_ids=())
+    want = [
+        generate(params, TINY, jnp.asarray(embs[i : i + 1]), valids[i], vs,
+                 spec, gen, kv_int8=True)[0]
+        for i in range(b)
+    ]
+    ids, _ = generate_batch(
+        params, TINY, jnp.asarray(embs), valids, [vs] * b, spec, gen,
+        decode_chunk_size=4, kv_int8=True,
+    )
+    assert ids == want
+
+
+def test_kv_int8_streaming_window_runs():
+    """kv_int8 composes with the StreamingLLM decode window (mask path)."""
+    params, emb, valid, vs, spec = _case(seed=5)
+    gen = GenerateConfig(max_new_tokens=8, eos_token_ids=())
+    ref, _ = generate(params, TINY, emb, valid, vs, spec, gen,
+                      attn_sinks=2, attn_window=16)
+    got, _ = generate(params, TINY, emb, valid, vs, spec, gen,
+                      attn_sinks=2, attn_window=16, kv_int8=True)
+    agree = sum(a == b for a, b in zip(got, ref))
+    assert agree / len(ref) >= 0.75, f"windowed agreement {agree}/{len(ref)}"
+
+
+def test_kv_int8_rejects_unsupported_combos():
+    params, emb, valid, vs, spec = _case()
+    gen = GenerateConfig(max_new_tokens=4, eos_token_ids=())
+    with pytest.raises(ValueError, match="kv_int8"):
+        generate(params, TINY, emb, valid, vs, spec, gen, kv_int8=True,
+                 spec_decode_k=3)
+    with pytest.raises(ValueError, match="kv_int8"):
+        generate_batch(
+            params, TINY, jnp.broadcast_to(emb, (2,) + emb.shape[1:]),
+            [valid] * 2, [vs] * 2, spec, gen, kv_int8=True, spec_decode_k=3,
+        )
