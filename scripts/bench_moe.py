@@ -121,7 +121,12 @@ def main():
 
             return jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
 
-        sec = slope(build, h)
+        try:
+            sec = slope(build, h)
+        except Exception as e:  # remote-compile tunnel drops are transient
+            results[f"block_{mode}"] = {"error": str(e)[:200]}
+            print(f"moe_mlp[{mode}]: ERROR {e}", flush=True)
+            continue
         # selected FLOPs: N*k assignment rows x 3 expert matmuls + shared
         flops = (2.0 * n * k * 3 * d * fe
                  + 2.0 * n * 3 * d * cfg.shared_expert_intermediate_size)
