@@ -133,8 +133,9 @@ class EvalConfig:
     # (qwen2.quantize_kv_cache + per-write-slot quantization in
     # decode_layers): at the headline decode point the bf16 KV read
     # dominates the int8 weight read, so this nearly halves per-step HBM
-    # traffic. Bounded approximation like pool_int8; unsupported with
-    # spec_decode_k / dycoke / FrameFusion / prefix paths.
+    # traffic. Bounded approximation like pool_int8; composes with
+    # decode_chunk_size and spec_decode_k (int8 verify reads); unsupported
+    # with self-spec / dycoke / FrameFusion / prefix paths.
     kv_int8: bool = False
 
     def gen_config(self) -> GenerateConfig:

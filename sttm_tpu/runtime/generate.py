@@ -129,8 +129,9 @@ def generate(
     decoded token is quantized at its write slot. At the headline decode
     point the bf16 KV read dominates the int8 weight read, so this nearly
     halves per-step HBM traffic. Bounded approximation (like the int8
-    prefix pool); unsupported with dycoke / speculative decoding /
-    FrameFusion specs.
+    prefix pool). Composes with chunked decode and n-gram speculative
+    decoding (the verify dispatch reads the int8 cache); unsupported with
+    dycoke / self-speculative drafting / FrameFusion specs.
 
     ``return_logprobs`` adds runtime["logprobs"] — the log-probability of
     each emitted token (the reference's output_scores surface,
@@ -188,8 +189,12 @@ def generate(
         return _generate_framefusion(
             params, cfg, embeds, valid_len, video_start, spec, gen, position_ids
         )
-    if kv_int8 and (dycoke is not None or spec_decode_k > 1):
-        raise ValueError("kv_int8 is unsupported with dycoke/speculative decode")
+    if kv_int8 and (dycoke is not None or spec_draft_layers > 0):
+        raise ValueError(
+            "kv_int8 is unsupported with dycoke/self-speculative decode "
+            "(the n-gram speculative path composes: the verify dispatch "
+            "reads the int8 cache)"
+        )
     s_full = embeds.shape[1]
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     prefill = build_prefill(cfg, spec_key, s_full, impl, attn_sinks, attn_window)
@@ -557,8 +562,6 @@ def generate_batch(
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
     samp = static_sample_key(gen.sampling)  # None = greedy programs
     speculative = spec_decode_k > 1 and samp is None  # spec verify is greedy
-    if kv_int8 and speculative:
-        raise ValueError("kv_int8 is unsupported with batched speculative decode")
     if speculative:
         k, tail_slots, (init_row_buf, insert_row, update_mask, verify_chunk) = (
             _spec_batch_builders(cfg, spec_key, spec_decode_k, gen)

@@ -50,26 +50,41 @@ def build_verify_step(cfg: DecoderConfig, spec, k: int):
 def _verify_tokens(params, tokens, cache, step, bounds, cfg, k):
     """Multi-token verify body shared by build_verify_step and
     build_selfspec_step: score k tokens, write their K/V into tail slots
-    step..step+k-1."""
+    step..step+k-1. An int8 cache (kv_int8, cache.k_scales set) verifies
+    over int8 K/V reads — the draft window quantizes at its write slots
+    exactly like the per-step path, so acceptance decisions match."""
+    kv_int8 = cache.k_scales is not None
     layers = params["layers"]
     x = qwen2.embed_tokens(params, tokens, cfg)[None]  # [1, k, D]
     pos = (cache.pos_base + step + jnp.arange(k)).astype(jnp.int32)  # [k]
     if cfg.mrope_section:  # all three M-RoPE rows advance together
         pos = jnp.broadcast_to(pos[None], (3, k))
     cos, sin = qwen2.rope_cos_sin(cfg, pos)
-    new_ks, new_vs = [], []
+    new_ks, new_vs, new_ksc, new_vsc = [], [], [], []
     for gi, (lo, hi) in enumerate(bounds):
         s_c = cache.ks[gi].shape[2]
         tail_start = s_c - MAX_DECODE
-        x, ck, cv, _ = qwen2.decode_layers(
+        out = qwen2.decode_layers(
             layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
             cache.lens[gi], step, tail_start, cfg,
+            cache_ksc=None if not kv_int8 else cache.k_scales[gi],
+            cache_vsc=None if not kv_int8 else cache.v_scales[gi],
         )
+        if kv_int8:
+            x, ck, cv, ksc, vsc, _ = out
+            new_ksc.append(ksc)
+            new_vsc.append(vsc)
+        else:
+            x, ck, cv, _ = out
         new_ks.append(ck)
         new_vs.append(cv)
     h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
     logits = qwen2.lm_head(params, cfg, h)[0]  # [k, V]
-    new_cache = dataclasses.replace(cache, ks=tuple(new_ks), vs=tuple(new_vs))
+    new_cache = dataclasses.replace(
+        cache, ks=tuple(new_ks), vs=tuple(new_vs),
+        k_scales=tuple(new_ksc) if kv_int8 else None,
+        v_scales=tuple(new_vsc) if kv_int8 else None,
+    )
     return logits, new_cache
 
 @functools.lru_cache(maxsize=8)
@@ -237,11 +252,12 @@ def build_verify_chunk_batch(cfg: DecoderConfig, spec, k: int, kvh: int, tail_sl
 
     def _row_insert(buf, x, i):
         x = jnp.asarray(x)
-        if x.ndim >= 2:
+        if x.ndim >= 2:  # KV [Lg, 1, S, KV, hd] / kv_int8 scales [Lg, 1, S, KV]
             if x.shape[2] > buf.shape[2]:
                 # tail_slots < MAX_DECODE: drop the row's unused zero tail
                 x = jax.lax.slice_in_dim(x, 0, buf.shape[2], axis=2)
-            return jax.lax.dynamic_update_slice(buf, x, (0, 0, 0, i * kvh, 0))
+            idx = (0, 0, 0, i * kvh) + (0,) * (x.ndim - 4)
+            return jax.lax.dynamic_update_slice(buf, x, idx)
         return jax.lax.dynamic_update_index_in_dim(buf, x, i, 0)
 
     insert_row = jax.jit(
@@ -255,30 +271,43 @@ def build_verify_chunk_batch(cfg: DecoderConfig, spec, k: int, kvh: int, tail_sl
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def verify_chunk(params, tokens, cache, d, acc_counts, acc_mask):
+        kv_int8 = cache.k_scales is not None
         layers = params["layers"]
         b = tokens.shape[0]
         x = qwen2.embed_tokens(params, tokens, cfg)  # [B, k, D]
         cos, sin, step_idx, tail_vis = _verify_pos_tail(
             cfg, cache.pos_base, acc_counts, k, d, tail_slots, acc_mask
         )
-        new_ks, new_vs = [], []
+        new_ks, new_vs, new_ksc, new_vsc = [], [], [], []
         for gi, (lo, hi) in enumerate(bounds):
             s_c = cache.ks[gi].shape[2]
             tail_start = s_c - tail_slots
             kvm = jnp.concatenate(
                 [jnp.ones((b, tail_start), bool), tail_vis], axis=1
             )
-            x, ck, cv, _ = qwen2.decode_layers(
+            out = qwen2.decode_layers(
                 layers, lo, hi, x, cos, sin, cache.ks[gi], cache.vs[gi],
                 cache.lens[gi], step_idx, tail_start, cfg, kv_mask=kvm,
                 head_packed=True,
+                cache_ksc=None if not kv_int8 else cache.k_scales[gi],
+                cache_vsc=None if not kv_int8 else cache.v_scales[gi],
             )
+            if kv_int8:
+                x, ck, cv, ksc, vsc, _ = out
+                new_ksc.append(ksc)
+                new_vsc.append(vsc)
+            else:
+                x, ck, cv, _ = out
             new_ks.append(ck)
             new_vs.append(cv)
         h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         logits = qwen2.lm_head(params, cfg, h)  # [B, k, V]
         preds = jnp.argmax(logits, -1).astype(jnp.int32)
-        new_cache = dataclasses.replace(cache, ks=tuple(new_ks), vs=tuple(new_vs))
+        new_cache = dataclasses.replace(
+            cache, ks=tuple(new_ks), vs=tuple(new_vs),
+            k_scales=tuple(new_ksc) if kv_int8 else None,
+            v_scales=tuple(new_vsc) if kv_int8 else None,
+        )
         return preds, new_cache
 
     return init_row_buf, insert_row, update_mask, verify_chunk

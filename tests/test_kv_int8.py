@@ -123,14 +123,39 @@ def test_kv_int8_streaming_window_runs():
     assert agree / len(ref) >= 0.75, f"windowed agreement {agree}/{len(ref)}"
 
 
+def test_kv_int8_spec_decode_matches_plain_int8():
+    """n-gram speculative decode over the int8 cache: the verify dispatch
+    quantizes drafts at their write slots exactly like the per-step path,
+    so emitted tokens match plain int8 decode (token-exact on CPU fp32 —
+    the existing spec-decode exactness precedent)."""
+    params, emb, valid, vs, spec = _case(seed=11)
+    gen = GenerateConfig(max_new_tokens=10, eos_token_ids=())
+    ref, _ = generate(params, TINY, emb, valid, vs, spec, gen, kv_int8=True)
+    got, rt = generate(params, TINY, emb, valid, vs, spec, gen, kv_int8=True,
+                       spec_decode_k=4)
+    assert got == ref, (got, ref)
+    assert rt["spec_drafted"] >= 0
+
+    # batched spec over the int8 packed buffer matches per-sample int8 spec
+    b = 2
+    rng = np.random.default_rng(11)
+    embs = np.asarray(jnp.broadcast_to(emb, (b,) + emb.shape[1:])).copy()
+    embs += 0.01 * rng.normal(size=embs.shape).astype(np.float32)
+    want = [
+        generate(params, TINY, jnp.asarray(embs[i : i + 1]), valid, vs,
+                 spec, gen, kv_int8=True, spec_decode_k=3)[0]
+        for i in range(b)
+    ]
+    ids, _ = generate_batch(
+        params, TINY, jnp.asarray(embs), [valid] * b, [vs] * b, spec, gen,
+        spec_decode_k=3, kv_int8=True,
+    )
+    assert ids == want
+
+
 def test_kv_int8_rejects_unsupported_combos():
     params, emb, valid, vs, spec = _case()
     gen = GenerateConfig(max_new_tokens=4, eos_token_ids=())
     with pytest.raises(ValueError, match="kv_int8"):
         generate(params, TINY, emb, valid, vs, spec, gen, kv_int8=True,
-                 spec_decode_k=3)
-    with pytest.raises(ValueError, match="kv_int8"):
-        generate_batch(
-            params, TINY, jnp.broadcast_to(emb, (2,) + emb.shape[1:]),
-            [valid] * 2, [vs] * 2, spec, gen, kv_int8=True, spec_decode_k=3,
-        )
+                 spec_decode_k=3, spec_draft_layers=2)
