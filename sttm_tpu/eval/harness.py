@@ -134,8 +134,9 @@ class EvalConfig:
     # decode_layers): at the headline decode point the bf16 KV read
     # dominates the int8 weight read, so this nearly halves per-step HBM
     # traffic. Bounded approximation like pool_int8; composes with
-    # decode_chunk_size and spec_decode_k (int8 verify reads); unsupported
-    # with self-spec / dycoke / FrameFusion / prefix paths.
+    # decode_chunk_size and spec_decode_k incl. self-speculative drafting
+    # (int8 draft + verify reads); unsupported with dycoke / FrameFusion /
+    # prefix paths.
     kv_int8: bool = False
 
     def gen_config(self) -> GenerateConfig:

@@ -129,9 +129,9 @@ def generate(
     decoded token is quantized at its write slot. At the headline decode
     point the bf16 KV read dominates the int8 weight read, so this nearly
     halves per-step HBM traffic. Bounded approximation (like the int8
-    prefix pool). Composes with chunked decode and n-gram speculative
-    decoding (the verify dispatch reads the int8 cache); unsupported with
-    dycoke / self-speculative drafting / FrameFusion specs.
+    prefix pool). Composes with chunked decode and speculative decoding —
+    n-gram AND self-speculative (draft scan + verify dispatch both read
+    the int8 cache); unsupported with dycoke / FrameFusion specs.
 
     ``return_logprobs`` adds runtime["logprobs"] — the log-probability of
     each emitted token (the reference's output_scores surface,
@@ -189,12 +189,8 @@ def generate(
         return _generate_framefusion(
             params, cfg, embeds, valid_len, video_start, spec, gen, position_ids
         )
-    if kv_int8 and (dycoke is not None or spec_draft_layers > 0):
-        raise ValueError(
-            "kv_int8 is unsupported with dycoke/self-speculative decode "
-            "(the n-gram speculative path composes: the verify dispatch "
-            "reads the int8 cache)"
-        )
+    if kv_int8 and dycoke is not None:
+        raise ValueError("kv_int8 is unsupported with dycoke stage-2 decode")
     s_full = embeds.shape[1]
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     prefill = build_prefill(cfg, spec_key, s_full, impl, attn_sinks, attn_window)

@@ -118,33 +118,50 @@ def build_selfspec_step(cfg: DecoderConfig, spec, k: int, exit_layer: int):
 
     def fn(params, token, cache, step):
         layers = params["layers"]
+        kv_int8 = cache.k_scales is not None
 
         def body(carry, j):
-            cur, ks, vs = carry
+            cur, ks, vs, kscs, vscs = carry
             x = qwen2.embed_tokens(params, cur, cfg)[:, None, :]  # [1, 1, D]
             pos = (cache.pos_base + step + j)[None].astype(jnp.int32)
             if cfg.mrope_section:
                 pos = jnp.broadcast_to(pos, (3, 1))
             cos, sin = qwen2.rope_cos_sin(cfg, pos)
             ks, vs = list(ks), list(vs)
+            kscs, vscs = list(kscs), list(vscs)
             for gi, (lo, hi) in enumerate(bounds):
                 if lo >= e:
                     break
                 s_c = ks[gi].shape[2]
-                x, ck, cv, _ = qwen2.decode_layers(
+                out = qwen2.decode_layers(
                     layers, lo, min(hi, e), x, cos, sin, ks[gi], vs[gi],
                     cache.lens[gi], step + j, s_c - MAX_DECODE, cfg,
+                    cache_ksc=kscs[gi] if kv_int8 else None,
+                    cache_vsc=vscs[gi] if kv_int8 else None,
                 )
+                if kv_int8:
+                    x, ck, cv, kscs[gi], vscs[gi], _ = out
+                else:
+                    x, ck, cv, _ = out
                 ks[gi], vs[gi] = ck, cv
             h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
             logits = qwen2.lm_head(params, cfg, h)[:, 0]
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
-            return (nxt, tuple(ks), tuple(vs)), nxt[0]
+            return (nxt, tuple(ks), tuple(vs), tuple(kscs), tuple(vscs)), nxt[0]
 
-        (_, ks, vs), drafts = jax.lax.scan(
-            body, (token, cache.ks, cache.vs), jnp.arange(k - 1, dtype=jnp.int32)
+        none_tup = (None,) * len(cache.ks)
+        (_, ks, vs, kscs, vscs), drafts = jax.lax.scan(
+            body,
+            (token, cache.ks, cache.vs,
+             cache.k_scales if kv_int8 else none_tup,
+             cache.v_scales if kv_int8 else none_tup),
+            jnp.arange(k - 1, dtype=jnp.int32),
         )
-        cache = dataclasses.replace(cache, ks=ks, vs=vs)
+        cache = dataclasses.replace(
+            cache, ks=ks, vs=vs,
+            k_scales=kscs if kv_int8 else None,
+            v_scales=vscs if kv_int8 else None,
+        )
         feed = jnp.concatenate([token, drafts])
         logits, new_cache = _verify_tokens(params, feed, cache, step, bounds, cfg, k)
         # argmax on device, one small fetchable array [2k-1] = preds ++

@@ -572,8 +572,7 @@ def test_cli_smoke_kv_int8(tmp_path, synthetic_benchmark):
     assert rows and rows[0]["answer"] is not None
 
     with _pytest.raises(SystemExit, match="kv_int8"):
-        cli_main(base + ["--kv_int8", "--spec_decode_k", "3",
-                         "--spec_draft_layers", "2"])
+        cli_main(base + ["--kv_int8", "--prefix_cache"])
 
 
 def test_cli_smoke_sampling(tmp_path, synthetic_benchmark):

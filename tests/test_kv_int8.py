@@ -153,9 +153,25 @@ def test_kv_int8_spec_decode_matches_plain_int8():
     assert ids == want
 
 
+def test_kv_int8_selfspec_matches_plain_int8():
+    """Self-speculative decode over the int8 cache: the draft scan carries
+    the scale stacks, and the verify rewrites the draft window's slots with
+    identical quantized values — emitted tokens match plain int8 decode."""
+    params, emb, valid, vs, spec = _case(seed=13)
+    gen = GenerateConfig(max_new_tokens=9, eos_token_ids=())
+    ref, _ = generate(params, TINY, emb, valid, vs, spec, gen, kv_int8=True)
+    got, rt = generate(params, TINY, emb, valid, vs, spec, gen, kv_int8=True,
+                       spec_decode_k=3, spec_draft_layers=2)
+    assert got == ref, (got, ref)
+    assert rt["spec_drafted"] > 0
+
+
 def test_kv_int8_rejects_unsupported_combos():
+    from sttm_tpu.runtime.common import DycokeDecodeOptions
+
     params, emb, valid, vs, spec = _case()
     gen = GenerateConfig(max_new_tokens=4, eos_token_ids=())
     with pytest.raises(ValueError, match="kv_int8"):
         generate(params, TINY, emb, valid, vs, spec, gen, kv_int8=True,
-                 spec_decode_k=3, spec_draft_layers=2)
+                 dycoke=DycokeDecodeOptions(layer_idx=2, ratio=0.5,
+                                            img_len=8))
