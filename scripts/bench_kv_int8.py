@@ -1,18 +1,21 @@
-"""int8 live-KV decode on the real chip (the kv_int8 mode's headline number).
+"""int8 live-KV decode on the real chip (the kv_int8 mode's numbers).
 
-At the headline decode point (28-layer 7B int8w8a, STTM 50%/k=2 merged to
-~12.8k tokens) the per-layer per-step HBM read is ~8.3 MB of int8 weights
-plus ~26 MB of bf16 K/V — the cache, not the weights, dominates. kv_int8
-(qwen2.quantize_kv_cache + per-write-slot quantization in decode_layers)
-stores the live cache as int8 with per-(position, head) scales, cutting the
-KV read in half; the roofline expectation is ~1.5x on device-side decode.
+Traffic model at the headline point (28-layer 7B int8w8a, STTM 50%/k=2,
+25.6k prefill merging to ~12.8k): one decode step reads ~7 GB of int8
+weights plus ~0.8 GB of bf16 KV per cache copy. Single-stream decode is
+therefore weight-read-bound and kv_int8 buys only a few percent — but
+BATCHED decode reads B caches per weight read (KV approaches half the
+step traffic at b=8) and cache HBM is what caps the flat batch size on
+one 15.75 GB chip. kv_int8 halves both, so the interesting legs are:
 
-Measures chunked decode ms/token with the bf16 vs int8 cache at the same
-operating point (same weights, same prompt), plus token agreement (bounded
-approximation — argmax near-ties flip under random weights, CLAUDE.md;
-CPU tests bound the drift, tests/test_kv_int8.py).
+  1. single-stream chunked decode ms/token, bf16 vs int8 cache (honest
+     small number + token agreement);
+  2. flat-batched decode tokens/s at --batches, bf16 vs int8 caches —
+     including whether the bf16 leg fits at all (OOM recorded, the
+     BENCH_SERVING b=8 story: int8 KV is the capacity lever for flat
+     batches of DISTINCT videos, where cascade/paged pools don't apply).
 
-Usage: python scripts/bench_kv_int8.py [--layers 28] [--tokens 64]
+Usage: python scripts/bench_kv_int8.py [--layers 28] [--batches 4 8]
 Writes BENCH_KV_INT8.json (BENCH_KV_INT8_TINY.json for the CPU smoke).
 """
 
@@ -21,19 +24,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-
-
-def run_decode(params, cfg, spec, embeds, valid, vstart, impl, n_tokens,
-               chunk, kv_int8):
-    from sttm_tpu.runtime.generate import GenerateConfig, generate
-
-    gen = GenerateConfig(max_new_tokens=n_tokens, eos_token_ids=())
-    generate(params, cfg, embeds, valid, vstart, spec, gen,
-             impl=impl, decode_chunk_size=chunk, kv_int8=kv_int8)  # warm
-    ids, rt = generate(params, cfg, embeds, valid, vstart, spec, gen,
-                       impl=impl, decode_chunk_size=chunk, kv_int8=kv_int8)
-    ms_per_tok = 1e3 * rt["time_decoding"] / max(rt["num_dec_token"] - 1, 1)
-    return ids, ms_per_tok
 
 
 def main():
@@ -45,6 +35,7 @@ def main():
     ap.add_argument("--quant", default="int8w8a")
     ap.add_argument("--tokens", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--batches", type=int, nargs="+", default=[4, 8])
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -56,8 +47,12 @@ def main():
         from bench import _enable_compile_cache
 
         _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from bench import build_case
+    from sttm_tpu.runtime.generate import GenerateConfig, generate, generate_batch
 
     cfg, spec, params, embeds, valid, vstart, s_full, impl = build_case(
         args.tiny, args.frames, args.layers, args.vocab,
@@ -65,28 +60,70 @@ def main():
     )
     chunk = 4 if args.tiny else args.chunk
     n_tok = 8 if args.tiny else args.tokens
+    batches = [2] if args.tiny else args.batches
+    gen = GenerateConfig(max_new_tokens=n_tok, eos_token_ids=())
 
     results = {"config": {"layers": cfg.num_layers, "quant": args.quant,
                           "chunk": chunk, "s_full": s_full}}
 
-    ids_b, ms_b = run_decode(
-        params, cfg, spec, embeds, valid, vstart, impl, n_tok, chunk, False)
-    print(f"bf16 KV: {ms_b:.2f} ms/token", flush=True)
-    results["bf16_ms_per_token"] = round(ms_b, 3)
+    # -- 1. single-stream: bf16 vs int8 cache --------------------------------
+    def run_single(kv_int8):
+        generate(params, cfg, embeds, valid, vstart, spec, gen,
+                 impl=impl, decode_chunk_size=chunk, kv_int8=kv_int8)  # warm
+        ids, rt = generate(params, cfg, embeds, valid, vstart, spec, gen,
+                           impl=impl, decode_chunk_size=chunk, kv_int8=kv_int8)
+        return ids, 1e3 * rt["time_decoding"] / max(rt["num_dec_token"] - 1, 1)
 
-    ids_q, ms_q = run_decode(
-        params, cfg, spec, embeds, valid, vstart, impl, n_tok, chunk, True)
-    print(f"int8 KV: {ms_q:.2f} ms/token", flush=True)
-    results["int8_ms_per_token"] = round(ms_q, 3)
-    results["speedup"] = round(ms_b / ms_q, 3)
+    ids_b, ms_b = run_single(False)
+    ids_q, ms_q = run_single(True)
     flips = sum(a != b for a, b in zip(ids_b, ids_q))
-    results["token_flips"] = flips
-    print(f"speedup {ms_b / ms_q:.3f}x, {flips}/{len(ids_b)} token flips",
-          flush=True)
+    results["single"] = {
+        "bf16_ms_per_token": round(ms_b, 3),
+        "int8_ms_per_token": round(ms_q, 3),
+        "speedup": round(ms_b / ms_q, 3),
+        "token_flips": flips,
+    }
+    print(f"single: bf16 {ms_b:.2f} vs int8 {ms_q:.2f} ms/token "
+          f"({ms_b / ms_q:.3f}x, {flips}/{len(ids_b)} flips)", flush=True)
+
+    # -- 2. flat-batched decode of DISTINCT videos: bf16 vs int8 caches ------
+    rng = np.random.default_rng(0)
+    results["batched"] = {}
+    for b in batches:
+        embs = np.asarray(jnp.broadcast_to(embeds, (b,) + embeds.shape[1:]),
+                          np.float32).copy()
+        embs += 0.01 * rng.normal(size=embs.shape).astype(np.float32)
+        embs_j = jnp.asarray(embs)
+        del embs
+        entry = {}
+        for tag, kv8 in (("bf16", False), ("int8", True)):
+            try:
+                def run():
+                    return generate_batch(
+                        params, cfg, embs_j, [valid] * b, [vstart] * b, spec,
+                        gen, impl=impl, decode_chunk_size=chunk, kv_int8=kv8)
+
+                run()  # warm
+                ids, rt = run()
+                toks = sum(len(r) for r in ids) - b
+                tok_s = toks / rt["time_decoding"]
+                entry[tag] = {"tokens_per_s": round(tok_s, 1),
+                              "ms_per_step": round(
+                                  1e3 * rt["time_decoding"] * b / toks, 2)}
+                print(f"batched b={b} {tag}: {tok_s:.1f} tok/s", flush=True)
+            except Exception as e:  # bf16 OOM at large flat batches expected
+                entry[tag] = {"error": str(e)[:160]}
+                print(f"batched b={b} {tag}: ERROR {str(e)[:120]}", flush=True)
+        if "tokens_per_s" in entry.get("bf16", {}) and \
+                "tokens_per_s" in entry.get("int8", {}):
+            entry["speedup"] = round(
+                entry["int8"]["tokens_per_s"] / entry["bf16"]["tokens_per_s"], 3)
+        results["batched"][str(b)] = entry
 
     out = "BENCH_KV_INT8_TINY.json" if args.tiny else "BENCH_KV_INT8.json"
     with open(out, "w") as fp:
         json.dump(results, fp, indent=2)
+    print(json.dumps(results)[:400], flush=True)
 
 
 if __name__ == "__main__":

@@ -131,9 +131,10 @@ class EvalConfig:
     pool_int8: bool = False
     # int8 LIVE KV cache on the per-sample and flat-batched decode paths
     # (qwen2.quantize_kv_cache + per-write-slot quantization in
-    # decode_layers): at the headline decode point the bf16 KV read
-    # dominates the int8 weight read, so this nearly halves per-step HBM
-    # traffic. Bounded approximation like pool_int8; composes with
+    # decode_layers): halves cache HBM and per-step KV read traffic —
+    # decisive for batched decode (B cache reads per weight read; cache
+    # HBM caps the flat batch size), small for single-stream (weight-read-
+    # bound). Bounded approximation like pool_int8; composes with
     # decode_chunk_size and spec_decode_k incl. self-speculative drafting
     # (int8 draft + verify reads); unsupported with dycoke / FrameFusion /
     # prefix paths.

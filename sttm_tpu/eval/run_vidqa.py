@@ -129,9 +129,10 @@ def parse_args(argv=None):
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 live KV cache with per-(position, head) "
                         "scales (bounded approximation, like --pool_int8 "
-                        "but for the writable decode cache): nearly halves "
-                        "per-step decode HBM traffic at long contexts. "
-                        "Per-sample and flat-batched paths only")
+                        "but for the writable decode cache): halves cache "
+                        "HBM and per-step KV reads — decisive for batched "
+                        "decode and flat-batch capacity. Per-sample and "
+                        "flat-batched paths only")
     p.add_argument("--prefix_cache", action="store_true",
                    help="reuse the [sys|video] prefill cache across "
                         "questions of the same video (token-exact; ttft_llm "

@@ -1312,9 +1312,11 @@ class KVCache:
     # then int8. None = bf16 cache. Same scheme as the read-only prefix
     # pool (runtime/paged.py), extended to the WRITABLE decode cache: every
     # decoded token's K/V is quantized at its write slot with its own
-    # scale. Motivation: at the headline decode point the bf16 KV read
-    # (26 MB/layer at 12.8k tokens) dominates the int8 weight read
-    # (8.3 MB/layer) — int8 KV nearly halves per-step HBM traffic.
+    # scale. Motivation: single-stream decode is weight-read-bound (~250
+    # MB/layer int8 weights vs ~26 MB/layer bf16 KV at the 12.8k merged
+    # point), but batched decode reads B caches per weight read — KV
+    # approaches half the step traffic at b=8 — and cache HBM is what caps
+    # the flat batch size on one chip. int8 KV halves both.
     k_scales: Any = None
     v_scales: Any = None
 

@@ -126,12 +126,14 @@ def generate(
 
     ``kv_int8`` quantizes the KV cache to int8 with per-(position, head)
     scales at the prefill->decode handoff (qwen2.quantize_kv_cache); every
-    decoded token is quantized at its write slot. At the headline decode
-    point the bf16 KV read dominates the int8 weight read, so this nearly
-    halves per-step HBM traffic. Bounded approximation (like the int8
-    prefix pool). Composes with chunked decode and speculative decoding —
-    n-gram AND self-speculative (draft scan + verify dispatch both read
-    the int8 cache); unsupported with dycoke / FrameFusion specs.
+    decoded token is quantized at its write slot. Halves cache HBM and
+    per-step KV read traffic — single-stream decode is weight-read-bound
+    so the win there is small, but batched decode reads B caches per
+    weight read (generate_batch) and cache HBM caps the flat batch size.
+    Bounded approximation (like the int8 prefix pool). Composes with
+    chunked decode and speculative decoding — n-gram AND self-speculative
+    (draft scan + verify dispatch both read the int8 cache); unsupported
+    with dycoke / FrameFusion specs.
 
     ``return_logprobs`` adds runtime["logprobs"] — the log-probability of
     each emitted token (the reference's output_scores surface,
