@@ -270,13 +270,13 @@ def main(argv=None):
                 "when batched (--batch_size > 1) or pooled (--prefix_pool)"
             )
     if args.kv_int8 and (
-        args.prefix_cache or args.prefix_pool
-        or args.sa_pattern in ("dycoke", "framefusion", "merging")
+        args.prefix_cache or args.prefix_pool or args.sa_pattern == "dycoke"
     ):
         raise SystemExit(
             "--kv_int8 supports the per-sample and flat-batched decode "
-            "paths incl. --spec_decode_k/--spec_draft_layers (no prefix/"
-            "dycoke/framefusion; pooled serving has --pool_int8)"
+            "paths incl. --spec_decode_k/--spec_draft_layers and "
+            "framefusion/merging (no prefix/dycoke; pooled serving has "
+            "--pool_int8)"
         )
     if args.spec_draft_layers > 0:
         if args.spec_decode_k < 2:

@@ -392,6 +392,7 @@ def _build_decode_step_masked(cfg: DecoderConfig):
     merged/pruned slots stay masked through decode)."""
 
     def fn(params, token, cache, step, kv_mask):
+        kv_int8 = cache.k_scales is not None
         layers = params["layers"]
         x = qwen2.embed_tokens(params, token, cfg)[:, None, :]
         pos = (cache.pos_base + step)[None].astype(jnp.int32)
@@ -399,13 +400,23 @@ def _build_decode_step_masked(cfg: DecoderConfig):
             pos = jnp.broadcast_to(pos, (3, 1))
         cos, sin = qwen2.rope_cos_sin(cfg, pos)
         s_c = cache.ks[0].shape[2]
-        x, ck, cv, _ = qwen2.decode_layers(
+        out = qwen2.decode_layers(
             layers, 0, cfg.num_layers, x, cos, sin, cache.ks[0], cache.vs[0],
             cache.lens[0], step, s_c - MAX_DECODE, cfg, kv_mask=kv_mask,
+            cache_ksc=cache.k_scales[0] if kv_int8 else None,
+            cache_vsc=cache.v_scales[0] if kv_int8 else None,
         )
+        if kv_int8:
+            x, ck, cv, ksc, vsc, _ = out
+        else:
+            x, ck, cv, _ = out
         h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         logits = qwen2.lm_head(params, cfg, h)[:, 0]
-        return logits, dataclasses.replace(cache, ks=(ck,), vs=(cv,))
+        return logits, dataclasses.replace(
+            cache, ks=(ck,), vs=(cv,),
+            k_scales=(ksc,) if kv_int8 else None,
+            v_scales=(vsc,) if kv_int8 else None,
+        )
 
     return jax.jit(fn, donate_argnums=(2,))
 
@@ -418,24 +429,41 @@ def _build_decode_step_masked2(cfg: DecoderConfig, cut: int):
     suffices)."""
 
     def fn(params, token, cache, step, kv_mask0):
+        kv_int8 = cache.k_scales is not None
         layers = params["layers"]
         x = qwen2.embed_tokens(params, token, cfg)[:, None, :]
         pos = (cache.pos_base + step)[None].astype(jnp.int32)
         if cfg.mrope_section:
             pos = jnp.broadcast_to(pos, (3, 1))
         cos, sin = qwen2.rope_cos_sin(cfg, pos)
-        x, ck0, cv0, _ = qwen2.decode_layers(
+        out0 = qwen2.decode_layers(
             layers, 0, cut, x, cos, sin, cache.ks[0], cache.vs[0],
             cache.lens[0], step, cache.ks[0].shape[2] - MAX_DECODE, cfg,
             kv_mask=kv_mask0,
+            cache_ksc=cache.k_scales[0] if kv_int8 else None,
+            cache_vsc=cache.v_scales[0] if kv_int8 else None,
         )
-        x, ck1, cv1, _ = qwen2.decode_layers(
+        if kv_int8:
+            x, ck0, cv0, ksc0, vsc0, _ = out0
+        else:
+            x, ck0, cv0, _ = out0
+        out1 = qwen2.decode_layers(
             layers, cut, cfg.num_layers, x, cos, sin, cache.ks[1], cache.vs[1],
             cache.lens[1], step, cache.ks[1].shape[2] - MAX_DECODE, cfg,
+            cache_ksc=cache.k_scales[1] if kv_int8 else None,
+            cache_vsc=cache.v_scales[1] if kv_int8 else None,
         )
+        if kv_int8:
+            x, ck1, cv1, ksc1, vsc1, _ = out1
+        else:
+            x, ck1, cv1, _ = out1
         h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         logits = qwen2.lm_head(params, cfg, h)[:, 0]
-        return logits, dataclasses.replace(cache, ks=(ck0, ck1), vs=(cv0, cv1))
+        return logits, dataclasses.replace(
+            cache, ks=(ck0, ck1), vs=(cv0, cv1),
+            k_scales=(ksc0, ksc1) if kv_int8 else None,
+            v_scales=(vsc0, vsc1) if kv_int8 else None,
+        )
 
     return jax.jit(fn, donate_argnums=(2,))
 

@@ -131,9 +131,10 @@ def generate(
     so the win there is small, but batched decode reads B caches per
     weight read (generate_batch) and cache HBM caps the flat batch size.
     Bounded approximation (like the int8 prefix pool). Composes with
-    chunked decode and speculative decoding — n-gram AND self-speculative
-    (draft scan + verify dispatch both read the int8 cache); unsupported
-    with dycoke / FrameFusion specs.
+    chunked decode, speculative decoding — n-gram AND self-speculative
+    (draft scan + verify dispatch both read the int8 cache) — and
+    FrameFusion specs (masked/compacted decode); unsupported with dycoke
+    stage-2 pruning (its attention-ranking read is bf16-only).
 
     ``return_logprobs`` adds runtime["logprobs"] — the log-probability of
     each emitted token (the reference's output_scores surface,
@@ -186,10 +187,9 @@ def generate(
     from .framefusion import FrameFusionSpec
 
     if isinstance(spec, FrameFusionSpec):
-        if kv_int8:
-            raise ValueError("kv_int8 is unsupported with FrameFusion specs")
         return _generate_framefusion(
-            params, cfg, embeds, valid_len, video_start, spec, gen, position_ids
+            params, cfg, embeds, valid_len, video_start, spec, gen,
+            position_ids, kv_int8=kv_int8,
         )
     if kv_int8 and dycoke is not None:
         raise ValueError("kv_int8 is unsupported with dycoke stage-2 decode")
@@ -346,7 +346,7 @@ def generate(
     return ids, runtime
 
 def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen,
-                          position_ids=None):
+                          position_ids=None, kv_int8: bool = False):
     from .framefusion import build_prefill_framefusion
 
     s_full = embeds.shape[1]
@@ -354,7 +354,7 @@ def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen
     if spec.compact_at_layer:
         return _generate_framefusion_compact(
             params, cfg, embeds, valid_len, video_start, spec, gen, prefill,
-            position_ids,
+            position_ids, kv_int8=kv_int8,
         )
     decode = _build_decode_step_masked(cfg)
 
@@ -364,6 +364,8 @@ def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen
     )
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
+    if kv_int8:
+        cache = qwen2.quantize_kv_cache(cache)
 
     # extend the mask over the decode tail (new tokens are always visible;
     # fixed-slot decode writes land there, and the [valid_len, s_full) pad
@@ -397,7 +399,8 @@ def _generate_framefusion(params, cfg, embeds, valid_len, video_start, spec, gen
 
 
 def _generate_framefusion_compact(params, cfg, embeds, valid_len, video_start,
-                                  spec, gen, prefill, position_ids=None):
+                                  spec, gen, prefill, position_ids=None,
+                                  kv_int8: bool = False):
     """FrameFusion with compaction: layers >= compact_at_layer run at the
     budget length (real TTFT saving, framefusion.py compact mode)."""
     s_full = embeds.shape[1]
@@ -409,6 +412,8 @@ def _generate_framefusion_compact(params, cfg, embeds, valid_len, video_start,
     )
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
+    if kv_int8:
+        cache = qwen2.quantize_kv_cache(cache)
 
     # group-0 mask: surviving tokens; the decode tail is always visible and
     # the pad gap is hidden by decode_layers' composite mask

@@ -166,6 +166,25 @@ def test_kv_int8_selfspec_matches_plain_int8():
     assert rt["spec_drafted"] > 0
 
 
+def test_kv_int8_framefusion_bounded():
+    """kv_int8 composes with the FrameFusion masked decode (and the
+    compacted two-group variant): tokens overwhelmingly agree with the
+    bf16-cache run."""
+    from sttm_tpu.runtime.framefusion import FrameFusionSpec
+
+    params, emb, valid, vs, _ = _case(seed=17)
+    gen = GenerateConfig(max_new_tokens=8, eos_token_ids=())
+    for ff in (
+        FrameFusionSpec(cost=0.5, t=4, h=4, w=4),
+        FrameFusionSpec(cost=0.5, t=4, h=4, w=4, compact_at_layer=3,
+                        compact_budget=48),
+    ):
+        ref, _ = generate(params, TINY, emb, valid, vs, ff, gen)
+        got, _ = generate(params, TINY, emb, valid, vs, ff, gen, kv_int8=True)
+        agree = sum(a == b for a, b in zip(got, ref))
+        assert agree / len(ref) >= 0.75, (ff.compact_at_layer, agree, ref, got)
+
+
 def test_kv_int8_rejects_unsupported_combos():
     from sttm_tpu.runtime.common import DycokeDecodeOptions
 
