@@ -269,14 +269,12 @@ def main(argv=None):
                 "--prefix_cache composes with --decode_chunk_size only "
                 "when batched (--batch_size > 1) or pooled (--prefix_pool)"
             )
-    if args.kv_int8 and (
-        args.prefix_cache or args.prefix_pool or args.sa_pattern == "dycoke"
-    ):
+    if args.kv_int8 and (args.prefix_cache or args.prefix_pool):
         raise SystemExit(
             "--kv_int8 supports the per-sample and flat-batched decode "
-            "paths incl. --spec_decode_k/--spec_draft_layers and "
-            "framefusion/merging (no prefix/dycoke; pooled serving has "
-            "--pool_int8)"
+            "paths (all sa_patterns, incl. --spec_decode_k/"
+            "--spec_draft_layers); prefix/pooled serving has --pool_int8 "
+            "for its read-only pages"
         )
     if args.spec_draft_layers > 0:
         if args.spec_decode_k < 2:

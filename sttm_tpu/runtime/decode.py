@@ -323,6 +323,7 @@ def build_decode_step_dycoke(cfg: DecoderConfig, spec, dyc: DycokeDecodeOptions)
     l = max(lo, min(dyc.layer_idx, hi - 1))
 
     def fn(params, token, cache, step, dstate, video_start):
+        kv_int8 = cache.k_scales is not None
         layers = params["layers"]
         x = qwen2.embed_tokens(params, token, cfg)[:, None, :]
         pos = (cache.pos_base + step)[None].astype(jnp.int32)
@@ -332,11 +333,17 @@ def build_decode_step_dycoke(cfg: DecoderConfig, spec, dyc: DycokeDecodeOptions)
         kv_len = cache.lens[g0]
 
         # layers [lo, l] with the carried mask; layer l's q drives the ranking
-        x, ck, cv, q_all = qwen2.decode_layers(
+        out = qwen2.decode_layers(
             layers, lo, l + 1, x, cos, sin, cache.ks[g0][: l + 1 - lo],
             cache.vs[g0][: l + 1 - lo], kv_len, step, tail_start, cfg,
             kv_mask=dstate.keep_mask,
+            cache_ksc=cache.k_scales[g0][: l + 1 - lo] if kv_int8 else None,
+            cache_vsc=cache.v_scales[g0][: l + 1 - lo] if kv_int8 else None,
         )
+        if kv_int8:
+            x, ck, cv, ksc, vsc, q_all = out
+        else:
+            x, ck, cv, q_all = out
         # head-mean attention of the current token at layer l
         q = q_all[-1][:, 0].astype(jnp.float32)  # [B, H, hd]
         kl = ck[-1].astype(jnp.float32)  # [B, S_c, KV, hd]
@@ -346,6 +353,8 @@ def build_decode_step_dycoke(cfg: DecoderConfig, spec, dyc: DycokeDecodeOptions)
             "bhgd,bshd->bhgs", q.reshape(b, kvh, g, hd), kl,
             precision=jax.lax.Precision.HIGHEST,
         ) * (hd**-0.5)
+        if kv_int8:  # dequantize the ranking scores like the attention read
+            att = att * ksc[-1].transpose(0, 2, 1)[:, :, None, :]
         kpos = jnp.arange(s_c)
         seen = (kpos < kv_len) | ((kpos >= tail_start) & (kpos <= tail_start + step))
         valid = seen[None, None, None] & dstate.keep_mask[None, None, None]
@@ -367,18 +376,35 @@ def build_decode_step_dycoke(cfg: DecoderConfig, spec, dyc: DycokeDecodeOptions)
         keep_mask = jnp.where(sim < dyc.drift_thresh, new_mask, dstate.keep_mask)
 
         # layers (l, hi) see the (possibly) updated selection immediately
-        x, ck2, cv2, _ = qwen2.decode_layers(
+        out2 = qwen2.decode_layers(
             layers, l + 1, hi, x, cos, sin, cache.ks[g0][l + 1 - lo :],
             cache.vs[g0][l + 1 - lo :], kv_len, step, tail_start, cfg,
             kv_mask=keep_mask,
+            cache_ksc=cache.k_scales[g0][l + 1 - lo :] if kv_int8 else None,
+            cache_vsc=cache.v_scales[g0][l + 1 - lo :] if kv_int8 else None,
         )
+        if kv_int8:
+            x, ck2, cv2, ksc2, vsc2, _ = out2
+        else:
+            x, ck2, cv2, _ = out2
         h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
         logits = qwen2.lm_head(params, cfg, h)[:, 0]
         merged_k = jnp.concatenate([ck, ck2], axis=0)
         merged_v = jnp.concatenate([cv, cv2], axis=0)
         ks = tuple(merged_k if gi == g0 else cache.ks[gi] for gi in range(len(bounds)))
         vs = tuple(merged_v if gi == g0 else cache.vs[gi] for gi in range(len(bounds)))
-        new_cache = dataclasses.replace(cache, ks=ks, vs=vs)
+        if kv_int8:
+            mk = jnp.concatenate([ksc, ksc2], axis=0)
+            mv = jnp.concatenate([vsc, vsc2], axis=0)
+            kscs = tuple(mk if gi == g0 else cache.k_scales[gi]
+                         for gi in range(len(bounds)))
+            vscs = tuple(mv if gi == g0 else cache.v_scales[gi]
+                         for gi in range(len(bounds)))
+        new_cache = dataclasses.replace(
+            cache, ks=ks, vs=vs,
+            k_scales=kscs if kv_int8 else None,
+            v_scales=vscs if kv_int8 else None,
+        )
         new_state = DycokeState(
             keep_mask=keep_mask, attn_score=img_att, has_score=jnp.array(True)
         )

@@ -130,11 +130,12 @@ def generate(
     per-step KV read traffic — single-stream decode is weight-read-bound
     so the win there is small, but batched decode reads B caches per
     weight read (generate_batch) and cache HBM caps the flat batch size.
-    Bounded approximation (like the int8 prefix pool). Composes with
-    chunked decode, speculative decoding — n-gram AND self-speculative
-    (draft scan + verify dispatch both read the int8 cache) — and
-    FrameFusion specs (masked/compacted decode); unsupported with dycoke
-    stage-2 pruning (its attention-ranking read is bf16-only).
+    Bounded approximation (like the int8 prefix pool). Composes with every
+    decode family on this path: chunked decode, speculative decoding —
+    n-gram AND self-speculative (draft scan + verify dispatch both read
+    the int8 cache) — FrameFusion specs (masked/compacted decode), and
+    dycoke stage-2 pruning (the attention-ranking read dequantizes like
+    the attention read).
 
     ``return_logprobs`` adds runtime["logprobs"] — the log-probability of
     each emitted token (the reference's output_scores surface,
@@ -191,8 +192,6 @@ def generate(
             params, cfg, embeds, valid_len, video_start, spec, gen,
             position_ids, kv_int8=kv_int8,
         )
-    if kv_int8 and dycoke is not None:
-        raise ValueError("kv_int8 is unsupported with dycoke stage-2 decode")
     s_full = embeds.shape[1]
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     prefill = build_prefill(cfg, spec_key, s_full, impl, attn_sinks, attn_window)

@@ -185,12 +185,42 @@ def test_kv_int8_framefusion_bounded():
         assert agree / len(ref) >= 0.75, (ff.compact_at_layer, agree, ref, got)
 
 
-def test_kv_int8_rejects_unsupported_combos():
+def test_kv_int8_dycoke_ranking_dequant_exact():
+    """The dycoke stage-2 ranking einsum over an int8 K read, dequantized
+    by scaling the score rows, equals the ranking over the dequantized
+    cache — the same identity the attention read relies on."""
+    rng = np.random.default_rng(0)
+    b, s, kvh, hd, g = 1, 24, 2, 8, 3
+    k = jnp.asarray(rng.normal(size=(b, s, kvh, hd)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(b, kvh, g, hd)).astype(np.float32))
+    kq, ksc = qwen2.quantize_kv(k)
+    k_deq = kq.astype(jnp.float32) * ksc[..., None]
+    att_ref = jnp.einsum("bhgd,bshd->bhgs", q, k_deq)
+    att_int8 = jnp.einsum("bhgd,bshd->bhgs", q, kq.astype(jnp.float32))
+    att_int8 = att_int8 * ksc.transpose(0, 2, 1)[:, :, None, :]
+    np.testing.assert_allclose(np.asarray(att_ref), np.asarray(att_int8),
+                               atol=1e-4)
+
+
+def test_kv_int8_dycoke_runs():
+    """kv_int8 composes with dycoke stage-2 decode pruning end to end. The
+    prefill token must match bf16 (stage 2 is decode-only); later tokens
+    may legitimately diverge — the top-k re-selection is tie-dense under
+    random weights (near-flat attention), so quantization noise reorders
+    the kept set (the CLAUDE.md tie-flip regime), exactly as bf16-vs-fp32
+    would."""
+    from sttm_tpu.ops.dycoke import dycoke_output_len
     from sttm_tpu.runtime.common import DycokeDecodeOptions
 
-    params, emb, valid, vs, spec = _case()
-    gen = GenerateConfig(max_new_tokens=4, eos_token_ids=())
-    with pytest.raises(ValueError, match="kv_int8"):
-        generate(params, TINY, emb, valid, vs, spec, gen, kv_int8=True,
-                 dycoke=DycokeDecodeOptions(layer_idx=2, ratio=0.5,
-                                            img_len=8))
+    params, emb, valid, vs, _ = _case(seed=19)
+    spec = ReducerSpec(kind="dycoke", layer_idx=0, t=4, h=4, w=4,
+                       prune_ratio=0.7)
+    dyc = DycokeDecodeOptions(layer_idx=2, ratio=0.8,
+                              img_len=dycoke_output_len(4, 16, 0.7))
+    gen = GenerateConfig(max_new_tokens=8, eos_token_ids=())
+    ref, rt_ref = generate(params, TINY, emb, valid, vs, spec, gen, dycoke=dyc)
+    got, rt = generate(params, TINY, emb, valid, vs, spec, gen, dycoke=dyc,
+                       kv_int8=True)
+    assert got[0] == ref[0]  # prefill is bf16 in both runs
+    assert len(got) == len(ref) == 8
+    assert rt["merged_len"] == rt_ref["merged_len"]
