@@ -135,9 +135,11 @@ class EvalConfig:
     # decisive for batched decode (B cache reads per weight read; cache
     # HBM caps the flat batch size), small for single-stream (weight-read-
     # bound). Bounded approximation like pool_int8; composes with
-    # decode_chunk_size and spec_decode_k incl. self-speculative drafting
-    # (int8 draft + verify reads); unsupported with dycoke / FrameFusion /
-    # prefix paths.
+    # decode_chunk_size, spec_decode_k incl. self-speculative drafting
+    # (int8 draft + verify reads), all sa_patterns, and the batched FLAT
+    # prefix layout (each extended row quantized before packing — the
+    # layout whose b=8 leg OOMs in bf16); cascade/pooled prefixes have
+    # pool_int8 instead.
     kv_int8: bool = False
 
     def gen_config(self) -> GenerateConfig:
@@ -626,6 +628,7 @@ class LlavaEvaluator:
                 spec_decode_k=cfg.spec_decode_k if speculative else 0,
                 histories=_spec_histories(chunk_samples)
                 if speculative and chunk_samples is not None else None,
+                kv_int8=cfg.kv_int8,
             )
 
         # The traced batch size is part of the compiled program (head-packed

@@ -269,12 +269,15 @@ def main(argv=None):
                 "--prefix_cache composes with --decode_chunk_size only "
                 "when batched (--batch_size > 1) or pooled (--prefix_pool)"
             )
-    if args.kv_int8 and (args.prefix_cache or args.prefix_pool):
+    if args.kv_int8 and (
+        args.prefix_cascade or args.prefix_pool
+        or (args.prefix_cache and args.batch_size <= 1)
+    ):
         raise SystemExit(
-            "--kv_int8 supports the per-sample and flat-batched decode "
-            "paths (all sa_patterns, incl. --spec_decode_k/"
-            "--spec_draft_layers); prefix/pooled serving has --pool_int8 "
-            "for its read-only pages"
+            "--kv_int8 supports the per-sample, flat-batched, and batched "
+            "flat-prefix (--prefix_cache --batch_size N) decode paths "
+            "(all sa_patterns, incl. --spec_decode_k/--spec_draft_layers); "
+            "cascade/pooled serving has --pool_int8 for its read-only pages"
         )
     if args.spec_draft_layers > 0:
         if args.spec_decode_k < 2:

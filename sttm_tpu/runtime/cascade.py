@@ -469,6 +469,7 @@ def generate_batch_from_prefix(
     spec_decode_k: int = 0,
     histories=None,
     draft_fn=None,
+    kv_int8: bool = False,
 ):
     """Batched greedy generation for several questions that share one prefix
     cache (prefix_prefill) — the two serving levers composed: the [sys|video]
@@ -500,8 +501,20 @@ def generate_batch_from_prefix(
     decode on both layouts, folding the global step into the key (chunk-size
     invariant, seed-replayable; flat and cascade draw identical tokens up to
     fp reassociation near-ties). Overrides spec_decode_k (verify is greedy).
+
+    ``kv_int8`` (flat layout only) quantizes each extended row cache before
+    packing (qwen2.quantize_kv_cache): the flat layout holds B FULL cache
+    copies — the layout whose b=8 leg exceeds one v5e's HBM in bf16
+    (BENCH_SERVING) — so int8 rows halve exactly the footprint and the
+    per-step KV reads that cap it. The cascade layout already shares one
+    prefix copy; its int8 form is the pool path (build_prefix_pool).
     """
     b, s_sfx, _ = suffix_embeds.shape
+    if kv_int8 and cascade:
+        raise ValueError(
+            "kv_int8 supports the flat prefix layout; cascade shares one "
+            "bf16 prefix copy (int8 prefix pages = the paged pool)"
+        )
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
     extend = build_extend(cfg, spec_key, s_sfx)
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
@@ -560,6 +573,8 @@ def generate_batch_from_prefix(
                 jnp.int32(int(suffix_valids[i])), jnp.int32(i),
             )
         else:
+            if kv_int8:  # quantize the extended row before packing
+                row = qwen2.quantize_kv_cache(row)
             if cache is None:
                 init = (lambda x: init_row_buf(x, b)) if speculative \
                     else (lambda x: _batched_like(x, b))

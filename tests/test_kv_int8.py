@@ -224,3 +224,49 @@ def test_kv_int8_dycoke_runs():
     assert got[0] == ref[0]  # prefill is bf16 in both runs
     assert len(got) == len(ref) == 8
     assert rt["merged_len"] == rt_ref["merged_len"]
+
+
+def test_kv_int8_flat_prefix_batch():
+    """kv_int8 on the batched FLAT prefix layout (the B-full-cache layout
+    whose b=8 leg OOMs in bf16): rows quantize after extension; greedy
+    tokens overwhelmingly agree with the exact flat run, and the spec-flat
+    layout matches the plain int8 flat run token-exactly. The cascade
+    layout rejects (its int8 prefix form is the paged pool)."""
+    from sttm_tpu.runtime.generate import (
+        generate_batch_from_prefix,
+        prefix_prefill,
+    )
+
+    params, emb, valid, vs, spec = _case(seed=23)
+    nv = 4 * 4 * 4
+    gen = GenerateConfig(max_new_tokens=8, eos_token_ids=())
+    cache = prefix_prefill(params, TINY, emb, vs + nv, vs, spec)
+    rng = np.random.default_rng(23)
+    s_sfx = 16
+    sfx = np.zeros((3, s_sfx, TINY.hidden_size), np.float32)
+    lens = [7, 12, 9]
+    for i, n in enumerate(lens):
+        sfx[i, :n] = rng.normal(size=(n, TINY.hidden_size)) * 0.2
+    sfx = jnp.asarray(sfx)
+
+    ref, _ = generate_batch_from_prefix(
+        params, TINY, cache, sfx, lens, spec, gen, decode_chunk_size=3)
+    got, _ = generate_batch_from_prefix(
+        params, TINY, cache, sfx, lens, spec, gen, decode_chunk_size=3,
+        kv_int8=True)
+    total = agree = 0
+    for r, g in zip(ref, got):
+        for a, b_ in zip(r, g):
+            total += 1
+            agree += a == b_
+    assert agree / total >= 0.8, (agree, total, ref, got)
+
+    got_spec, _ = generate_batch_from_prefix(
+        params, TINY, cache, sfx, lens, spec, gen, spec_decode_k=3,
+        kv_int8=True)
+    assert got_spec == got
+
+    with pytest.raises(ValueError, match="kv_int8"):
+        generate_batch_from_prefix(
+            params, TINY, cache, sfx, lens, spec, gen, cascade=True,
+            kv_int8=True)
