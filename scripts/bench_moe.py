@@ -37,6 +37,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--tokens", type=int, default=4096)
+    ap.add_argument("--modes", nargs="+",
+                    default=["dense", "sort", "gmm", "gmm_fused"],
+                    help="dispatch modes to time (the E=60 dense scan "
+                         "program has repeatedly broken the remote-compile "
+                         "tunnel; pass 'sort gmm gmm_fused' to skip it)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -94,7 +100,7 @@ def main():
         return (timed(f_hi) - timed(f_lo)) / (hi - lo)
 
     # -- 1. whole moe_mlp block per dispatch mode -------------------------
-    modes = ["dense", "sort", "gmm", "gmm_fused"]
+    modes = ["dense", "sort", "gmm", "gmm_fused"] if args.tiny else args.modes
     ref = None
     for mode in modes:
         # jit the parity forward: an eager run through the axon tunnel
@@ -108,8 +114,8 @@ def main():
             ref = ynp
         else:
             err = float(np.max(np.abs(ynp - ref)) / (np.max(np.abs(ref)) + 1e-9))
-            results[f"relerr_{mode}_vs_dense"] = round(err, 5)
-            assert err < 0.05, f"{mode} diverges from dense: {err}"
+            results[f"relerr_{mode}_vs_{modes[0]}"] = round(err, 5)
+            assert err < 0.05, f"{mode} diverges from {modes[0]}: {err}"
         del y
         if args.tiny:
             continue
@@ -195,7 +201,7 @@ def main():
               f"({gemm_flops / sec / 1e12:.1f} TFLOP/s, pad {pad_ratio:.2f}x)",
               flush=True)
 
-    out = "BENCH_MOE_TINY.json" if args.tiny else "BENCH_MOE.json"
+    out = args.out or ("BENCH_MOE_TINY.json" if args.tiny else "BENCH_MOE.json")
     with open(out, "w") as fp:
         json.dump(results, fp, indent=2)
     print(json.dumps(results, default=str)[:400], flush=True)
