@@ -400,6 +400,7 @@ class LlavaEvaluator:
                 spec, create_sp_mesh(cfg.sp),
                 gen=cfg.gen_config(),
                 impl=cfg.attention_impl, pos_base=pos_base, t_valid=t_valid,
+                kv_int8=cfg.kv_int8,
             )
         else:
             ids, runtime = generate(

@@ -240,6 +240,7 @@ def sp_generate(
     impl: str = "xla",
     pos_base=None,
     t_valid=None,
+    kv_int8: bool = False,
 ):
     """Greedy generation with a sequence-parallel prefill over ``mesh``.
 
@@ -302,6 +303,11 @@ def sp_generate(
     logits = jax.device_put(logits, dev0)  # off the mesh for single-dev decode
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
+    if kv_int8:  # int8 live cache for the single-device decode (kv_int8
+        # semantics as in runtime.generate.generate)
+        from ..models import qwen2 as _qwen2
+
+        cache = _qwen2.quantize_kv_cache(cache)
 
     token = jnp.argmax(logits, -1).astype(jnp.int32)
     ids = [int(token[0])]

@@ -78,6 +78,13 @@ def test_sp_generate_token_parity():
         assert rt["merged_len"] == ref_rt["merged_len"]
         assert rt["sp"] == 8
 
+    # sp prefill + int8 live-cache decode matches single-device kv_int8
+    ref8, _ = generate(params, cfg, emb, valid, sys_len, quadtree, gen,
+                       kv_int8=True)
+    sp8, _ = sp_generate(params, cfg, emb, valid, sys_len, quadtree, mesh,
+                         gen=gen, kv_int8=True)
+    assert sp8 == ref8, (sp8, ref8)
+
 
 def test_sp_prefill_matches_single_device():
     """Full sequence-parallel decoder prefill == single-device prefill."""
