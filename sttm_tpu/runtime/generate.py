@@ -210,8 +210,12 @@ def generate(
     )
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
+    kv_handoff = 0.0
     if kv_int8:  # one-time cache pass (read bf16, write int8 + scales)
+        t0 = time.perf_counter()
         cache = qwen2.quantize_kv_cache(cache)
+        jax.block_until_ready(cache.ks)
+        kv_handoff = time.perf_counter() - t0
 
     sp = gen.sampling
     sampling_on = sp is not None and not sp.greedy
@@ -338,6 +342,8 @@ def generate(
         "full_len": int(valid_len),
         "budget_overflow": overflow,
     }
+    if kv_int8:  # one-time int8 handoff, outside both timers above
+        runtime["kv_int8_handoff"] = kv_handoff
     if return_logprobs:
         runtime["logprobs"] = logprobs
     if spec_stats is not None:
