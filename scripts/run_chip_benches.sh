@@ -11,5 +11,16 @@ timeout 3000 python scripts/bench_serving.py || echo "bench_serving FAILED"
 echo "== paged pool -> BENCH_PAGED.json"
 timeout 2400 python scripts/bench_paged.py || echo "bench_paged FAILED"
 
+echo "== int8 live KV cache (single + flat-batched) -> BENCH_KV_INT8.json"
+timeout 3000 python scripts/bench_kv_int8.py || echo "bench_kv_int8 FAILED"
+
+echo "== SFT train step (tokens/s + MFU) -> BENCH_TRAIN.json"
+timeout 3000 python scripts/bench_train.py || echo "bench_train FAILED"
+
+echo "== MoE dispatch tiers -> BENCH_MOE.json (dense's E=60 scan has"
+echo "   repeatedly broken the remote-compile tunnel; skip it)"
+timeout 3000 python scripts/bench_moe.py --modes sort gmm gmm_fused \
+  || echo "bench_moe FAILED"
+
 echo "== headline -> stdout JSON line"
 timeout 1800 python bench.py || echo "bench FAILED"
