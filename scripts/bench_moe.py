@@ -42,6 +42,10 @@ def main():
                     help="dispatch modes to time (the E=60 dense scan "
                          "program has repeatedly broken the remote-compile "
                          "tunnel; pass 'sort gmm gmm_fused' to skip it)")
+    ap.add_argument("--skip_ragged", action="store_true",
+                    help="skip the isolated lax.ragged_dot leg (its E=60 "
+                         "lowering compiles for tens of minutes through the "
+                         "remote tunnel and has wedged it)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -151,7 +155,7 @@ def main():
     w = jax.random.normal(ks[0], (e, d, fe), jnp.bfloat16) * 0.02
     gemm_flops = 2.0 * m * d * fe
 
-    if not args.tiny:
+    if not args.tiny and not args.skip_ragged:
         def b_ragged(iters):
             def body(x, _):
                 y = jax.lax.ragged_dot(x, w, group_sizes)
