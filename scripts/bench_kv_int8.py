@@ -90,11 +90,15 @@ def main():
     rng = np.random.default_rng(0)
     results["batched"] = {}
     for b in batches:
-        embs = np.asarray(jnp.broadcast_to(embeds, (b,) + embeds.shape[1:]),
-                          np.float32).copy()
-        embs += 0.01 * rng.normal(size=embs.shape).astype(np.float32)
-        embs_j = jnp.asarray(embs)
-        del embs
+        try:
+            embs = np.asarray(embeds, np.float32)
+            embs = np.broadcast_to(embs, (b,) + embs.shape[1:]).copy()
+            embs += 0.01 * rng.normal(size=embs.shape).astype(np.float32)
+            embs_j = jnp.asarray(embs, embeds.dtype)
+            del embs
+        except Exception as e:
+            results["batched"][str(b)] = {"error": str(e)[:160]}
+            continue
         entry = {}
         for tag, kv8 in (("bf16", False), ("int8", True)):
             try:
