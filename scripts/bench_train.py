@@ -95,7 +95,10 @@ def main():
     labels = jnp.asarray(labels)
 
     def chain(n):
-        """n optimisation steps on the fixed batch, params/opt as carry."""
+        """n optimisation steps on the fixed batch, params/opt as carry.
+        The final carry IS returned: donation needs an output to alias the
+        donated state into — returning only the losses keeps a second copy
+        of params+opt alive (measured: OOMs the 4-layer 7B-width point)."""
 
         def body(carry, _):
             p, o = carry
@@ -104,7 +107,7 @@ def main():
 
         def run(p, o):
             (p, o), losses = jax.lax.scan(body, (p, o), None, length=n)
-            return losses
+            return p, o, losses
 
         return jax.jit(run, donate_argnums=(0, 1))
 
@@ -116,7 +119,8 @@ def main():
     }
 
     if args.tiny:
-        losses = np.asarray(chain(6)(params, opt_state), np.float32)
+        _, _, losses = chain(6)(params, opt_state)
+        losses = np.asarray(losses, np.float32)
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], f"loss must decrease: {losses}"
         results["losses"] = [round(float(x), 4) for x in losses]
@@ -132,9 +136,10 @@ def main():
                 p = qwen2.init_params(cfg, key)
                 o = tx.init(p)
                 t0 = time.perf_counter()
-                losses = f(p, o)
+                p, o, losses = f(p, o)
                 np.asarray(losses)
                 ts.append(time.perf_counter() - t0)
+                del p, o
             return float(np.median(ts))
 
         timed(f_lo, lo, reps=1), timed(f_hi, hi, reps=1)  # warm compiles
