@@ -1352,7 +1352,13 @@ def quantize_kv_cache(cache: KVCache) -> KVCache:
     prefill->decode handoff; the reserved decode tail (zeros) quantizes to
     zeros and every later token is re-quantized at its write slot by
     decode_layers. Bounded approximation like the int8 pool:
-    |error| <= scale/2 per element on K and V reads."""
+    |error| <= scale/2 per element on K and V reads.
+
+    DONATION CONTRACT: the input cache's buffers are donated
+    (donate_argnums=(0,)) — on TPU they are invalidated by this call. Do
+    NOT pass a cache that is still referenced elsewhere (e.g. a shared
+    bf16 prefix cache to be reused for a later batch); pass a fresh
+    per-request cache, or copy first (jax.tree.map(jnp.copy, cache))."""
     ks, vs, ksc, vsc = [], [], [], []
     for k, v in zip(cache.ks, cache.vs):
         kq, ks_ = quantize_kv(k)

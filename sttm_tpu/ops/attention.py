@@ -315,7 +315,12 @@ def mha(
     sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     if k_scale is not None or v_scale is not None:
         # int8 K/V with per-(position, KV-head) dequant scales [B, Skv, Hkv]
-        # (the kv_int8 live-cache mode) — XLA path only.
+        # (the kv_int8 live-cache mode) — XLA path only. Reject an explicit
+        # kernel request rather than silently running the slow path.
+        if impl not in ("xla",):
+            raise ValueError(
+                f"impl={impl!r} does not support int8-KV dequant scales; "
+                "use impl='xla' (the kv_int8 decode path is XLA-only)")
         return _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale,
                         attn_sinks, attn_window, kv_mask, kv_mask_per_head,
                         k_scale, v_scale)

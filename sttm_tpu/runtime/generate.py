@@ -214,7 +214,10 @@ def generate(
     if kv_int8:  # one-time cache pass (read bf16, write int8 + scales)
         t0 = time.perf_counter()
         cache = qwen2.quantize_kv_cache(cache)
-        jax.block_until_ready(cache.ks)
+        # block_until_ready does NOT synchronize over the axon tunnel
+        # (CLAUDE.md); fetch a tiny slice to host to bound the handoff so
+        # its cost doesn't leak into the first decode step's time_decoding.
+        np.asarray(jax.tree.leaves(cache.ks)[0].ravel()[:8])
         kv_handoff = time.perf_counter() - t0
 
     sp = gen.sampling

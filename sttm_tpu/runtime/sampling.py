@@ -18,9 +18,14 @@ design:
   cut survive together here (mask by threshold value, not sorted position) —
   a superset of HF's positional cut only on exact ties.
 - Greedy is ``temperature == 0.0`` (the default everywhere, preserving the
-  framework's token-exactness guarantees); sampling composes with the
-  per-step decode paths, not with speculative/chunked greedy machinery
-  (``generate`` falls back to the per-step loop when sampling is on).
+  framework's token-exactness guarantees). Composition with the decode
+  machinery: the *batched* chunked loop (runtime/decode.py
+  ``_chunked_greedy_loop(sample=...)``, used by the flat / cascade / paged
+  paths) samples ON DEVICE via ``sample_body`` with a per-global-step
+  ``fold_in`` key — chunk-size invariant (tests/test_sampling.py). The
+  *single-stream* ``generate`` path falls back to its per-step loop when
+  sampling is on (generate.py:252), and speculative decode remains
+  greedy-only (draft verification is defined against argmax).
 
 Determinism: callers derive the step key via ``jax.random.fold_in(base,
 step)`` from a seed, so a (seed, prompt) pair replays exactly —

@@ -18,7 +18,7 @@ from ..models.llava import IMAGE_TOKEN_INDEX
 
 __all__ = [
     "IGNORE_INDEX", "preprocess_qwen_chat", "preprocess_vicuna_v1",
-    "preprocess_llama_2", "preprocess_gemma",
+    "preprocess_llama_2", "preprocess_gemma", "preprocess_llama3",
     "PREPROCESSORS", "SFTDataset", "pad_collate", "mm_collate",
 ]
 
@@ -230,13 +230,58 @@ def preprocess_gemma(
     return _segment_preprocess(segments, tokenizer, unmask_token_ids)
 
 
+LLAMA3_SYSTEM = (
+    "You are a helpful language and vision assistant. You are able to "
+    "understand the visual content that the user provides, and assist the "
+    "user with a variety of tasks using natural language."
+)
+
+
+def preprocess_llama3(
+    conversations: list[dict],
+    tokenizer,
+    system_message: str = LLAMA3_SYSTEM,
+    unmask_token_ids: tuple = (),
+):
+    """Llama-3 chat template: per turn
+    ``<|start_header_id|>{role}<|end_header_id|>\\n\\n{content}<|eot_id|>``
+    after a ``<|begin_of_text|>`` + system block — the reference's
+    preprocess_llama3 (llava/train/train.py:690-780, which renders via
+    apply_chat_template and masks user/system turns while unmasking the
+    header/eot structural tokens). This port applies the same semantics
+    segment-wise: system + user turns + the assistant role header are
+    masked, the assistant content + trailing ``<|eot_id|>`` supervised;
+    pass the tokenizer's structural-token ids via ``unmask_token_ids`` to
+    reproduce the reference's unmask list exactly."""
+    msgs = _roles_msgs(conversations)
+    segments = [(
+        f"<|begin_of_text|><|start_header_id|>system<|end_header_id|>\n\n"
+        f"{system_message}<|eot_id|>", False)]
+    for m in msgs:
+        if m["role"] == "user":
+            segments.append((
+                f"<|start_header_id|>user<|end_header_id|>\n\n"
+                f"{m['content']}<|eot_id|>", False))
+        else:
+            segments.append(("<|start_header_id|>assistant<|end_header_id|>\n\n",
+                             False))
+            segments.append((f"{m['content']}<|eot_id|>", True))
+    return _segment_preprocess(segments, tokenizer, unmask_token_ids)
+
+
 # conv-version dispatch (the reference's preprocess() switch,
-# llava/train/train.py:1009-1035: conv version -> preprocess_* function)
+# llava/train/train.py:1009-1035: conv version -> preprocess_* function).
+# Descoped upstream versions: preprocess_mpt (train.py:855) targets the
+# dead MPT family and preprocess_plain (train.py:936) the legacy
+# caption-pretraining format — neither has a live model family in the
+# reference's eval matrix; llama3 (the one with live models) is ported.
 PREPROCESSORS = {
     "qwen": preprocess_qwen_chat,
     "v1": preprocess_vicuna_v1,
     "vicuna_v1": preprocess_vicuna_v1,
     "llama_2": preprocess_llama_2,
+    "llama3": preprocess_llama3,
+    "llama_v3": preprocess_llama3,
     "gemma": preprocess_gemma,
 }
 
@@ -279,58 +324,116 @@ class SFTDataset:
         else:
             ids, labels = fn(d["conversations"], self.tokenizer, self.system_message)
         ids, labels = ids[: self.max_len], labels[: self.max_len]
+        # one modality tag per <image> placeholder, from the annotation's
+        # media key (llava-format: "video" = one clip; "image" = one path or
+        # a list for multi-image samples, train.py:1009-1343)
+        n_ph = sum(1 for t in ids if t == IMAGE_TOKEN_INDEX)
+        if "image" in d:
+            modalities = ["image"] * n_ph
+        elif "video" in d:
+            modalities = ["video"] * n_ph
+        else:
+            modalities = []
         return {
             "input_ids": ids,
             "labels": labels,
             "media": d.get("video", d.get("image")),
+            "modalities": modalities,
             "id": d.get("id", idx),
         }
 
 
-def mm_collate(batch: list[dict], pad_to: int, n_video: int, pad_id: int = 0):
-    """Multimodal collate: expand each sample's single IMAGE_TOKEN_INDEX
-    placeholder into ``n_video`` slots — the host-side half of the
-    reference's prepare_inputs_labels_for_multimodal expansion
-    (llava/model/llava_arch.py:324); the training forward
-    (``sft.mm_forward``) overwrites the slots' embeddings with projected
-    video features in-graph so gradients reach the projector.
+def mm_collate(batch: list[dict], pad_to: int, n_video: int, pad_id: int = 0,
+               n_image: int = 0, max_images: int | None = None):
+    """Multimodal collate: expand every IMAGE_TOKEN_INDEX placeholder into
+    its modality's slot count — the host-side half of the reference's
+    prepare_inputs_labels_for_multimodal splice loop, which walks *all*
+    sentinel occurrences per sample in order (llava/model/llava_arch.py:
+    533-587); the training forward (``sft.mm_forward``) overwrites the
+    slots' embeddings with projected features in-graph so gradients reach
+    the projector.
 
-    -> dict(input_ids [B, pad_to] int32 (video slots = pad_id),
-            labels [B, pad_to] int32 (video slots = IGNORE_INDEX),
-            video_start [B] int32, has_video [B] bool).
-    Text-only samples get video_start 0 / has_video False (their splice is
-    a no-op, like the reference's dummy 0-weight image feature path).
+    Per-sample modality tags come from ``sample["modalities"]`` (one of
+    "video"/"image" per placeholder, in order — ``SFTDataset`` emits them
+    from the annotation's media key). Absent tags default to a single
+    video span (the round-3 behavior). Constraints: at most one video span
+    per sample (a clip is one placeholder in llava-format data); any number
+    of image spans up to ``max_images`` (default: the batch max), each
+    expanding to ``n_image`` slots — interleaved with text and with the
+    video span in placeholder order.
+
+    -> dict(input_ids [B, pad_to] int32 (media slots = pad_id),
+            labels [B, pad_to] int32 (media slots = IGNORE_INDEX),
+            video_start [B] int32, has_video [B] bool
+            [, image_starts [B, MI] int32, image_mask [B, MI] bool
+               when n_image > 0]).
+    Text-only samples get has_video False / empty image_mask (their splices
+    are no-ops, like the reference's dummy 0-weight image feature path).
     """
     b = len(batch)
     ids = np.full((b, pad_to), pad_id, np.int32)
     labels = np.full((b, pad_to), IGNORE_INDEX, np.int32)
     video_start = np.zeros((b,), np.int32)
     has_video = np.zeros((b,), bool)
+    img_starts: list[list[int]] = []
     for i, s in enumerate(batch):
         row = list(s["input_ids"])
         lab = list(s["labels"])
         img = [j for j, t in enumerate(row) if t == IMAGE_TOKEN_INDEX]
-        if len(img) > 1:
-            raise ValueError(f"sample {i}: {len(img)} image tokens (expected <= 1)")
-        if img:
-            p = img[0]
-            if p + n_video > pad_to:
+        mods = s.get("modalities") or ["video"] * len(img)
+        if len(mods) != len(img):
+            raise ValueError(
+                f"sample {i}: {len(img)} image tokens but {len(mods)} modality tags")
+        if mods.count("video") > 1:
+            raise ValueError(
+                f"sample {i}: {mods.count('video')} video placeholders (expected <= 1)")
+        if "image" in mods and n_image <= 0:
+            raise ValueError(
+                f"sample {i}: image placeholders need n_image > 0 (tokens per image)")
+        starts_i: list[int] = []
+        # walk placeholders right-to-left so earlier expansions don't shift
+        # later raw positions; record final (post-expansion) start offsets
+        for p, mod in zip(reversed(img), reversed(mods)):
+            span = n_video if mod == "video" else n_image
+            row = row[:p] + [pad_id] * span + row[p + 1 :]
+            lab = lab[:p] + [IGNORE_INDEX] * span + lab[p + 1 :]
+        off = 0
+        for p, mod in zip(img, mods):
+            start = p + off
+            span = n_video if mod == "video" else n_image
+            if start + span > pad_to:
                 raise ValueError(
-                    f"sample {i}: video span [{p}, {p + n_video}) exceeds pad_to={pad_to}"
-                )
-            row = row[:p] + [pad_id] * n_video + row[p + 1 :]
-            lab = lab[:p] + [IGNORE_INDEX] * n_video + lab[p + 1 :]
-            video_start[i] = p
-            has_video[i] = True
+                    f"sample {i}: {mod} span [{start}, {start + span}) "
+                    f"exceeds pad_to={pad_to}")
+            if mod == "video":
+                video_start[i] = start
+                has_video[i] = True
+            else:
+                starts_i.append(start)
+            off += span - 1
+        img_starts.append(starts_i)
         n = min(len(row), pad_to)
         ids[i, :n] = np.asarray(row[:n], np.int32)
         labels[i, :n] = np.asarray(lab[:n], np.int32)
-    return {
+    out = {
         "input_ids": ids,
         "labels": labels,
         "video_start": video_start,
         "has_video": has_video,
     }
+    if n_image > 0:
+        mi = max(len(x) for x in img_starts) if max_images is None else max_images
+        mi = max(mi, 1)
+        starts = np.zeros((b, mi), np.int32)
+        mask = np.zeros((b, mi), bool)
+        for i, st in enumerate(img_starts):
+            if len(st) > mi:
+                raise ValueError(f"sample {i}: {len(st)} images > max_images={mi}")
+            starts[i, : len(st)] = st
+            mask[i, : len(st)] = True
+        out["image_starts"] = starts
+        out["image_mask"] = mask
+    return out
 
 
 def pad_collate(batch: list[dict], pad_to: int, pad_id: int = 0):

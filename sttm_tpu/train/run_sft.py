@@ -41,6 +41,11 @@ def parse_args(argv=None):
                         "[T, P_vis, C_vis]; smoke mode synthesizes them")
     p.add_argument("--frames", type=int, default=8,
                    help="frames per video in the multimodal batch")
+    p.add_argument("--max_images", type=int, default=0,
+                   help="max image placeholders per sample in multimodal "
+                        "batches (0 = video-only collate); each image splices "
+                        "P_vis projector tokens (reference base image path, "
+                        "llava_arch.py:533-587 multi-sentinel loop)")
     p.add_argument("--mm_projector_lr", type=float, default=0.0,
                    help="split LR for the projector group (reference "
                         "llava_trainer.py:356 mm_projector_lr); 0 = shared LR")
@@ -164,6 +169,11 @@ def main(argv=None):
                 "video_start": row_sharding, "has_video": row_sharding,
                 "video_feats": NamedSharding(mesh, P("dp", None, None, None)),
             }
+            if args.max_images > 0:
+                batch_shardings.update({
+                    "image_starts": data_sharding, "image_mask": data_sharding,
+                    "image_feats": NamedSharding(mesh, P("dp", None, None, None)),
+                })
             jstep = jax.jit(step_fn, in_shardings=(pshard, None, batch_shardings),
                             out_shardings=(pshard, None, None))
         else:
@@ -186,7 +196,9 @@ def main(argv=None):
         if args.multimodal:
             from .dataset import mm_collate
 
-            mb = mm_collate(batch, args.seq_len, n_video)
+            mb = mm_collate(batch, args.seq_len, n_video,
+                            n_image=p_vis if args.max_images > 0 else 0,
+                            max_images=args.max_images or None)
             feats = np.zeros(
                 (len(batch), args.frames, p_vis, lcfg.vision_hidden_size), np.float32
             )
@@ -201,6 +213,24 @@ def main(argv=None):
                 else:  # smoke: synthetic features
                     feats[i] = frng.normal(size=feats[i].shape)
             mb["video_feats"] = feats
+            if args.max_images > 0:
+                ifeats = np.zeros(
+                    (len(batch), mb["image_mask"].shape[1], p_vis,
+                     lcfg.vision_hidden_size), np.float32)
+                for i, s in enumerate(batch):
+                    k = int(mb["image_mask"][i].sum())
+                    if k == 0:
+                        continue
+                    media = s.get("media")
+                    paths = media if isinstance(media, list) else [media] * k
+                    for j in range(k):
+                        if args.feature_dir and paths[j]:
+                            iid = os.path.splitext(os.path.basename(str(paths[j])))[0]
+                            ifeats[i, j] = np.load(
+                                os.path.join(args.feature_dir, f"{iid}.npy"))
+                        else:  # smoke: synthetic features
+                            ifeats[i, j] = frng.normal(size=ifeats[i, j].shape)
+                mb["image_feats"] = ifeats
             if (mb["labels"] != -100).sum() == 0:
                 rank0_print(f"WARNING: step {step + 1}: no supervised tokens in batch")
             mb = {k: jnp.asarray(v) for k, v in mb.items()}

@@ -59,28 +59,41 @@ def loss_fn(params, cfg: DecoderConfig, input_ids, labels, remat: bool = False):
 
 
 def mm_forward(params, lcfg, input_ids, video_feats, video_start, has_video,
-               remat: bool = False, tower_cfg=None, pixels=None):
-    """Multimodal training forward: vision features -> mm_projector -> 2D
-    pool -> newline policy -> splice into the text embeddings at the (host-
-    expanded) video span -> trunk -> logits [B, S, V].
+               remat: bool = False, tower_cfg=None, pixels=None,
+               image_feats=None, image_starts=None, image_mask=None):
+    """Multimodal training forward: vision features -> mm_projector ->
+    (videos: 2D pool + newline policy) -> splice into the text embeddings at
+    the (host-expanded) media spans -> trunk -> logits [B, S, V].
 
     The differentiable counterpart of ``models.llava.build_multimodal_embeds``
-    — the reference runs prepare_inputs_labels_for_multimodal inside the
-    training forward (llava/model/llava_arch.py:324) so gradients reach the
-    projector; trainability of projector/tower mirrors
+    / ``build_multimodal_embeds_multi`` — the reference runs
+    prepare_inputs_labels_for_multimodal inside the training forward
+    (llava/model/llava_arch.py:324, multi-sentinel splice loop :533-587) so
+    gradients reach the projector; trainability of projector/tower mirrors
     initialize_vision_modules (llava/train/train.py:1641).
 
     params: {"lm": decoder params, "mm": projector params[, "tower": ...]}
     — the top-level "mm"/"tower" groups are what ``init_train_state``'s
     ``module_lrs`` routes split learning rates to (llava_trainer.py:356).
 
-    input_ids [B, S] (video-span positions hold pad id — see
+    input_ids [B, S] (media-span positions hold pad id — see
     ``dataset.mm_collate``), video_feats [B, T, P_vis, C_vis],
     video_start [B] int32, has_video [B] bool. When ``pixels``
     [B, T, H, W, 3] and ``tower_cfg`` are given, features are computed by
     the SigLIP tower in-graph (params["tower"] receives gradients —
     unfreeze_mm_vision_tower); otherwise pre-extracted ``video_feats`` are
     used and only the projector trains.
+
+    Multi-image / interleaved batches: ``image_feats`` [B, MI, P_img, C_vis]
+    with ``image_starts``/``image_mask`` [B, MI] (``mm_collate(n_image=
+    P_img)``) splices up to MI projected images per sample at their
+    placeholder offsets, interleaved with the text and the video span.
+    Image chunks take the projector only — the reference's base
+    (non-anyres) image path, llava_arch.py:428 encode_images; anyres tile
+    training is descoped (inference has it in models/anyres.py). The
+    fixed-shape dynamic_update_slice splice (vs the reference's per-sample
+    torch.cat loop) is what keeps the training step a single static XLA
+    program.
     """
     from ..models.llava import apply_newline_policy, pool_2d, project_features
 
@@ -97,18 +110,33 @@ def mm_forward(params, lcfg, input_ids, video_feats, video_start, has_video,
     else:
         feats = video_feats
 
-    def splice_one(xb, fb, st, hv):
-        proj = project_features(params["mm"], fb)
-        proj = pool_2d(proj, lcfg.vision_patches_per_side,
-                       lcfg.spatial_pool_stride, lcfg.spatial_pool_mode)
-        vid = apply_newline_policy(
-            proj, lcfg.pooled_side, params["mm"]["image_newline"],
-            lcfg.newline_position,
-        ).astype(xb.dtype)
-        upd = jax.lax.dynamic_update_slice(xb, vid, (st, 0))
-        return jnp.where(hv, upd, xb)
+    if feats is not None:
+        def splice_one(xb, fb, st, hv):
+            proj = project_features(params["mm"], fb)
+            proj = pool_2d(proj, lcfg.vision_patches_per_side,
+                           lcfg.spatial_pool_stride, lcfg.spatial_pool_mode)
+            vid = apply_newline_policy(
+                proj, lcfg.pooled_side, params["mm"]["image_newline"],
+                lcfg.newline_position,
+            ).astype(xb.dtype)
+            upd = jax.lax.dynamic_update_slice(xb, vid, (st, 0))
+            return jnp.where(hv, upd, xb)
 
-    x = jax.vmap(splice_one)(x, feats, video_start, has_video)
+        x = jax.vmap(splice_one)(x, feats, video_start, has_video)
+
+    if image_feats is not None and image_feats.shape[1] > 0:
+        def splice_images(xb, fb, starts, mask):
+            proj = project_features(params["mm"], fb).astype(xb.dtype)
+
+            def one(acc, tup):
+                st, m, pj = tup
+                upd = jax.lax.dynamic_update_slice(acc, pj, (st, 0))
+                return jnp.where(m, upd, acc), None
+
+            out, _ = jax.lax.scan(one, xb, (starts, mask, proj))
+            return out
+
+        x = jax.vmap(splice_images)(x, image_feats, image_starts, image_mask)
     b, s, _ = x.shape
     cos, sin = qwen2.rope_cos_sin(cfg, jnp.arange(s, dtype=jnp.int32))
     x, _, _ = qwen2.prefill_layers(
@@ -124,6 +152,8 @@ def mm_loss_fn(params, lcfg, batch, remat: bool = False, tower_cfg=None):
         params, lcfg, batch["input_ids"], batch.get("video_feats"),
         batch["video_start"], batch["has_video"], remat, tower_cfg,
         batch.get("pixels"),
+        batch.get("image_feats"), batch.get("image_starts"),
+        batch.get("image_mask"),
     )
     return masked_ce(logits, batch["labels"])
 

@@ -236,3 +236,44 @@ def test_preprocess_llama2_and_gemma_masking():
     s = ids_g
     pos = next(i for i in range(len(s)) if s[i : i + len(hdr)] == hdr)
     assert all(l == IGNORE_INDEX for l in labels_g[pos : pos + len(hdr)])
+
+def test_preprocess_llama3_masking():
+    """Llama-3 template (<|start_header_id|>role<|end_header_id|>\n\n...
+    <|eot_id|>): assistant content + trailing <|eot_id|> supervised, system/
+    user turns + assistant role header masked (reference preprocess_llama3,
+    train.py:690-780)."""
+    from sttm_tpu.train.dataset import PREPROCESSORS, preprocess_llama3
+
+    assert PREPROCESSORS["llama3"] is preprocess_llama3
+
+    convs = [
+        {"from": "human", "value": "<image>\nWhat is this?"},
+        {"from": "gpt", "value": "A cat."},
+        {"from": "human", "value": "Sure?"},
+        {"from": "gpt", "value": "Yes."},
+    ]
+    tok = ByteTok()
+    ids, labels = preprocess_llama3(convs, tok)
+    assert len(ids) == len(labels)
+    img = [i for i, t in enumerate(ids) if t == IMAGE_TOKEN_INDEX]
+    assert len(img) == 1 and labels[img[0]] == IGNORE_INDEX
+    sup = [l for l in labels if l != IGNORE_INDEX]
+    assert sup == tok.encode("A cat.<|eot_id|>") + tok.encode("Yes.<|eot_id|>")
+    head = tok.encode("<|begin_of_text|><|start_header_id|>system<|end_header_id|>")
+    assert ids[: len(head)] == head
+    # assistant role header masked
+    hdr = tok.encode("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    pos = next(i for i in range(len(ids)) if ids[i : i + len(hdr)] == hdr)
+    assert all(l == IGNORE_INDEX for l in labels[pos : pos + len(hdr)])
+    # SFTDataset dispatch accepts the new version string
+    import json as _json
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "a.json")
+        with open(p, "w") as fp:
+            _json.dump([{"conversations": convs, "video": "v0"}], fp)
+        ds = SFTDataset(p, tok, conv_version="llama3")
+        item = ds[0]
+        assert item["modalities"] == ["video"]
+        assert IMAGE_TOKEN_INDEX in item["input_ids"]

@@ -80,13 +80,115 @@ def test_mm_collate_expands_video_span():
     assert not out2["has_video"][0] and out2["input_ids"][0][2] == 7
 
 
-def test_mm_collate_rejects_overflow_and_multi_image():
+def test_mm_collate_rejects_overflow_and_bad_modalities():
     ids = [5, IMAGE_TOKEN_INDEX]
     with pytest.raises(ValueError, match="exceeds pad_to"):
         mm_collate([{"input_ids": ids, "labels": ids}], N_VIDEO, N_VIDEO)
+    # two video placeholders in one sample: at most one clip per sample
     ids2 = [IMAGE_TOKEN_INDEX, 5, IMAGE_TOKEN_INDEX]
-    with pytest.raises(ValueError, match="image tokens"):
-        mm_collate([{"input_ids": ids2, "labels": ids2}], 64, N_VIDEO)
+    with pytest.raises(ValueError, match="video placeholders"):
+        mm_collate([{"input_ids": ids2, "labels": ids2,
+                     "modalities": ["video", "video"]}], 64, N_VIDEO)
+    # image placeholders without a per-image token count
+    with pytest.raises(ValueError, match="n_image"):
+        mm_collate([{"input_ids": ids2, "labels": ids2,
+                     "modalities": ["image", "image"]}], 64, N_VIDEO)
+
+
+N_IMAGE = 4  # tokens per image span in the multi-image tests
+
+
+def test_mm_collate_multi_image_interleaved():
+    """Every sentinel expands in placeholder order, interleaved with text —
+    the reference's multi-image splice loop (llava_arch.py:533-587)."""
+    ids = [7, IMAGE_TOKEN_INDEX, 8, 9, IMAGE_TOKEN_INDEX, 10]
+    labs = [IGNORE_INDEX, IGNORE_INDEX, 8, 9, IGNORE_INDEX, 10]
+    out = mm_collate(
+        [{"input_ids": ids, "labels": labs, "modalities": ["image", "image"]}],
+        40, N_VIDEO, n_image=N_IMAGE)
+    st = out["image_starts"][0]
+    assert out["image_mask"][0].all() and not out["has_video"][0]
+    assert st[0] == 1 and st[1] == 1 + N_IMAGE + 2  # text 8,9 between spans
+    row, lab = out["input_ids"][0], out["labels"][0]
+    assert row[0] == 7
+    assert (row[st[0]: st[0] + N_IMAGE] == 0).all()
+    assert row[st[0] + N_IMAGE] == 8 and row[st[0] + N_IMAGE + 1] == 9
+    assert (lab[st[1]: st[1] + N_IMAGE] == IGNORE_INDEX).all()
+    assert row[st[1] + N_IMAGE] == 10 and lab[st[1] + N_IMAGE] == 10
+
+    # mixed video + image in ONE sample, in placeholder order
+    ids3 = [IMAGE_TOKEN_INDEX, 5, IMAGE_TOKEN_INDEX, 6]
+    out3 = mm_collate(
+        [{"input_ids": ids3, "labels": ids3, "modalities": ["image", "video"]}],
+        40, N_VIDEO, n_image=N_IMAGE)
+    assert out3["image_starts"][0][0] == 0
+    assert out3["video_start"][0] == N_IMAGE + 1 and out3["has_video"][0]
+    assert out3["input_ids"][0][N_IMAGE] == 5
+    assert out3["input_ids"][0][N_IMAGE + 1 + N_VIDEO] == 6
+
+
+def _mixed_batch(seed=0, s=48):
+    """The directive's target batch: {2-image sample, video sample,
+    text-only sample} in one mm_collate call."""
+    rng = np.random.default_rng(seed)
+    two_img = {
+        "input_ids": [7, IMAGE_TOKEN_INDEX, 8, IMAGE_TOKEN_INDEX, 9, 11, 12],
+        "labels": [IGNORE_INDEX, IGNORE_INDEX, IGNORE_INDEX, IGNORE_INDEX,
+                   9, 11, 12],
+        "modalities": ["image", "image"],
+    }
+    vid_ids = rng.integers(1, 200, size=10).tolist()
+    video = {
+        "input_ids": vid_ids[:3] + [IMAGE_TOKEN_INDEX] + vid_ids[3:],
+        "labels": [IGNORE_INDEX] * 4 + vid_ids[3:],
+        "modalities": ["video"],
+    }
+    text = {"input_ids": [21, 22, 23, 24], "labels": [21, 22, 23, 24],
+            "modalities": []}
+    batch = mm_collate([two_img, video, text], s, N_VIDEO, n_image=N_IMAGE)
+    p_vis = LCFG.vision_patches_per_side ** 2
+    batch["video_feats"] = jnp.asarray(
+        rng.normal(size=(3, T_FRAMES, p_vis, LCFG.vision_hidden_size)),
+        jnp.float32)
+    # image features: P_img patches per image; projector preserves count so
+    # n_image must equal P_img = N_IMAGE
+    batch["image_feats"] = jnp.asarray(
+        rng.normal(size=(3, batch["image_mask"].shape[1], N_IMAGE,
+                         LCFG.vision_hidden_size)), jnp.float32)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_mm_train_mixed_image_video_text_batch():
+    """Train on a batch mixing {2-image, video, text-only} samples: finite
+    decreasing loss, nonzero projector grads, image features affect logits
+    (the round-4 directive's done-criterion)."""
+    params = _mm_params()
+    batch = _mixed_batch()
+    grads = jax.grad(mm_loss_fn)(params, LCFG, batch)
+    for k in ("proj_w1", "proj_b1", "proj_w2", "proj_b2"):
+        assert float(jnp.linalg.norm(grads["mm"][k])) > 0, k
+    # image features reach the logits (zeroing them changes the output)
+    logits = mm_forward(params, LCFG, batch["input_ids"], batch["video_feats"],
+                        batch["video_start"], batch["has_video"],
+                        image_feats=batch["image_feats"],
+                        image_starts=batch["image_starts"],
+                        image_mask=batch["image_mask"])
+    logits_zero = mm_forward(params, LCFG, batch["input_ids"],
+                             batch["video_feats"], batch["video_start"],
+                             batch["has_video"],
+                             image_feats=jnp.zeros_like(batch["image_feats"]),
+                             image_starts=batch["image_starts"],
+                             image_mask=batch["image_mask"])
+    assert not np.allclose(np.asarray(logits), np.asarray(logits_zero))
+    # and only at/after the image rows' spans: the text-only row is identical
+    assert np.allclose(np.asarray(logits)[2], np.asarray(logits_zero)[2])
+    tx, opt_state = init_train_state(params, 5e-3, module_lrs={"mm": 2e-2})
+    step = jax.jit(make_mm_train_step(LCFG, tx))
+    losses = []
+    for _ in range(6):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses[-1]) and losses[-1] < losses[0] * 0.95, losses
 
 
 def test_projector_grads_nonzero_and_splice_matters():
