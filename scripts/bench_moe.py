@@ -131,12 +131,15 @@ def main():
 
             return jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
 
-        try:
-            sec = slope(build, h)
-        except Exception as e:  # remote-compile tunnel drops are transient
-            results[f"block_{mode}"] = {"error": str(e)[:200]}
-            print(f"moe_mlp[{mode}]: ERROR {e}", flush=True)
+        from chiputil import retry_call
+
+        st, out = retry_call(lambda: slope(build, h), attempts=4,
+                             label=f"moe/{mode}")
+        if st != "ok":
+            results[f"block_{mode}"] = out
+            print(f"moe_mlp[{mode}]: terminal {st}", flush=True)
             continue
+        sec = out
         # selected FLOPs: N*k assignment rows x 3 expert matmuls + shared
         flops = (2.0 * n * k * 3 * d * fe
                  + 2.0 * n * 3 * d * cfg.shared_expert_intermediate_size)
@@ -193,7 +196,14 @@ def main():
 
             return jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
 
-        sec = slope(b_gmm, xp)
+        from chiputil import retry_call
+
+        st, out = retry_call(lambda b=b_gmm, x=xp: slope(b, x), attempts=4,
+                             label=f"gmm_tm{tm}")
+        if st != "ok":
+            results[f"gemm_gmm_tm{tm}"] = out
+            continue
+        sec = out
         pad_ratio = m_pad / m
         results[f"gemm_gmm_tm{tm}"] = {
             "ms": round(sec * 1e3, 2),

@@ -1,0 +1,201 @@
+"""Non-oracle speculative-decode acceptance on a realistic drafter workload
+(VERDICT r3 directive #5).
+
+The shipped drafter is training-free n-gram prompt lookup (runtime/spec.py
+ngram_draft). Round 3 measured its floor (accept 0.20 on random-weight
+argmax with nothing useful in the history) and its ceiling (oracle-iter2,
+accept 1.0). This bench measures the drafter between those bounds on the
+workload prompt lookup is FOR: regeneration/retry serving, where a request
+is re-served and the drafter's history contains the previous answer (the
+"repeated-prompt lookup" scenario — PLD/"prompt lookup decoding" and the
+reference-free half of arXiv 2304.04487-style drafting). Acceptance is then
+a genuine model-vs-drafter measurement: the replayed answer predicts the
+new run's argmax chain only up to cross-program near-tie flips (CLAUDE.md),
+and fresh requests keep drafting from their prompt at the floor.
+
+Legs, at the headline operating point (28-layer 7B int8w8a, 128-frame
+quadtree 50% prefix):
+  - plain chunked decode (throughput baseline, same shapes)
+  - spec with FRESH histories (floor re-measured at this batch)
+  - spec with REPLAYED histories (prompt + previous answer)
+  - spec with the MIXED 50/50 workload (the headline spec_realistic row)
+for b=1 (single-stream) and b=4, k=8, 32 new tokens. Writes the
+``spec_realistic`` section into BENCH_SERVING.json (merge, keeping the
+round-3 sections) and a consistency check vs the cost model
+realized ~= (1 + accepted_per_dispatch) / dispatch_cost_ratio.
+
+Usage: python scripts/bench_spec_realistic.py [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=28)
+    ap.add_argument("--vocab", type=int, default=32768)
+    ap.add_argument("--quant", default="int8w8a")
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 4])
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--decode_tokens", type=int, default=32)
+    ap.add_argument("--s_sfx", type=int, default=64)
+    args = ap.parse_args()
+
+    sys.path.insert(0, ".")
+    if args.tiny:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from bench import _enable_compile_cache
+
+        _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_case
+    from chiputil import merge_json, retry_call
+
+    from sttm_tpu.runtime.generate import (
+        GenerateConfig,
+        generate_batch_from_prefix,
+        prefix_prefill,
+    )
+
+    cfg, spec, params, embeds, valid, vstart, s_full, impl = build_case(
+        args.tiny, args.frames, args.layers, args.vocab,
+        "none" if args.tiny else args.quant,
+    )
+    rng = np.random.default_rng(7)
+    d = cfg.hidden_size
+    s_sfx = 16 if args.tiny else args.s_sfx
+    n_dec = 8 if args.tiny else args.decode_tokens
+    k = 4 if args.tiny else args.k
+    batches = [1, 2] if args.tiny else args.batches
+
+    prefix_valid = valid - (s_sfx // 2)
+    gen = GenerateConfig(max_new_tokens=n_dec, eos_token_ids=())
+
+    pc = prefix_prefill(params, cfg, embeds, int(prefix_valid), vstart, spec,
+                        impl=impl)
+    jax.block_until_ready(pc.lens[0])
+
+    results = {"config": {"layers": cfg.num_layers, "quant": args.quant,
+                          "k": k, "n_dec": n_dec, "workload":
+                          "regeneration: history = prompt + previous answer"}}
+
+    for b in batches:
+        sfx_b = jnp.asarray(0.02 * rng.normal(size=(b, s_sfx, d)), cfg.dtype)
+        lens = [s_sfx // 2 + (i % 3) for i in range(b)]
+        # synthetic prompt token ids (features are synthetic too; ids only
+        # feed the drafter's lookup table, exactly like the round-3 floor)
+        prompts = [list(map(int, rng.integers(1, 250, size=48))) for _ in range(b)]
+        entry = {}
+
+        def run_plain():
+            # warm + measure the plain chunked baseline at the same shapes
+            generate_batch_from_prefix(
+                params, cfg, pc, sfx_b, lens, spec,
+                GenerateConfig(max_new_tokens=2, eos_token_ids=()),
+                decode_chunk_size=1)
+            return generate_batch_from_prefix(
+                params, cfg, pc, sfx_b, lens, spec, gen, decode_chunk_size=1)
+
+        st, out = retry_call(run_plain, label=f"plain b={b}")
+        if st != "ok":
+            results[f"b{b}"] = {"plain": out}
+            continue
+        ids_plain, rt_plain = out
+        n_tok = sum(rt_plain["num_dec_token"]) - b
+        plain_tok_s = n_tok / rt_plain["time_decoding"]
+        plain_ms_step = 1e3 * rt_plain["time_decoding"] / max(n_dec - 1, 1)
+        entry["plain"] = {"decode_tok_per_s": round(plain_tok_s, 1),
+                          "ms_per_step": round(plain_ms_step, 2)}
+        print(f"b={b} plain: {plain_tok_s:.1f} tok/s", flush=True)
+
+        def spec_leg(histories, label):
+            def run():
+                generate_batch_from_prefix(  # warm (same compiled shape)
+                    params, cfg, pc, sfx_b, lens, spec, gen,
+                    spec_decode_k=k, histories=histories)
+                return generate_batch_from_prefix(
+                    params, cfg, pc, sfx_b, lens, spec, gen,
+                    spec_decode_k=k, histories=histories)
+
+            st, out = retry_call(run, label=f"{label} b={b}")
+            if st != "ok":
+                return out
+            ids, rt = out
+            n_tok = sum(rt["num_dec_token"]) - b
+            disp = max(rt["spec_dispatches"], 1)
+            leg = {
+                "decode_tok_per_s": round(n_tok / rt["time_decoding"], 1),
+                "accept_rate": round(
+                    rt["spec_accepted"] / max(rt["spec_drafted"], 1), 3),
+                "accepted_per_dispatch": round(rt["spec_accepted"] / disp, 2),
+                "dispatches": rt["spec_dispatches"],
+                "ms_per_dispatch": round(
+                    1e3 * rt["time_decoding"] / disp, 2),
+                "speedup_vs_plain": round(
+                    (n_tok / rt["time_decoding"]) / plain_tok_s, 2),
+            }
+            # cost-model consistency: realized speedup should track
+            # (1 + accepted_per_dispatch) / (dispatch_cost / step_cost)
+            cost_ratio = leg["ms_per_dispatch"] / plain_ms_step
+            leg["model_predicted_speedup"] = round(
+                (1 + rt["spec_accepted"] / disp) / (b * cost_ratio), 2) \
+                if b > 1 else round((1 + rt["spec_accepted"] / disp)
+                                    / cost_ratio, 2)
+            print(f"b={b} {label}: {leg['decode_tok_per_s']} tok/s, "
+                  f"accept {leg['accept_rate']}, speedup "
+                  f"{leg['speedup_vs_plain']}x (model "
+                  f"{leg['model_predicted_speedup']}x)", flush=True)
+            return leg
+
+        # FRESH: history = prompt only (the floor at this batch)
+        entry["fresh"] = spec_leg(list(prompts), "spec[fresh]")
+        # REPLAYED: history = prompt + this request's previous answer
+        replay_hist = [prompts[i] + [int(t) for t in ids_plain[i]]
+                       for i in range(b)]
+        entry["replayed"] = spec_leg(replay_hist, "spec[replayed]")
+        # MIXED 50/50 (odd rows replayed): the headline realistic workload
+        mixed_hist = [replay_hist[i] if i % 2 == 0 else list(prompts[i])
+                      for i in range(b)]
+        if b == 1:
+            # single-stream mixes across REQUESTS: serve 2 requests, one
+            # replayed one fresh, aggregate
+            fresh_leg, rep_leg = entry["fresh"], entry["replayed"]
+            if isinstance(fresh_leg, dict) and "accept_rate" in fresh_leg \
+                    and "accept_rate" in rep_leg:
+                entry["mixed"] = {
+                    "decode_tok_per_s": round(
+                        2 / (1 / fresh_leg["decode_tok_per_s"]
+                             + 1 / rep_leg["decode_tok_per_s"]), 1),
+                    "accept_rate": round(
+                        (fresh_leg["accept_rate"] + rep_leg["accept_rate"]) / 2, 3),
+                    "aggregation": "harmonic tok/s + mean accept over one "
+                                   "fresh and one replayed request",
+                }
+        else:
+            entry["mixed"] = spec_leg(mixed_hist, "spec[mixed]")
+        results[f"b{b}"] = entry
+
+    if args.tiny:
+        with open("BENCH_SPEC_REALISTIC_TINY.json", "w") as fp:
+            json.dump(results, fp, indent=2)
+    else:
+        merge_json("BENCH_SERVING.json", {"spec_realistic": results})
+    print(json.dumps(results, default=str)[:600], flush=True)
+
+
+if __name__ == "__main__":
+    main()

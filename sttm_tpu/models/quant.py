@@ -83,6 +83,23 @@ def matmul_w8a8(x: jnp.ndarray, w: dict, kernel: bool = False) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def matmul_w8a8_pre(xq: jnp.ndarray, xs: jnp.ndarray, w: dict,
+                    out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """int8 MXU matmul over PRE-quantized activations (xq int8 [..., K],
+    xs f32 [..., 1] from quantize_act/quantize_rows). Lets several GEMMs
+    over the same input (q/k/v, gate/up) share ONE activation-quantize
+    pass instead of re-quantizing per matmul — same math as matmul_w8a8
+    (XLA CSE usually dedupes the re-quantize already; this makes the
+    sharing explicit and kernel-compatible)."""
+    q, s = w["q"], w["s"]
+    acc = jax.lax.dot_general(
+        xq, q, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * xs * s.reshape(s.shape[-1])
+    return out.astype(out_dtype)
+
+
 def quantize_tensor_int4(w: jnp.ndarray) -> dict:
     """[..., in, out] -> nibble-packed int4 with per-output-channel scales.
 

