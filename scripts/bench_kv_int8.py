@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--tokens", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--batches", type=int, nargs="+", default=[4, 8])
+    ap.add_argument("--skip_single", action="store_true",
+                    help="only run the batched legs (re-run harness)")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -52,6 +54,7 @@ def main():
     import numpy as np
 
     from bench import build_case
+    from chiputil import merge_json, retry_call
     from sttm_tpu.runtime.generate import GenerateConfig, generate, generate_batch
 
     cfg, spec, params, embeds, valid, vstart, s_full, impl = build_case(
@@ -65,6 +68,7 @@ def main():
 
     results = {"config": {"layers": cfg.num_layers, "quant": args.quant,
                           "chunk": chunk, "s_full": s_full}}
+    out_path = "BENCH_KV_INT8_TINY.json" if args.tiny else "BENCH_KV_INT8.json"
 
     # -- 1. single-stream: bf16 vs int8 cache --------------------------------
     def run_single(kv_int8):
@@ -74,19 +78,32 @@ def main():
                            impl=impl, decode_chunk_size=chunk, kv_int8=kv_int8)
         return ids, 1e3 * rt["time_decoding"] / max(rt["num_dec_token"] - 1, 1)
 
-    ids_b, ms_b = run_single(False)
-    ids_q, ms_q = run_single(True)
-    flips = sum(a != b for a, b in zip(ids_b, ids_q))
-    results["single"] = {
-        "bf16_ms_per_token": round(ms_b, 3),
-        "int8_ms_per_token": round(ms_q, 3),
-        "speedup": round(ms_b / ms_q, 3),
-        "token_flips": flips,
-    }
-    print(f"single: bf16 {ms_b:.2f} vs int8 {ms_q:.2f} ms/token "
-          f"({ms_b / ms_q:.3f}x, {flips}/{len(ids_b)} flips)", flush=True)
+    if not args.skip_single:
+        ids_b, ms_b = run_single(False)
+        ids_q, ms_q = run_single(True)
+        flips = sum(a != b for a, b in zip(ids_b, ids_q))
+        results["single"] = {
+            "bf16_ms_per_token": round(ms_b, 3),
+            "int8_ms_per_token": round(ms_q, 3),
+            "speedup": round(ms_b / ms_q, 3),
+            "token_flips": flips,
+        }
+        print(f"single: bf16 {ms_b:.2f} vs int8 {ms_q:.2f} ms/token "
+              f"({ms_b / ms_q:.3f}x, {flips}/{len(ids_b)} flips)", flush=True)
 
     # -- 2. flat-batched decode of DISTINCT videos: bf16 vs int8 caches ------
+    # clear stale entries for the legs being re-measured (merge_json is a
+    # deep merge: an old {"error": ...} would otherwise survive inside a
+    # fresh measurement)
+    try:
+        with open(out_path) as fp:
+            prior = json.load(fp)
+        for b in batches:
+            prior.get("batched", {}).pop(str(b), None)
+        with open(out_path, "w") as fp:
+            json.dump(prior, fp, indent=2)
+    except (OSError, json.JSONDecodeError):
+        pass
     rng = np.random.default_rng(0)
     results["batched"] = {}
     for b in batches:
@@ -101,7 +118,11 @@ def main():
             continue
         entry = {}
         for tag, kv8 in (("bf16", False), ("int8", True)):
-            try:
+            # retry_call: a transport HTTP-500 retries; only a genuine
+            # device RESOURCE_EXHAUSTED is recorded as {"oom": true}
+            # (VERDICT r3 weak #1c: bf16 b=8 capacity claim needs a real
+            # device-side OOM or a number, never a compile-service error).
+            def leg(kv8=kv8):
                 def run():
                     return generate_batch(
                         params, cfg, embs_j, [valid] * b, [vstart] * b, spec,
@@ -110,24 +131,28 @@ def main():
                 run()  # warm
                 ids, rt = run()
                 toks = sum(len(r) for r in ids) - b
-                tok_s = toks / rt["time_decoding"]
+                return toks / rt["time_decoding"], rt["time_decoding"], toks
+
+            st, out = retry_call(leg, attempts=4, label=f"kv_int8 b={b} {tag}")
+            if st == "ok":
+                tok_s, t_dec, toks = out
                 entry[tag] = {"tokens_per_s": round(tok_s, 1),
-                              "ms_per_step": round(
-                                  1e3 * rt["time_decoding"] * b / toks, 2)}
+                              "ms_per_step": round(1e3 * t_dec * b / toks, 2)}
                 print(f"batched b={b} {tag}: {tok_s:.1f} tok/s", flush=True)
-            except Exception as e:  # bf16 OOM at large flat batches expected
-                entry[tag] = {"error": str(e)[:160]}
-                print(f"batched b={b} {tag}: ERROR {str(e)[:120]}", flush=True)
+            else:
+                entry[tag] = out
+                print(f"batched b={b} {tag}: terminal {st}", flush=True)
+            merge_json(out_path, {"batched": {str(b): {tag: entry[tag]}}})
         if "tokens_per_s" in entry.get("bf16", {}) and \
                 "tokens_per_s" in entry.get("int8", {}):
             entry["speedup"] = round(
                 entry["int8"]["tokens_per_s"] / entry["bf16"]["tokens_per_s"], 3)
+            merge_json(out_path, {"batched": {str(b): {
+                "speedup": entry["speedup"]}}})
         results["batched"][str(b)] = entry
 
-    out = "BENCH_KV_INT8_TINY.json" if args.tiny else "BENCH_KV_INT8.json"
-    with open(out, "w") as fp:
-        json.dump(results, fp, indent=2)
-    print(json.dumps(results)[:400], flush=True)
+    final = merge_json(out_path, results)  # keep prior legs on partial re-runs
+    print(json.dumps(final)[:400], flush=True)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[2, 4, 8])
     ap.add_argument("--decode_tokens", type=int, default=24)
     ap.add_argument("--s_sfx", type=int, default=64)
+    ap.add_argument("--sections", nargs="+",
+                    default=["prefill", "batched", "spec", "spec_cascade"],
+                    help="which measurement sections to run; results are "
+                         "merge-written so partial re-runs keep other legs "
+                         "(spec sections read batched results from the same "
+                         "run — include 'batched' with them)")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -127,42 +133,54 @@ def main():
           f"({full_ttft/ext_ttft:.0f}x cheaper than full prefill)", flush=True)
 
     # -- 2. batched decode over the shared prefix: flat vs cascade -----------
+    # cascade runs FIRST: a genuine flat-b=8 device OOM poisons later
+    # allocations in this process (round-3 measurement), so the layout that
+    # fits gets its clean number before the capacity probe. retry_call
+    # separates transport HTTP-500s (retried) from device OOM (recorded as
+    # {"oom": true} — the honest capacity result, VERDICT r3 weak #1c).
+    from chiputil import merge_json, retry_call
+
     results["batched"] = {}
-    for b in batches:
-        sfx_b = jnp.asarray(0.02 * rng.normal(size=(b, s_sfx, d)), cfg.dtype)
-        lens = [s_sfx // 2 + (i % 3) for i in range(b)]
-        row_entry = {}
-        for mode, cascade in (("flat", False), ("cascade", True)):
-            try:
-                # warm (compile)
-                generate_batch_from_prefix(
-                    params, cfg, pc2, sfx_b, lens, spec,
-                    GenerateConfig(max_new_tokens=2, eos_token_ids=()),
-                    decode_chunk_size=1, cascade=cascade,
+    if "batched" in args.sections:
+        for b in batches:
+            sfx_b = jnp.asarray(0.02 * rng.normal(size=(b, s_sfx, d)), cfg.dtype)
+            lens = [s_sfx // 2 + (i % 3) for i in range(b)]
+            row_entry = {}
+            for mode, cascade in (("cascade", True), ("flat", False)):
+                def leg(cascade=cascade):
+                    generate_batch_from_prefix(  # warm (compile)
+                        params, cfg, pc2, sfx_b, lens, spec,
+                        GenerateConfig(max_new_tokens=2, eos_token_ids=()),
+                        decode_chunk_size=1, cascade=cascade,
+                    )
+                    return generate_batch_from_prefix(
+                        params, cfg, pc2, sfx_b, lens, spec, gen,
+                        decode_chunk_size=1, cascade=cascade,
+                    )
+
+                st, out = retry_call(leg, attempts=4, label=f"serving b={b} {mode}")
+                if st == "ok":
+                    ids, rt = out
+                    n_tok = sum(rt["num_dec_token"]) - b  # 1st token in ttft
+                    ms_per_step = 1e3 * rt["time_decoding"] / max(n_dec - 1, 1)
+                    row_entry[mode] = {
+                        "ttft_all_extensions_s": rt["ttft_llm"],
+                        "decode_ms_per_step": ms_per_step,
+                        "decode_tok_per_s": n_tok / rt["time_decoding"],
+                    }
+                    print(f"b={b} {mode}: {ms_per_step:.2f} ms/step "
+                          f"({n_tok / rt['time_decoding']:.1f} tok/s)",
+                          flush=True)
+                else:
+                    row_entry[mode] = out
+                    print(f"b={b} {mode}: terminal {st}", flush=True)
+            if "decode_ms_per_step" in row_entry.get("flat", {}) and \
+               "decode_ms_per_step" in row_entry.get("cascade", {}):
+                row_entry["cascade_speedup"] = (
+                    row_entry["flat"]["decode_ms_per_step"]
+                    / row_entry["cascade"]["decode_ms_per_step"]
                 )
-                ids, rt = generate_batch_from_prefix(
-                    params, cfg, pc2, sfx_b, lens, spec, gen,
-                    decode_chunk_size=1, cascade=cascade,
-                )
-                n_tok = sum(rt["num_dec_token"]) - b  # first token is in ttft
-                ms_per_step = 1e3 * rt["time_decoding"] / max(n_dec - 1, 1)
-                row_entry[mode] = {
-                    "ttft_all_extensions_s": rt["ttft_llm"],
-                    "decode_ms_per_step": ms_per_step,
-                    "decode_tok_per_s": n_tok / rt["time_decoding"],
-                }
-                print(f"b={b} {mode}: {ms_per_step:.2f} ms/step "
-                      f"({n_tok / rt['time_decoding']:.1f} tok/s)", flush=True)
-            except Exception as e:  # OOM at large flat batches is expected
-                row_entry[mode] = {"error": f"{type(e).__name__}: {e}"[:200]}
-                print(f"b={b} {mode}: FAILED {type(e).__name__}", flush=True)
-        if "decode_ms_per_step" in row_entry.get("flat", {}) and \
-           "decode_ms_per_step" in row_entry.get("cascade", {}):
-            row_entry["cascade_speedup"] = (
-                row_entry["flat"]["decode_ms_per_step"]
-                / row_entry["cascade"]["decode_ms_per_step"]
-            )
-        results["batched"][str(b)] = row_entry
+            results["batched"][str(b)] = row_entry
 
     # -- 3. batched speculative decode over the shared prefix ----------------
     # One verify dispatch scores B*k candidate tokens for ~one weight read.
@@ -175,7 +193,7 @@ def main():
     # rate, not the verify ceiling — VERDICT r2 weak #2, CLAUDE.md).
     results["spec_batched"] = {}
     k = 8
-    for b in batches:
+    for b in batches if "spec" in args.sections else []:
         entry = {}
         # The flat layout holds B full-cache copies; where the plain batched
         # flat leg already hit RESOURCE_EXHAUSTED, the spec-flat leg cannot
@@ -311,7 +329,7 @@ def main():
     # the verify dispatches; the config that FITS b=8 where flat's B full
     # cache copies OOM) -----------------------------------------------------
     results["spec_batched_cascade"] = {}
-    for b in batches:
+    for b in batches if "spec_cascade" in args.sections else []:
         sfx_b = jnp.asarray(0.02 * rng.normal(size=(b, s_sfx, d)), cfg.dtype)
         lens = [s_sfx // 2 + (i % 3) for i in range(b)]
         entry = {}
@@ -391,9 +409,21 @@ def main():
         results["spec_batched_cascade"][str(b)] = entry
 
     out = "BENCH_SERVING_TINY.json" if args.tiny else "BENCH_SERVING.json"
+    # purge re-measured legs before the deep merge (a stale {"error": ...}
+    # must not survive alongside a fresh number), keep untouched sections
+    try:
+        with open(out) as fp:
+            prior = json.load(fp)
+    except (OSError, json.JSONDecodeError):
+        prior = {}
+    for sec in ("batched", "spec_batched", "spec_batched_cascade"):
+        for b, row in results.get(sec, {}).items():
+            prior.get(sec, {}).pop(b, None)
     with open(out, "w") as fp:
-        json.dump(results, fp, indent=2)
-    print(json.dumps({k: v for k, v in results.items() if k != "config"},
+        json.dump(prior, fp, indent=2)
+    final = merge_json(out, {k: v for k, v in results.items()
+                             if not isinstance(v, dict) or v or k == "config"})
+    print(json.dumps({k: v for k, v in final.items() if k != "config"},
                      default=str)[:600])
 
 

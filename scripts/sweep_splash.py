@@ -22,6 +22,14 @@ V5E_BF16_PEAK = 197e12
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only_errors", action="store_true",
+                    help="re-run only combos whose recorded entry is an "
+                         "error (fills the round-3 HTTP-500 holes)")
+    args = ap.parse_args()
+
     sys.path.insert(0, ".")
     from bench import _enable_compile_cache
 
@@ -29,7 +37,23 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from chiputil import merge_json, retry_call
     from sttm_tpu.ops.attention import _splash_mha
+
+    try:
+        with open("BENCH_SPLASH_SWEEP.json") as fp:
+            prior = json.load(fp)
+    except (OSError, json.JSONDecodeError):
+        prior = {}
+    # merge_json deep-merges: purge entries about to be re-measured so a
+    # stale {"error": ...} never survives alongside a fresh number
+    purged = {
+        s: ({k: v for k, v in g.items() if "ms" in v and k != "best"}
+            if args.only_errors else {})
+        for s, g in prior.items()
+    }
+    with open("BENCH_SPLASH_SWEEP.json", "w") as fp:
+        json.dump(purged, fp, indent=2)
 
     hq, hkv, hd = 28, 4, 128
     rng = np.random.default_rng(0)
@@ -52,8 +76,14 @@ def main():
         for bq, bkv, bkc in combos:
             if s % bq or s % bkv or bkv % bkc:
                 continue
-            try:
-                f = jax.jit(lambda q, k, v, vl, bq=bq, bkv=bkv, bkc=bkc: _splash_mha(
+            key = f"{bq}/{bkv}/{bkc}"
+            prev = prior.get(str(s), {}).get(key)
+            if args.only_errors and prev is not None and "ms" in prev:
+                grid[key] = prev
+                continue
+
+            def leg(bq=bq, bkv=bkv, bkc=bkc):
+                f = jax.jit(lambda q, k, v, vl: _splash_mha(
                     q, k, v, vl, hd**-0.5,
                     block_q=bq, block_kv=bkv, block_kv_compute=bkc))
                 np.asarray(f(q, k, v, vl))[0, 0, 0]  # warm
@@ -63,22 +93,24 @@ def main():
                     out = f(q, k, v, vl)
                     np.asarray(out[0, :8, 0, 0])  # small host fetch = sync
                     times.append(time.perf_counter() - t0)
-                dt = float(np.median(times)) - 0.027  # tunnel RTT
+                return float(np.median(times)) - 0.027  # tunnel RTT
+
+            st, out = retry_call(leg, attempts=4, label=f"splash {s} {key}")
+            if st == "ok":
+                dt = out
                 mfu = flops / dt / V5E_BF16_PEAK
-                grid[f"{bq}/{bkv}/{bkc}"] = {"ms": round(dt * 1e3, 2),
-                                             "mfu": round(mfu, 4)}
-                print(f"S={s} {bq}/{bkv}/{bkc}: {dt*1e3:.1f} ms  MFU {mfu:.3f}",
+                grid[key] = {"ms": round(dt * 1e3, 2), "mfu": round(mfu, 4)}
+                print(f"S={s} {key}: {dt*1e3:.1f} ms  MFU {mfu:.3f}",
                       flush=True)
-            except Exception as e:
-                grid[f"{bq}/{bkv}/{bkc}"] = {"error": str(e)[:120]}
-                print(f"S={s} {bq}/{bkv}/{bkc}: FAILED {type(e).__name__}",
-                      flush=True)
+            else:
+                grid[key] = out
+                print(f"S={s} {key}: terminal {st}", flush=True)
+            merge_json("BENCH_SPLASH_SWEEP.json", {str(s): {key: grid[key]}})
         best = min((v["ms"], k) for k, v in grid.items() if "ms" in v)
         grid["best"] = {"combo": best[1], "ms": best[0]}
         results[str(s)] = grid
+        merge_json("BENCH_SPLASH_SWEEP.json", {str(s): {"best": grid["best"]}})
 
-    with open("BENCH_SPLASH_SWEEP.json", "w") as fp:
-        json.dump(results, fp, indent=2)
     print(json.dumps({s: r["best"] for s, r in results.items()}))
 
 
