@@ -152,8 +152,12 @@ def build_case(tiny: bool, frames: int, layers: int, vocab: int, quant: str = "n
         from sttm_tpu.models.quant import random_quantized_init
 
         # int8w8a: dynamic per-token activation quant -> int8 MXU matmuls;
+        # int8w8a_fused additionally fuses the prefill quantize producers
+        # (rmsnorm/swiglu+quantize kernels, shared qkv quantize, K-split
+        # down_proj — models/qwen2.py _layer_core "fused" path);
         # int4: nibble-packed weights (halves the decode weight-read floor)
-        cfg = dataclasses.replace(cfg, act_quant=quant == "int8w8a")
+        aq = {"int8w8a": True, "int8w8a_fused": "fused"}.get(quant, False)
+        cfg = dataclasses.replace(cfg, act_quant=aq)
         params = random_quantized_init(
             cfg, jax.random.key(0), bits=4 if quant == "int4" else 8
         )
@@ -205,7 +209,9 @@ def main():
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--layers", type=int, default=28)
     ap.add_argument("--vocab", type=int, default=32768)
-    ap.add_argument("--quant", choices=["none", "int8", "int8w8a", "int4"], default="int8w8a",
+    ap.add_argument("--quant",
+                    choices=["none", "int8", "int8w8a", "int8w8a_fused", "int4"],
+                    default="int8w8a",
                     help="default int8w8a: int8 weights (fits the FULL 28-layer 7B "
                          "on one chip) + dynamic per-token activation quant running "
                          "matmuls on the int8 MXU (2x bf16 peak). int8 = weight-only; "
@@ -304,7 +310,7 @@ def main():
         attn_flops = sum(
             2.0 * s**2 * cfg.head_dim * cfg.num_heads for s in lens
         )
-        gemm_peak = 394e12 if args.quant == "int8w8a" else 197e12
+        gemm_peak = 394e12 if args.quant.startswith("int8w8a") else 197e12
         ideal = gemm_flops / gemm_peak + attn_flops / 197e12
         out = {
             "seq_len": int(s_run),

@@ -43,7 +43,7 @@ def main():
     ap.add_argument("--m", type=int, default=12800,
                     help="token count (12800 = merged headline length)")
     ap.add_argument("--sections", nargs="+",
-                    default=["down", "qo", "quant", "group"])
+                    default=["down", "qo", "quant", "group", "gu"])
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -226,8 +226,11 @@ def main():
         }
         nbytes = m * d * 3  # 2B read + 1B write
         for name, body in passes.items():
-            st, sec = retry_call(lambda b=body: slope(chain(b), x_d, hi=10),
-                                 label=f"quant/{name}")
+            # sub-ms legs: long chains (lo=4, hi=36 -> 32-iter delta) push
+            # the measured delta far above tunnel-RTT noise
+            st, sec = retry_call(
+                lambda b=body: slope(chain(b), x_d, lo=4, hi=36, reps=7),
+                label=f"quant/{name}")
             if st == "ok":
                 ent = {"ms": round(sec * 1e3, 3),
                        "eff_gb_s": round(nbytes / sec / 1e9, 1)}
@@ -257,13 +260,45 @@ def main():
         def fused(x):
             return matmul_w8a8(x, wqkv)
 
-        for name, body in (("qkv_per_matmul_quant", per_matmul),
-                           ("qkv_shared_quant", shared),
-                           ("qkv_fused", fused)):
-            st, sec = retry_call(lambda b=body: slope(chain(b), x_d),
-                                 label=f"group/{name}")
+        # prequant legs: the int8 tensor IS the chain carry (a closed-over
+        # constant input would be hoisted out of the scan), scales closed over
+        xq_d0, xs_d0 = jax.jit(quantize_act)(x_d)
+
+        def sep_pre(xq):
+            return (matmul_w8a8_pre(xq, xs_d0, wq),
+                    matmul_w8a8_pre(xq, xs_d0, wk),
+                    matmul_w8a8_pre(xq, xs_d0, wv))
+
+        def fused_pre(xq):
+            return matmul_w8a8_pre(xq, xs_d0, wqkv)
+
+        for name, body, x0 in (("qkv_per_matmul_quant", per_matmul, x_d),
+                               ("qkv_shared_quant", shared, x_d),
+                               ("qkv_fused", fused, x_d),
+                               ("qkv_separate_prequant", sep_pre, xq_d0),
+                               ("qkv_fused_prequant", fused_pre, xq_d0)):
+            st, sec = retry_call(
+                lambda b=body, xx=x0: slope(chain(b), xx, lo=2, hi=10, reps=5),
+                label=f"group/{name}")
             if st == "ok":
                 record("group", name, sec, flop_qkv)
+
+    if "gu" in args.sections:
+        # gate|up: fused [d, 2f] wgu (the decode win) vs separate at prefill M
+        wg = quantize_tensor(jax.random.normal(ks[0], (d, f), jnp.bfloat16) * 0.02)
+        wu = quantize_tensor(jax.random.normal(ks[1], (d, f), jnp.bfloat16) * 0.02)
+        wgu = {"q": jnp.concatenate([wg["q"], wu["q"]], axis=1),
+               "s": jnp.concatenate([wg["s"], wu["s"]], axis=1)}
+        flop_gu = 2.0 * m * d * 2 * f
+
+        for name, body in (
+            ("gu_separate", lambda x: (matmul_w8a8(x, wg), matmul_w8a8(x, wu))),
+            ("gu_fused", lambda x: matmul_w8a8(x, wgu)),
+        ):
+            st, sec = retry_call(lambda b=body: slope(chain(b), x_d),
+                                 label=f"gu/{name}")
+            if st == "ok":
+                record("gu", name, sec, flop_gu)
 
     with open("BENCH_W8A8_TAIL.json") as fp:
         final = json.load(fp)

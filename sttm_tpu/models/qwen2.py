@@ -240,18 +240,100 @@ def mlp_block(lp: dict, h: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
     return _mat(mlp_act(_mat(h, lp["wg"], aq), cfg) * _mat(h, lp["wu"], aq), lp["wd"], aq)
 
 
+def _qkv_proj_pre(lp: dict, hq, hs, cfg: DecoderConfig):
+    """qkv_proj over a pre-quantized (int8 codes, f32 scales) input: the
+    three projections share ONE activation-quantize pass (the fused
+    rmsnorm_quantize_rows producer) instead of re-quantizing per matmul.
+    Isolated GEMMs measured 73.8% -> 93.4% of int8 peak at M=12800
+    (BENCH_W8A8_TAIL.json qo)."""
+    from .quant import matmul_w8a8_pre
+
+    b, s, _ = hq.shape
+    nq = cfg.num_heads * cfg.head_dim
+    nkv = cfg.num_kv_heads * cfg.head_dim
+    if "wqkv" in lp:
+        qkv = matmul_w8a8_pre(hq, hs, lp["wqkv"], out_dtype=cfg.dtype)
+        if "bqkv" in lp:
+            qkv = qkv + lp["bqkv"]
+        q = qkv[..., :nq]
+        k = qkv[..., nq : nq + nkv]
+        v = qkv[..., nq + nkv :]
+    else:
+        q = matmul_w8a8_pre(hq, hs, lp["wq"], out_dtype=cfg.dtype)
+        k = matmul_w8a8_pre(hq, hs, lp["wk"], out_dtype=cfg.dtype)
+        v = matmul_w8a8_pre(hq, hs, lp["wv"], out_dtype=cfg.dtype)
+        if "bq" in lp:
+            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+    return (
+        q.reshape(b, s, cfg.num_heads, cfg.head_dim),
+        k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
+        v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
+    )
+
+
+def _mlp_block_pre(lp: dict, hq, hs, cfg: DecoderConfig) -> jnp.ndarray:
+    """Dense SwiGLU MLP over a pre-quantized input, with the act+quantize
+    producer fused (ops.kernels.swiglu_quantize_rows: the two-op path
+    writes + re-reads a bf16 [M, 18944] intermediate) and the skinny-N
+    down_proj contracted in 4 int32-exact K chunks (83.4% -> 89.2% of
+    int8 peak, BENCH_W8A8_TAIL.json down)."""
+    from ..ops.kernels import swiglu_quantize_rows
+    from .quant import matmul_w8a8_pre
+
+    if "wgu" in lp:
+        gu = matmul_w8a8_pre(hq, hs, lp["wgu"], out_dtype=cfg.dtype)
+        i = gu.shape[-1] // 2
+        gate, up = gu[..., :i], gu[..., i:]
+    else:
+        gate = matmul_w8a8_pre(hq, hs, lp["wg"], out_dtype=cfg.dtype)
+        up = matmul_w8a8_pre(hq, hs, lp["wu"], out_dtype=cfg.dtype)
+    dq, ds = swiglu_quantize_rows(gate, up, act=cfg.hidden_act)
+    f = gate.shape[-1]
+    k_splits = 4 if (f >= 8192 and f % 512 == 0) else 1
+    return matmul_w8a8_pre(dq, ds, lp["wd"], k_splits=k_splits,
+                           out_dtype=cfg.dtype)
+
+
+def _use_fused_quant(lp: dict, cfg: DecoderConfig) -> bool:
+    """The ``act_quant == "fused"`` prefill path applies when the layer is
+    a dense int8-quantized decoder layer (MoE layers keep the dispatching
+    mlp_block; bf16 weights keep the bf16 matmuls)."""
+    wq = lp["wq"] if "wq" in lp else lp.get("wqkv")
+    wd = lp.get("wd")
+    return (cfg.act_quant == "fused" and "router" not in lp
+            and is_quantized(wq) and is_quantized(wd))
+
+
 def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend, return_q: bool = False):
-    """One decoder layer; ``attend(q, k, v) -> o`` supplied by the caller."""
+    """One decoder layer; ``attend(q, k, v) -> o`` supplied by the caller.
+
+    cfg.act_quant == "fused" selects the w8a8 prefill fast path: fused
+    RMSNorm+quantize producers (one HBM pass), one shared activation-
+    quantize per projection group, and the K-split down_proj — measured
+    levers from BENCH_W8A8_TAIL.json. Decode paths are untouched: at M=1
+    XLA already streams GEMVs at ~90% of HBM peak (CLAUDE.md) and the
+    kernels' tiling predicates exclude single-row shapes anyway."""
     b, s, d = x.shape
-    h = rms_norm(x, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
-    q, k, v = qkv_proj(lp, h, cfg)
+    fused = _use_fused_quant(lp, cfg)
+    if fused:
+        from ..ops.kernels import rmsnorm_quantize_rows
+
+        hq, hs = rmsnorm_quantize_rows(x, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
+        q, k, v = _qkv_proj_pre(lp, hq, hs, cfg)
+    else:
+        h = rms_norm(x, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
+        q, k, v = qkv_proj(lp, h, cfg)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     o = attend(q, k, v)
     aq = cfg.act_quant
     x = x + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
-    h = rms_norm(x, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
-    x = x + mlp_block(lp, h, cfg)
+    if fused:
+        hq, hs = rmsnorm_quantize_rows(x, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
+        x = x + _mlp_block_pre(lp, hq, hs, cfg)
+    else:
+        h = rms_norm(x, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
+        x = x + mlp_block(lp, h, cfg)
     if return_q:
         return x, k, v, q
     return x, k, v

@@ -1,5 +1,6 @@
 """Pallas blocked cosine-similarity kernel (interpreter mode on CPU)."""
 
+import jax
 import numpy as np
 
 import jax.numpy as jnp
@@ -222,3 +223,79 @@ def test_matmul_w8a8_pre_matches_baseline():
     out = matmul_w8a8_pre(xq, xs, w)
     assert np.array_equal(np.asarray(ref, np.float32),
                           np.asarray(out, np.float32))
+
+
+def test_swiglu_quantize_rows_kernel_vs_fallback():
+    """Fused SwiGLU+quantize (interpret mode) vs the two-op reference:
+    codes within the bf16-rounding divergence class, dequantized error
+    inside the int8 bound, scales tight."""
+    from sttm_tpu.models.quant import quantize_act
+    from sttm_tpu.ops.kernels import swiglu_quantize_rows
+
+    rng = np.random.default_rng(4)
+    for act in ("silu", "gelu_tanh"):
+        g = jnp.asarray(rng.normal(size=(64, 256)) * 1.5, jnp.bfloat16)
+        u = jnp.asarray(rng.normal(size=(64, 256)), jnp.bfloat16)
+        if act == "silu":
+            h = jax.nn.silu(g) * u
+        else:
+            h = jax.nn.gelu(g.astype(jnp.float32), approximate=True).astype(
+                jnp.bfloat16) * u
+        q_ref, s_ref = quantize_act(h)
+        q, s = swiglu_quantize_rows(g, u, act=act, force="kernel")
+        diff = np.abs(np.asarray(q, np.int32) - np.asarray(q_ref, np.int32))
+        assert diff.max() <= 3 and (diff > 0).mean() < 0.15, act
+        assert np.allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-2)
+        deq = np.asarray(q, np.float32) * np.asarray(s)
+        deq_ref = np.asarray(q_ref, np.float32) * np.asarray(s_ref)
+        assert np.abs(deq - deq_ref).max() / np.abs(deq_ref).max() < 2.0 / 127
+
+
+def test_matmul_w8a8_pre_ksplit_exact():
+    """K-split contraction is EXACT vs the single int32 dot (integer adds
+    commute); both against matmul_w8a8 on the same quantized input."""
+    from sttm_tpu.models.quant import (
+        matmul_w8a8_pre, quantize_act, quantize_tensor,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(16, 512)), jnp.bfloat16)
+    w = quantize_tensor(jnp.asarray(rng.normal(size=(512, 64)) * 0.05,
+                                    jnp.bfloat16))
+    xq, xs = quantize_act(x)
+    base = np.asarray(matmul_w8a8_pre(xq, xs, w), np.float32)
+    for ks in (2, 4):
+        out = np.asarray(matmul_w8a8_pre(xq, xs, w, k_splits=ks), np.float32)
+        assert np.array_equal(base, out), ks
+
+
+def test_fused_act_quant_prefill_parity():
+    """act_quant='fused' prefill (fused producers + shared prequant +
+    K-split down) vs act_quant=True on the TINY quantized model: logits
+    within the int8-requantization tolerance, argmax tokens mostly equal
+    (CPU fallback paths make the quantize math near-identical)."""
+    import dataclasses
+
+    from sttm_tpu.models import qwen2
+    from sttm_tpu.models.config import TINY
+    from sttm_tpu.models.quant import random_quantized_init
+
+    cfg = dataclasses.replace(TINY, act_quant=True)
+    params = random_quantized_init(cfg, jax.random.key(0), bits=8)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 64, cfg.hidden_size)) * 0.3,
+                    cfg.dtype)
+    cos, sin = qwen2.rope_cos_sin(cfg, jnp.arange(64))
+
+    def run(aq):
+        c = dataclasses.replace(cfg, act_quant=aq)
+        y, k, v = qwen2.prefill_layers(
+            params["layers"], 0, c.num_layers, x, cos, sin, 64, c, "xla")
+        return qwen2.lm_head(params, c, y)
+
+    lg_base = np.asarray(run(True), np.float32)
+    lg_fused = np.asarray(run("fused"), np.float32)
+    scale = np.abs(lg_base).max()
+    assert np.abs(lg_fused - lg_base).max() / scale < 0.05
+    agree = (lg_base.argmax(-1) == lg_fused.argmax(-1)).mean()
+    assert agree > 0.9, agree
