@@ -304,7 +304,8 @@ def _use_fused_quant(lp: dict, cfg: DecoderConfig) -> bool:
             and is_quantized(wq) and is_quantized(wd))
 
 
-def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend, return_q: bool = False):
+def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend,
+                return_q: bool = False, rope_q_in_attend: bool = False):
     """One decoder layer; ``attend(q, k, v) -> o`` supplied by the caller.
 
     cfg.act_quant == "fused" selects the w8a8 prefill fast path: fused
@@ -312,7 +313,13 @@ def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend, return_q: boo
     quantize per projection group, and the K-split down_proj — measured
     levers from BENCH_W8A8_TAIL.json. Decode paths are untouched: at M=1
     XLA already streams GEMVs at ~90% of HBM peak (CLAUDE.md) and the
-    kernels' tiling predicates exclude single-row shapes anyway."""
+    kernels' tiling predicates exclude single-row shapes anyway.
+
+    rope_q_in_attend=True hands attend the UNROPED q (and returns it
+    unroped when return_q): the splash prefill fuses q's rope + sm_scale
+    + GQA transpose into one Pallas pass (ops.attention
+    mha_prefill_rope_q); k is always roped here — it is what the cache
+    stores."""
     b, s, d = x.shape
     fused = _use_fused_quant(lp, cfg)
     if fused:
@@ -323,7 +330,8 @@ def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend, return_q: boo
     else:
         h = rms_norm(x, lp["ln1"], cfg.rms_eps, cfg.rms_offset)
         q, k, v = qkv_proj(lp, h, cfg)
-    q = apply_rope(q, cos, sin)
+    if not rope_q_in_attend:
+        q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     o = attend(q, k, v)
     aq = cfg.act_quant
@@ -371,22 +379,30 @@ def prefill_layers(
             out += (jnp.zeros((0, b, cfg.num_heads, cfg.head_dim), x.dtype),)
         return out
 
-    def attend(q, k, v):
-        if attn_sinks > 0 or attn_window > 0:
-            return mha(
-                q, k, v, kv_valid_len=valid_len, causal=True, impl="xla",
-                attn_sinks=attn_sinks, attn_window=attn_window,
-            )
-        return mha(q, k, v, kv_valid_len=valid_len, causal=True, impl=impl)
+    from ..ops.attention import mha_prefill_rope_q
+
+    def attend(q_unroped, k, v):
+        # q's rope is applied inside (fused with sm_scale + the splash GQA
+        # transpose on the flash path; stock rope + mha elsewhere)
+        return mha_prefill_rope_q(
+            q_unroped, k, v, cos, sin, kv_valid_len=valid_len,
+            impl="xla" if (attn_sinks > 0 or attn_window > 0) else impl,
+            attn_sinks=attn_sinks, attn_window=attn_window)
 
     def step(carry, li):
         lp = _take_layer(layers, li)
-        y, k, v, q = _layer_core(lp, carry, cos, sin, cfg, attend, return_q=True)
+        y, k, v, q = _layer_core(lp, carry, cos, sin, cfg, attend,
+                                 return_q=True, rope_q_in_attend=True)
         ys = (k, v)
         if collect_last_q:
+            # q comes back UNROPED (rope_q_in_attend); rope just the last
+            # valid token's slice — FastV ranks roped-q . roped-k scores
             q_last = jax.lax.dynamic_slice(
                 q, (0, valid_len - 1, 0, 0), (q.shape[0], 1, cfg.num_heads, cfg.head_dim)
-            )[:, 0]
+            )
+            cos_l = jax.lax.dynamic_slice(cos, (valid_len - 1, 0), (1, cfg.head_dim))
+            sin_l = jax.lax.dynamic_slice(sin, (valid_len - 1, 0), (1, cfg.head_dim))
+            q_last = apply_rope(q_last, cos_l, sin_l)[:, 0]
             ys += (q_last,)
         return y, ys
 

@@ -84,7 +84,8 @@ def _pick_block(s: int, prefer: int) -> int:
 
 @functools.partial(jax.named_call, name="splash_mha")
 def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
-                block_q=1280, block_kv=2560, block_kv_compute=256):
+                block_q=1280, block_kv=2560, block_kv_compute=256,
+                q_transposed=False):
     """GQA-native causal flash attention via the splash MQA kernel.
 
     Unlike the stock flash_attention path, K/V are NOT broadcast to all query
@@ -98,7 +99,11 @@ def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
         splash_attention_mask as sm,
     )
 
-    b, sq, hq, hd = q.shape
+    if q_transposed:  # [B, Hkv, G, Sq, hd], already roped + sm_scaled
+        b, hkv_t, g, sq, hd = q.shape
+        hq = hkv_t * g
+    else:
+        b, sq, hq, hd = q.shape
     _, skv, hkv, _ = k.shape
     g = hq // hkv
     mask = sm.MultiHeadMask([sm.CausalMask((sq, skv)) for _ in range(g)])
@@ -116,7 +121,8 @@ def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
     )
     kernel = sk.make_splash_mqa_single_device(mask, block_sizes=bs, interpret=interpret)
 
-    qf = (q * sm_scale).reshape(b, sq, hkv, g, hd).transpose(0, 2, 3, 1, 4)
+    qf = q if q_transposed else (
+        (q * sm_scale).reshape(b, sq, hkv, g, hd).transpose(0, 2, 3, 1, 4))
     kt = k.transpose(0, 2, 1, 3)  # [B, Hkv, Skv, hd]
     vt = v.transpose(0, 2, 1, 3)
     pos_q = jnp.arange(sq, dtype=jnp.int32)[None, :]
@@ -333,3 +339,40 @@ def mha(
             return _flash_mha(q, k, v, kv_valid_len, causal, sm_scale)
         return _splash_mha(q, k, v, kv_valid_len, sm_scale)
     return _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks, attn_window, kv_mask, kv_mask_per_head)
+
+
+def mha_prefill_rope_q(q_unroped, k, v, cos, sin, *, kv_valid_len,
+                       impl: str = "xla", attn_sinks: int = 0,
+                       attn_window: int = 0) -> jnp.ndarray:
+    """Causal prefill attention that applies q's RoPE itself.
+
+    On the splash path, q's rope + sm_scale + GQA transpose run as ONE
+    Pallas pass emitting the kernel's [B, Hkv, G, S, hd] layout
+    (ops.kernels.rope_scale_transpose) — the unfused chain materializes
+    ~500 MB of f32 rope intermediates + a layout copy per layer at the
+    merged headline point (PROFILE_PREFILL.json). k must already be roped
+    (it is what the KV cache stores). Every other configuration applies
+    the stock apply_rope and defers to mha() — identical math."""
+    sm_scale = 1.0 / (q_unroped.shape[-1] ** 0.5)
+    hkv = k.shape[2]
+    sq = q_unroped.shape[1]
+    if impl == "flash" and sq > 1 and not (attn_sinks or attn_window) \
+            and sq % 128 == 0 and k.shape[1] % 128 == 0 and cos.ndim == 2 \
+            and q_unroped.shape[-1] % 128 == 0:
+        from .kernels import rope_scale_transpose
+
+        qf = rope_scale_transpose(q_unroped, cos, sin, hkv, sm_scale)
+        return _splash_mha(qf, k, v, kv_valid_len, sm_scale,
+                           q_transposed=True)
+    # stock rope (models/qwen2.py apply_rope semantics, inlined to avoid a
+    # module cycle), then the standard dispatcher
+    x = q_unroped.astype(jnp.float32)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    if cos.ndim == 3:
+        c, s = cos[:, :, None, :], sin[:, :, None, :]
+    else:
+        c, s = cos[None, :, None, :], sin[None, :, None, :]
+    q = (x * c + rot * s).astype(q_unroped.dtype)
+    return mha(q, k, v, kv_valid_len=kv_valid_len, causal=True, impl=impl,
+               attn_sinks=attn_sinks, attn_window=attn_window)

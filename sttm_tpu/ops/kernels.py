@@ -410,6 +410,85 @@ def swiglu_quantize_rows(gate: jnp.ndarray, up: jnp.ndarray,
     return q, s
 
 
+def _rope_t_kernel(q_ref, c_ref, s_ref, o_ref, *, scale):
+    q = q_ref[0, :, 0, :].astype(jnp.float32)  # [bs, hd]
+    c = c_ref[:]
+    s = s_ref[:]
+    hd2 = q.shape[-1] // 2
+    x1 = q[:, :hd2]
+    x2 = q[:, hd2:]
+    o1 = (x1 * c[:, :hd2] - x2 * s[:, :hd2]) * scale
+    o2 = (x2 * c[:, hd2:] + x1 * s[:, hd2:]) * scale
+    o_ref[0, 0, 0, :, :] = jnp.concatenate([o1, o2], axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("hkv", "bs", "scale", "interpret"))
+def _rope_transpose_pallas(q, cos, sin, hkv, bs, scale, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, sq, h, hd = q.shape
+    g = h // hkv
+    return pl.pallas_call(
+        functools.partial(_rope_t_kernel, scale=scale),
+        grid=(b, h, sq // bs),
+        in_specs=[
+            pl.BlockSpec((1, bs, 1, hd), lambda ib, ih, i: (ib, i, ih, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, hd), lambda ib, ih, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, hd), lambda ib, ih, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, bs, hd), lambda ib, ih, i: (ib, ih // g, ih % g, i, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, sq, hd), q.dtype),
+        interpret=interpret,
+    )(q, cos, sin)
+
+
+def rope_scale_transpose(q: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                         hkv: int, scale: float = 1.0,
+                         force: str | None = None) -> jnp.ndarray:
+    """Fused RoPE + sm_scale + GQA transpose for the splash prefill input:
+    q [B, S, H, hd] -> [B, Hkv, G, S, hd] (the splash MQA kernel layout).
+
+    The unfused chain (apply_rope f32 intermediates -> bf16 write ->
+    layout copy -> scale+transpose fusion) moves ~500 MB per layer at the
+    merged headline point (profiled: fusion.373/copy.594/fusion.374 ~2 ms
+    per layer, PROFILE_PREFILL.json); this kernel reads q once and writes
+    the transposed roped block once (~180 MB). Math in f32; rotation
+    follows models/qwen2.py apply_rope (rotate-half convention). Falls
+    back to the exact unfused ops off-TPU / non-tiling shapes; cos/sin
+    must be [S, hd] (prefill tables — batched per-row decode tables use
+    the XLA path)."""
+    b, sq, h, hd = q.shape
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    bs = None
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if sq % cand == 0:
+            bs = cand
+            break
+    use_kernel = force == "kernel" or (
+        force is None and on_tpu and cos.ndim == 2 and bs is not None
+        and hd % 128 == 0 and h % hkv == 0
+    )
+    if use_kernel and bs is not None:
+        return _rope_transpose_pallas(
+            q, cos.astype(jnp.float32), sin.astype(jnp.float32),
+            hkv, bs, float(scale), interpret=not on_tpu)
+    # exact fallback: apply_rope convention (models/qwen2.py)
+    x = q.astype(jnp.float32)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out = ((x * c + rot * s) * scale).astype(q.dtype)
+    g = h // hkv
+    return out.reshape(b, sq, hkv, g, hd).transpose(0, 2, 3, 1, 4)
+
+
 def quantize_rows(x: jnp.ndarray, force: str | None = None):
     """Per-row symmetric int8 quantization: [..., K] -> (int8 [..., K],
     f32 scales [..., 1]). Pallas on TPU when the shape tiles (rows % 32 == 0,

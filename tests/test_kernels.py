@@ -299,3 +299,28 @@ def test_fused_act_quant_prefill_parity():
     assert np.abs(lg_fused - lg_base).max() / scale < 0.05
     agree = (lg_base.argmax(-1) == lg_fused.argmax(-1)).mean()
     assert agree > 0.9, agree
+
+
+def test_rope_scale_transpose_parity():
+    """Fused rope+scale+GQA-transpose (interpret mode) vs the stock
+    apply_rope -> reshape -> transpose chain: same values, both layouts."""
+    from sttm_tpu.models.qwen2 import apply_rope
+    from sttm_tpu.ops.kernels import rope_scale_transpose
+
+    rng = np.random.default_rng(7)
+    b, s, h, hkv, hd = 2, 64, 8, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, s, h, hd)), jnp.bfloat16)
+    ang = rng.normal(size=(s, hd // 2))
+    cos = jnp.asarray(np.cos(np.concatenate([ang, ang], -1)), jnp.float32)
+    sin = jnp.asarray(np.sin(np.concatenate([ang, ang], -1)), jnp.float32)
+    scale = hd ** -0.5
+    ref = (apply_rope(q, cos, sin) * scale).reshape(
+        b, s, hkv, h // hkv, hd).transpose(0, 2, 3, 1, 4)
+    got = rope_scale_transpose(q, cos, sin, hkv, scale, force="kernel")
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    got_xla = rope_scale_transpose(q, cos, sin, hkv, scale, force="xla")
+    np.testing.assert_allclose(np.asarray(got_xla, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
