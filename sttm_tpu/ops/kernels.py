@@ -410,16 +410,22 @@ def swiglu_quantize_rows(gate: jnp.ndarray, up: jnp.ndarray,
     return q, s
 
 
-def _rope_t_kernel(q_ref, c_ref, s_ref, o_ref, *, scale):
-    q = q_ref[0, :, 0, :].astype(jnp.float32)  # [bs, hd]
-    c = c_ref[:]
-    s = s_ref[:]
-    hd2 = q.shape[-1] // 2
-    x1 = q[:, :hd2]
-    x2 = q[:, hd2:]
-    o1 = (x1 * c[:, :hd2] - x2 * s[:, :hd2]) * scale
-    o2 = (x2 * c[:, hd2:] + x1 * s[:, hd2:]) * scale
-    o_ref[0, 0, 0, :, :] = jnp.concatenate([o1, o2], axis=-1).astype(o_ref.dtype)
+def _rope_t_kernel(q_ref, c_ref, s_ref, o_ref, *, scale, hkv):
+    x = q_ref[0].astype(jnp.float32)  # [bs, H, hd]
+    c = c_ref[:][:, None, :]  # [bs, 1, hd]
+    s = s_ref[:][:, None, :]
+    hd = x.shape[-1]
+    hd2 = hd // 2
+    x1 = x[..., :hd2]
+    x2 = x[..., hd2:]
+    o1 = (x1 * c[..., :hd2] - x2 * s[..., :hd2]) * scale
+    o2 = (x2 * c[..., hd2:] + x1 * s[..., hd2:]) * scale
+    out = jnp.concatenate([o1, o2], axis=-1)  # [bs, H, hd]
+    bs, h, _ = out.shape
+    # [bs, H, hd] -> [Hkv, G, bs, hd]: lane dim (hd) untouched, so this is
+    # a sublane-only rearrangement Mosaic handles in-register
+    out = out.transpose(1, 0, 2).reshape(hkv, h // hkv, bs, hd)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("hkv", "bs", "scale", "interpret"))
@@ -430,18 +436,18 @@ def _rope_transpose_pallas(q, cos, sin, hkv, bs, scale, interpret=False):
     b, sq, h, hd = q.shape
     g = h // hkv
     return pl.pallas_call(
-        functools.partial(_rope_t_kernel, scale=scale),
-        grid=(b, h, sq // bs),
+        functools.partial(_rope_t_kernel, scale=scale, hkv=hkv),
+        grid=(b, sq // bs),
         in_specs=[
-            pl.BlockSpec((1, bs, 1, hd), lambda ib, ih, i: (ib, i, ih, 0),
+            pl.BlockSpec((1, bs, h, hd), lambda ib, i: (ib, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, hd), lambda ib, ih, i: (i, 0),
+            pl.BlockSpec((bs, hd), lambda ib, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, hd), lambda ib, ih, i: (i, 0),
+            pl.BlockSpec((bs, hd), lambda ib, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, bs, hd), lambda ib, ih, i: (ib, ih // g, ih % g, i, 0),
+            (1, hkv, g, bs, hd), lambda ib, i: (ib, 0, 0, i, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, sq, hd), q.dtype),
         interpret=interpret,
@@ -466,7 +472,7 @@ def rope_scale_transpose(q: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     b, sq, h, hd = q.shape
     on_tpu = jax.default_backend() in ("tpu", "axon")
     bs = None
-    for cand in (512, 256, 128, 64, 32, 16, 8):
+    for cand in (256, 128, 64, 32, 16, 8):  # 256 keeps f32 temps < ~8 MB VMEM
         if sq % cand == 0:
             bs = cand
             break
