@@ -4,9 +4,11 @@ The training stack (train/sft.py — capability parity with the reference's
 llava/train/train.py, which STTM itself never runs) had CPU-only evidence;
 this bench puts a number on it: one adamw step (fwd + bwd + update) over
 the Qwen2 trunk at exact 7B width (D=3584, F=18944, 28q/4kv heads) with
-``--layers`` layers (default 4 — params + grads + both adam moments in
-bf16 are ~2.3 GB per 7B-width layer, so 4 layers + the 32k-vocab
-embed/lm_head stack ≈ 9.3 GB of optimizer state on one 15.75 GB v5e).
+``--layers`` layers. Default 3: XLA's compile-time memory analysis of the
+donated step chain puts the 4-layer point at 7.0 GB aliased state + 7.9 GB
+temp (grads + fresh adam moments before they alias) = 14.9 GB peak, which
+RESOURCE_EXHAUSTs at runtime on a 15.75 GB v5e; 3 layers peaks ~11.9 GB.
+The per-chip memory analysis is recorded in the output either way.
 
 Timing is slope-based over a scan-chained step loop (params/opt_state as
 the scan carry, donated), so the ~27 ms axon dispatch RTT cancels
@@ -50,7 +52,7 @@ def param_flop_count(cfg, tokens: int) -> tuple[float, float]:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
-    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--seq", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--no_remat", action="store_true")
@@ -129,6 +131,20 @@ def main():
         # two chain lengths; the slope cancels dispatch RTT + fetch
         lo, hi = 2, 6
         f_lo, f_hi = chain(lo), chain(hi)
+
+        # compile-time memory analysis (runs through the remote-compile
+        # tunnel without executing): documents why 4 layers OOMs — peak =
+        # aliased donated state + temp (grads + fresh adam moments).
+        try:
+            ma = f_lo.lower(params, opt_state).compile().memory_analysis()
+            results["memory_analysis_gb"] = {
+                "aliased_state": round(ma.alias_size_in_bytes / 1e9, 2),
+                "temp": round(ma.temp_size_in_bytes / 1e9, 2),
+                "peak": round((ma.alias_size_in_bytes
+                               + ma.temp_size_in_bytes) / 1e9, 2),
+            }
+        except Exception as e:  # pragma: no cover - informational only
+            results["memory_analysis_gb"] = {"error": str(e)[:200]}
 
         def timed(f, n, reps=3):
             ts = []

@@ -103,6 +103,13 @@ def main():
                 print(f"S={s} {key}: {dt*1e3:.1f} ms  MFU {mfu:.3f}",
                       flush=True)
             else:
+                if st == "transport" and out.get("attempts", 0) >= 4:
+                    # every retry landed on a different compile endpoint and
+                    # all returned "tpu_compile_helper subprocess exit code
+                    # 1" — that is the Mosaic compiler rejecting the config
+                    # deterministically (block shapes oversubscribe VMEM at
+                    # this combo), not a transient service failure.
+                    out["error_kind"] = "compile_failure_deterministic"
                 grid[key] = out
                 print(f"S={s} {key}: terminal {st}", flush=True)
             merge_json("BENCH_SPLASH_SWEEP.json", {str(s): {key: grid[key]}})
