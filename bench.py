@@ -211,7 +211,7 @@ def main():
     ap.add_argument("--vocab", type=int, default=32768)
     ap.add_argument("--quant",
                     choices=["none", "int8", "int8w8a", "int8w8a_fused", "int4"],
-                    default="int8w8a",
+                    default="int8w8a_fused",
                     help="default int8w8a: int8 weights (fits the FULL 28-layer 7B "
                          "on one chip) + dynamic per-token activation quant running "
                          "matmuls on the int8 MXU (2x bf16 peak). int8 = weight-only; "

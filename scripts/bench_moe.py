@@ -216,8 +216,12 @@ def main():
               flush=True)
 
     out = args.out or ("BENCH_MOE_TINY.json" if args.tiny else "BENCH_MOE.json")
-    with open(out, "w") as fp:
-        json.dump(results, fp, indent=2)
+    # deep-merge so each --modes leg can run in its own process (the E=60
+    # compiles have wedged the tunnel before — isolate per mode) and still
+    # accumulate into one artifact.
+    from chiputil import merge_json
+
+    merge_json(out, results)
     print(json.dumps(results, default=str)[:400], flush=True)
 
 

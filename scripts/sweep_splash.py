@@ -72,13 +72,22 @@ def main():
             (1280, 1280, 256), (2560, 2560, 256), (2560, 2560, 512),
             (1280, 3200, 256), (640, 2560, 256), (1280, 6400, 256),
             (3200, 3200, 256), (1280, 12800, 256), (2560, 6400, 256),
+            # round 4: combos satisfying bkv % bkc == 0 that the first grid
+            # skipped, plus q-major shapes the 2560-kv failures leave open
+            (2560, 1280, 256), (3200, 1280, 256),
+            (1280, 3200, 640), (3200, 3200, 640), (640, 1280, 256),
         ]
         for bq, bkv, bkc in combos:
             if s % bq or s % bkv or bkv % bkc:
                 continue
             key = f"{bq}/{bkv}/{bkc}"
             prev = prior.get(str(s), {}).get(key)
-            if args.only_errors and prev is not None and "ms" in prev:
+            if args.only_errors and prev is not None and (
+                    "ms" in prev
+                    or prev.get("error_kind") == "compile_failure_deterministic"):
+                # keep measured numbers AND known-deterministic Mosaic
+                # rejections (re-running those burns ~10 min of retries to
+                # reproduce the same exit-1)
                 grid[key] = prev
                 continue
 
