@@ -43,6 +43,13 @@ class DecoderConfig:
     # quantizes activations with the single-pass Pallas kernel
     # (ops/kernels.py quantize_rows) instead of XLA's two-pass lowering.
     act_quant: bool | str = False
+    # K-chunk count for the fused-path down_proj GEMM (int32-exact
+    # accumulation; models/quant.py matmul_w8a8_pre). 0 = auto heuristic.
+    # A/B-able because the isolated GEMM win (83.4% -> 89.2% of int8 peak,
+    # BENCH_W8A8_TAIL.json) materializes an s32 intermediate that blocks
+    # XLA's dequant epilogue fusion whole-model (PROFILE_PREFILL.json
+    # fusion.389); 1 disables splitting.
+    down_k_splits: int = 0
     # Architectural sliding-window attention (Mistral family): every query
     # attends only to the last ``sliding_window`` positions. 0 = dense. The
     # reference carries a llava_mistral shim (llava/model/language_model/

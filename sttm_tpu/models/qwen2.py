@@ -289,7 +289,7 @@ def _mlp_block_pre(lp: dict, hq, hs, cfg: DecoderConfig) -> jnp.ndarray:
         up = matmul_w8a8_pre(hq, hs, lp["wu"], out_dtype=cfg.dtype)
     dq, ds = swiglu_quantize_rows(gate, up, act=cfg.hidden_act)
     f = gate.shape[-1]
-    k_splits = 4 if (f >= 8192 and f % 512 == 0) else 1
+    k_splits = cfg.down_k_splits or (4 if (f >= 8192 and f % 512 == 0) else 1)
     return matmul_w8a8_pre(dq, ds, lp["wd"], k_splits=k_splits,
                            out_dtype=cfg.dtype)
 
