@@ -206,7 +206,9 @@ def _quant_kernel(x_ref, q_ref, s_ref):
     x = x_ref[:].astype(jnp.float32)
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     s = jnp.maximum(amax, 1e-8) / 127.0
-    q_ref[:] = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    # one reciprocal per ROW, then a per-element multiply: VPU divides are
+    # many-cycle, and these kernels are VPU-bound, not bandwidth-bound
+    q_ref[:] = jnp.clip(jnp.round(x * (1.0 / s)), -127, 127).astype(jnp.int8)
     s_ref[:] = s
 
 
@@ -254,7 +256,7 @@ def _rmsq_kernel(x_ref, g_ref, q_ref, s_ref, *, eps, offset):
     h = x * jax.lax.rsqrt(var + eps) * g
     amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
     s = jnp.maximum(amax, 1e-8) / 127.0
-    q_ref[:] = jnp.clip(jnp.round(h / s), -127, 127).astype(jnp.int8)
+    q_ref[:] = jnp.clip(jnp.round(h * (1.0 / s)), -127, 127).astype(jnp.int8)
     s_ref[:] = s
 
 
@@ -338,7 +340,7 @@ def _swigluq_kernel(g_ref, u_ref, q_ref, s_ref, *, act):
         raise ValueError(act)
     amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
     s = jnp.maximum(amax, 1e-8) / 127.0
-    q_ref[:] = jnp.clip(jnp.round(h / s), -127, 127).astype(jnp.int8)
+    q_ref[:] = jnp.clip(jnp.round(h * (1.0 / s)), -127, 127).astype(jnp.int8)
     s_ref[:] = s
 
 
