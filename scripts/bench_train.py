@@ -56,6 +56,12 @@ def main():
     ap.add_argument("--seq", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--no_remat", action="store_true")
+    ap.add_argument(
+        "--remat_mode", choices=["full", "dots", "none"], default="full",
+        help="full: per-layer jax.checkpoint (backward re-runs the whole "
+             "forward); dots: dots_with_no_batch_dims_saveable (GEMM "
+             "outputs saved, only elementwise+attention recomputed — "
+             "~0.4 GB/layer more HBM); none: no remat")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -74,7 +80,8 @@ def main():
     from sttm_tpu.models import config as mcfg, qwen2
     from sttm_tpu.train.sft import IGNORE_INDEX, make_train_step
 
-    remat = not args.no_remat
+    mode = "none" if args.no_remat else args.remat_mode
+    remat = {"full": True, "dots": "dots", "none": False}[mode]
     if args.tiny:
         cfg = mcfg.TINY
         b, s = 2, 64
@@ -117,7 +124,7 @@ def main():
     results = {
         "config": {"layers": cfg.num_layers, "hidden": cfg.hidden_size,
                    "vocab": cfg.vocab_size, "batch": b, "seq": s,
-                   "remat": remat, "dtype": "bf16"},
+                   "remat": mode, "dtype": "bf16"},
     }
 
     if args.tiny:
@@ -173,8 +180,14 @@ def main():
 
             gemm_train, attn_fwd = param_flop_count(cfg, tokens)
             model_flop = gemm_train + 3.0 * attn_fwd
-            hw_flop = model_flop + (2.0 / 6.0) * gemm_train + attn_fwd if remat \
-                else model_flop
+            # recompute FLOPs by mode: full re-runs the forward (2PT GEMMs
+            # + attention); dots saves GEMM outputs so only attention
+            # recomputes; none recomputes nothing
+            hw_flop = model_flop
+            if mode == "full":
+                hw_flop += (2.0 / 6.0) * gemm_train + attn_fwd
+            elif mode == "dots":
+                hw_flop += attn_fwd
             results.update({
                 "ms_per_step": round(sec * 1e3, 2),
                 "tokens_per_s": round(tokens / sec, 1),
@@ -187,6 +200,16 @@ def main():
                   f"mfu_hw={results['mfu_hw']:.3f}", flush=True)
         out = "BENCH_TRAIN.json"
 
+    if not args.tiny and mode != "full":
+        # non-default remat modes merge under a per-mode key so the
+        # headline full-remat record survives
+        try:
+            with open(out) as fp:
+                merged = json.load(fp)
+        except (OSError, json.JSONDecodeError):
+            merged = {}
+        merged[f"remat_{mode}"] = results
+        results = merged
     with open(out, "w") as fp:
         json.dump(results, fp, indent=2)
     print(json.dumps(results)[:300], flush=True)

@@ -347,6 +347,25 @@ def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend,
     return x, k, v
 
 
+def _remat_policy(remat):
+    """Map the ``remat`` argument to a jax.checkpoint policy.
+
+    - True: full per-layer remat (save only layer boundaries; the backward
+      re-runs the whole forward — cheapest memory, most recompute FLOPs).
+    - "dots": ``dots_with_no_batch_dims_saveable`` — save every projection
+      GEMM output (qkv/o/gate/up/down; ~0.4 GB/layer bf16 at B=1 S=4096
+      7B width) so the backward recomputes only elementwise ops and
+      attention (whose QK^T/PV einsums carry batch dims and stay
+      rematerialized — saving [B, H, S, S] scores would dwarf HBM).
+      Trades ~1.2 GB at L=3 for skipping the 2PT GEMM recompute.
+    """
+    if remat is True:
+        return None
+    if remat == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat mode: {remat!r} (True or 'dots')")
+
+
 def prefill_layers(
     layers: dict,
     lo: int,
@@ -407,7 +426,7 @@ def prefill_layers(
         return y, ys
 
     if remat:
-        step = jax.checkpoint(step)
+        step = jax.checkpoint(step, policy=_remat_policy(remat))
     x, ys = jax.lax.scan(step, x, jnp.arange(lo, hi, dtype=jnp.int32))
     return (x,) + tuple(ys)
 

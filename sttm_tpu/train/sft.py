@@ -40,7 +40,8 @@ def masked_ce(logits, labels):
     return total / count
 
 
-def loss_fn(params, cfg: DecoderConfig, input_ids, labels, remat: bool = False):
+def loss_fn(params, cfg: DecoderConfig, input_ids, labels,
+            remat: bool | str = False):
     """Mean next-token CE over non-ignored labels.
 
     input_ids/labels: [B, S] int32; labels already shifted HF-style
@@ -59,7 +60,7 @@ def loss_fn(params, cfg: DecoderConfig, input_ids, labels, remat: bool = False):
 
 
 def mm_forward(params, lcfg, input_ids, video_feats, video_start, has_video,
-               remat: bool = False, tower_cfg=None, pixels=None,
+               remat: bool | str = False, tower_cfg=None, pixels=None,
                image_feats=None, image_starts=None, image_mask=None):
     """Multimodal training forward: vision features -> mm_projector ->
     (videos: 2D pool + newline policy) -> splice into the text embeddings at
@@ -146,7 +147,7 @@ def mm_forward(params, lcfg, input_ids, video_feats, video_start, has_video,
     return qwen2.lm_head(lm, cfg, h)
 
 
-def mm_loss_fn(params, lcfg, batch, remat: bool = False, tower_cfg=None):
+def mm_loss_fn(params, lcfg, batch, remat: bool | str = False, tower_cfg=None):
     """Multimodal CE loss over a ``dataset.mm_collate`` batch dict."""
     logits = mm_forward(
         params, lcfg, batch["input_ids"], batch.get("video_feats"),
@@ -158,7 +159,7 @@ def mm_loss_fn(params, lcfg, batch, remat: bool = False, tower_cfg=None):
     return masked_ce(logits, batch["labels"])
 
 
-def make_mm_train_step(lcfg, tx, remat: bool = False, tower_cfg=None):
+def make_mm_train_step(lcfg, tx, remat: bool | str = False, tower_cfg=None):
     """(params, opt_state, batch) -> (params, opt_state, loss) over the
     multimodal forward; params = {"lm", "mm"[, "tower"]}."""
 
@@ -193,10 +194,14 @@ def init_train_state(params, learning_rate: float = 1e-5, weight_decay: float = 
     return tx, tx.init(params)
 
 
-def make_train_step(cfg: DecoderConfig, tx, remat: bool = False):
+def make_train_step(cfg: DecoderConfig, tx, remat: bool | str = False):
     """Returns a jittable (params, opt_state, input_ids, labels) ->
     (params, opt_state, loss) step. Callers jit it with shardings
-    (see parallel/sharding.py and __graft_entry__.dryrun_multichip)."""
+    (see parallel/sharding.py and __graft_entry__.dryrun_multichip).
+
+    remat: False | True (full per-layer checkpoint) | "dots" (save GEMM
+    outputs, recompute only elementwise+attention — models/qwen2.py
+    ``_remat_policy``; measured in BENCH_TRAIN.json remat_dots)."""
 
     def step(params, opt_state, input_ids, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, cfg, input_ids, labels, remat)

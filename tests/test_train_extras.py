@@ -108,3 +108,27 @@ def test_iterative_sft_trainer():
     assert np.isfinite(l)
     with pytest.raises(ValueError, match="input_ids or texts"):
         tr.step()
+
+
+def test_remat_modes_equivalent():
+    """remat=False / True / "dots" are the same math: identical loss and
+    (up to fp tolerance) identical grads — "dots" saves the projection GEMM
+    outputs (dots_with_no_batch_dims_saveable) instead of recomputing them
+    in the backward (models/qwen2.py:_remat_policy)."""
+    from sttm_tpu.train.sft import loss_fn
+
+    params = qwen2.init_params(TINY, jax.random.key(3))
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, TINY.vocab_size, (2, 48)), jnp.int32)
+
+    vals, grads = {}, {}
+    for mode in (False, True, "dots"):
+        v, g = jax.value_and_grad(loss_fn)(params, TINY, ids, ids, mode)
+        vals[mode], grads[mode] = float(v), g
+    assert vals[True] == vals[False] == vals["dots"]
+    for mode in (True, "dots"):
+        diffs = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                      - np.asarray(b, np.float32)).max()),
+            grads[False], grads[mode])
+        assert max(jax.tree.leaves(diffs)) < 1e-5, (mode, diffs)
