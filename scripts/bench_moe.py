@@ -47,6 +47,12 @@ def main():
                          "lowering compiles for tens of minutes through the "
                          "remote tunnel and has wedged it)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--experts", type=int, default=None,
+                    help="override num_experts: the full E=60 geometry's "
+                         "compiles have repeatedly killed the remote-compile "
+                         "transport (broken pipe after ~30 min); a smaller E "
+                         "at the same d/fe/k measures the dispatch-tier "
+                         "ordering on hardware at a geometry that compiles")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -66,6 +72,10 @@ def main():
     from sttm_tpu.ops.gmm import gmm, grouped_layout
 
     cfg = mcfg.TINY_MOE if args.tiny else mcfg.QWEN15_MOE_A27B
+    if args.experts:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, num_experts=args.experts)
     n = 64 if args.tiny else args.tokens
     d, e, k, fe = (cfg.hidden_size, cfg.num_experts,
                    cfg.num_experts_per_tok, cfg.moe_intermediate_size)
