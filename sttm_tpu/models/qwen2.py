@@ -276,7 +276,10 @@ def _mlp_block_pre(lp: dict, hq, hs, cfg: DecoderConfig) -> jnp.ndarray:
     producer fused (ops.kernels.swiglu_quantize_rows: the two-op path
     writes + re-reads a bf16 [M, 18944] intermediate) and the skinny-N
     down_proj contracted in 4 int32-exact K chunks (83.4% -> 89.2% of
-    int8 peak, BENCH_W8A8_TAIL.json down)."""
+    int8 peak isolated, BENCH_W8A8_TAIL.json down; whole-model the win
+    shrinks to ~0.2% — XLA overlaps the down_proj with neighbors —
+    measured BENCH_AB_KSPLIT.json, kept as default since it never
+    regresses)."""
     from ..ops.kernels import swiglu_quantize_rows
     from .quant import matmul_w8a8_pre
 
