@@ -383,20 +383,39 @@ def prefill_layers(
     collect_last_q: bool = False,
     attn_sinks: int = 0,
     attn_window: int = 0,
+    kv_int8: bool = False,
 ):
     """Run layers [lo, hi) at full block width.
 
-    Returns (x, k_all, v_all[, q_last_all]) where k_all/v_all:
-    [hi-lo, B, S, KV, hd] and q_last_all: [hi-lo, B, H, hd] (the roped query
-    of the last valid token per layer; used by FastV's attention ranking).
+    Returns (x, k_all, v_all[, k_scales, v_scales][, q_last_all]) where
+    k_all/v_all: [hi-lo, B, S, KV, hd] and q_last_all: [hi-lo, B, H, hd]
+    (the roped query of the last valid token per layer; used by FastV's
+    attention ranking).
     attn_sinks/attn_window > 0 selects the StreamingLLM A-shape mask (keep
     initial sink tokens + a local window; the reference's streamingllm
     baseline, framefusion/models/qwen2/modeling_qwen2_baseline.py).
+
+    kv_int8=True quantizes each layer's K/V INSIDE the scan step
+    (quantize_kv's per-(position, KV-head) scheme) so only int8 codes +
+    fp32 scales are stacked — the full bf16 K/V stack never exists. This
+    is what makes int8's cache-capacity advantage real on one chip: the
+    post-hoc quantize_kv_cache handoff holds bf16 + int8 copies
+    simultaneously (measured round 4: flat-batch capacity frontier b=5
+    for bf16 AND int8 alike, both b=6 legs device-OOM — the handoff
+    transient, not the steady state, was the cap). Bitwise-identical
+    codes/scales to quantize_kv_cache of the bf16 stack (same per-layer
+    bf16 values quantized by the same function).
     """
     if hi <= lo:
         b, s, _ = x.shape
-        empty = jnp.zeros((0, b, s, cfg.num_kv_heads, cfg.head_dim), x.dtype)
-        out = (x, empty, empty)
+        kvshape = (0, b, s, cfg.num_kv_heads, cfg.head_dim)
+        if kv_int8:
+            empty = jnp.zeros(kvshape, jnp.int8)
+            esc = jnp.zeros(kvshape[:-1], jnp.float32)
+            out = (x, empty, empty, esc, esc)
+        else:
+            empty = jnp.zeros(kvshape, x.dtype)
+            out = (x, empty, empty)
         if collect_last_q:
             out += (jnp.zeros((0, b, cfg.num_heads, cfg.head_dim), x.dtype),)
         return out
@@ -415,7 +434,12 @@ def prefill_layers(
         lp = _take_layer(layers, li)
         y, k, v, q = _layer_core(lp, carry, cos, sin, cfg, attend,
                                  return_q=True, rope_q_in_attend=True)
-        ys = (k, v)
+        if kv_int8:
+            kq, ksc = quantize_kv(k)
+            vq, vsc = quantize_kv(v)
+            ys = (kq, vq, ksc, vsc)
+        else:
+            ys = (k, v)
         if collect_last_q:
             # q comes back UNROPED (rope_q_in_attend); rope just the last
             # valid token's slice — FastV ranks roped-q . roped-k scores

@@ -124,9 +124,10 @@ def generate(
 ):
     """Greedy generation. Returns (token_ids list, runtime dict).
 
-    ``kv_int8`` quantizes the KV cache to int8 with per-(position, head)
-    scales at the prefill->decode handoff (qwen2.quantize_kv_cache); every
-    decoded token is quantized at its write slot. Halves cache HBM and
+    ``kv_int8`` builds the int8 KV cache with per-(position, head) scales
+    DIRECTLY in the prefill scan (build_prefill kv_int8 — the bf16 cache
+    never materializes, so there is no handoff pass and no bf16+int8
+    transient); every decoded token is quantized at its write slot. Halves cache HBM and
     per-step KV read traffic — single-stream decode is weight-read-bound
     so the win there is small, but batched decode reads B caches per
     weight read (generate_batch) and cache HBM caps the flat batch size.
@@ -194,7 +195,8 @@ def generate(
         )
     s_full = embeds.shape[1]
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
-    prefill = build_prefill(cfg, spec_key, s_full, impl, attn_sinks, attn_window)
+    prefill = build_prefill(cfg, spec_key, s_full, impl, attn_sinks, attn_window,
+                            kv_int8=kv_int8)
     if dycoke is not None:
         decode = build_decode_step_dycoke(cfg, spec_key, dycoke)
     else:
@@ -210,15 +212,9 @@ def generate(
     )
     logits.block_until_ready()
     ttft = time.perf_counter() - t0
-    kv_handoff = 0.0
-    if kv_int8:  # one-time cache pass (read bf16, write int8 + scales)
-        t0 = time.perf_counter()
-        cache = qwen2.quantize_kv_cache(cache)
-        # block_until_ready does NOT synchronize over the axon tunnel
-        # (CLAUDE.md); fetch a tiny slice to host to bound the handoff so
-        # its cost doesn't leak into the first decode step's time_decoding.
-        np.asarray(jax.tree.leaves(cache.ks)[0].ravel()[:8])
-        kv_handoff = time.perf_counter() - t0
+    # kv_int8 needs no handoff here: the prefill wrote int8 + scales
+    # directly (the old quantize_kv_cache pass held bf16 + int8 copies
+    # simultaneously — that transient capped flat-batch capacity)
 
     sp = gen.sampling
     sampling_on = sp is not None and not sp.greedy
@@ -345,8 +341,8 @@ def generate(
         "full_len": int(valid_len),
         "budget_overflow": overflow,
     }
-    if kv_int8:  # one-time int8 handoff, outside both timers above
-        runtime["kv_int8_handoff"] = kv_handoff
+    if kv_int8:  # inline quantization: no handoff pass exists anymore
+        runtime["kv_int8_handoff"] = 0.0
     if return_logprobs:
         runtime["logprobs"] = logprobs
     if spec_stats is not None:
@@ -569,7 +565,7 @@ def generate_batch(
     """
     b, s_full, _ = embeds.shape
     spec_key = spec if (spec is None or isinstance(spec, ReducerSpec)) else tuple(spec)
-    prefill = build_prefill(cfg, spec_key, s_full, impl)
+    prefill = build_prefill(cfg, spec_key, s_full, impl, kv_int8=kv_int8)
     chunk = max(1, min(decode_chunk_size, gen.max_new_tokens))
     samp = static_sample_key(gen.sampling)  # None = greedy programs
     speculative = spec_decode_k > 1 and samp is None  # spec verify is greedy
@@ -605,9 +601,8 @@ def generate_batch(
         out = prefill(params, embeds[i : i + 1], vl[i], vs[i], p, pb, tv)
         jax.block_until_ready(out[0])
         logits_rows.append(out[0])
-        ci = out[1]
-        if kv_int8:  # quantize the row before packing (int8 batched buffer)
-            ci = qwen2.quantize_kv_cache(ci)
+        ci = out[1]  # kv_int8: the prefill already wrote int8 + scales —
+        # no per-row quantize pass, so the bf16 row transient is gone too
         if cache is None:
             cache = jax.tree.map(_batched_init, ci)
         cache = insert_row(cache, ci, jnp.int32(i))

@@ -26,6 +26,7 @@ def build_prefill(
     impl: str,
     attn_sinks: int = 0,
     attn_window: int = 0,
+    kv_int8: bool = False,
 ):
     """Jitted prefill: (params, embeds [1, s_full, D], valid_len, video_start,
     position_ids=None) -> (logits [1, V] fp32, KVCache).
@@ -37,6 +38,16 @@ def build_prefill(
     modeling_qwen2_baseline.py:296); the default truncates + recomputes
     (quadtree_attn_monkey_patch.py:114-115). attn_sinks/attn_window select
     the StreamingLLM A-shape attention pattern.
+
+    ``kv_int8=True`` returns the int8 live cache DIRECTLY: each layer's K/V
+    quantizes inside the prefill scan (qwen2.prefill_layers kv_int8), so
+    the full bf16 cache never materializes — the quantize_kv_cache handoff
+    held bf16 + int8 copies simultaneously, and that transient (not the
+    steady state) was what capped the flat batch at the same b=5 as bf16
+    (BENCH_KV_INT8.json round 4). Bitwise-identical codes/scales to the
+    handoff path. Groups that must rank FastV attention scores keep bf16
+    K through the score einsum and quantize after (score-exact; those
+    groups sit below the merge layer and are small).
     """
     specs = _normalize_specs(spec)
     bounds = _group_bounds(cfg, specs)
@@ -55,16 +66,23 @@ def build_prefill(
         valid = valid_len
         vstart = video_start
         overflow = jnp.int32(0)
-        ks, vs, lens = [], [], []
+        ks, vs, lens, kscs, vscs = [], [], [], [], []
 
         for gi, (lo, hi) in enumerate(bounds):
             needs_scores = gi < len(specs) and specs[gi].needs_scores
+            # score-ranking groups keep bf16 K through the FastV einsum and
+            # quantize below — identical codes either way (same bf16 values)
+            g_inline = kv_int8 and not needs_scores
             out = qwen2.prefill_layers(
                 layers, lo, hi, x, cos, sin, valid, cfg, impl,
                 collect_last_q=needs_scores,
                 attn_sinks=attn_sinks, attn_window=attn_window,
+                kv_int8=g_inline,
             )
             x, k_all, v_all = out[0], out[1], out[2]
+            if g_inline:
+                kscs.append(out[3])
+                vscs.append(out[4])
             ks.append(k_all)
             vs.append(v_all)
             lens.append(jnp.asarray(valid, jnp.int32))
@@ -89,6 +107,13 @@ def build_prefill(
                     )
                     probs = jax.nn.softmax(att, axis=-1)
                     scores = probs.reshape(b, cfg.num_heads, s).mean(1)[0]  # [S]
+                if kv_int8 and not g_inline:
+                    # score group: quantize AFTER the bf16 score einsum
+                    # (ranking stays exact vs the handoff path)
+                    ks[-1], ksc_g = qwen2.quantize_kv(ks[-1])
+                    vs[-1], vsc_g = qwen2.quantize_kv(vs[-1])
+                    kscs.append(ksc_g)
+                    vscs.append(vsc_g)
                 rope_maps = (cos, sin) if (sp.pos_emb_ver == 1 and not mrope) else None
                 x, valid, n_kept, src_pos, merged_rope, n_raw = apply_reducer(
                     sp, x, vstart, valid, scores, rope_maps,
@@ -135,6 +160,24 @@ def build_prefill(
             # valid_len; decode must continue from the REAL prompt length)
             pos_base = jnp.asarray(pos_base_override, jnp.int32)
 
+        def with_tail_sc(buf):
+            # decode-tail scales: quantize_kv of a zero row yields
+            # max(0, 1e-8) = 1e-8, so the inline cache matches the
+            # quantize_kv_cache handoff bitwise on the tail too
+            if buf.shape[0] == 0:
+                return buf
+            l, b, s, kv = buf.shape
+            return jnp.concatenate(
+                [buf, jnp.full((l, b, MAX_DECODE, kv), 1e-8, jnp.float32)],
+                axis=2,
+            )
+
+        scale_kw = {}
+        if kv_int8:
+            scale_kw = dict(
+                k_scales=tuple(with_tail_sc(sc) for sc in kscs),
+                v_scales=tuple(with_tail_sc(sc) for sc in vscs),
+            )
         # lens[gi] is the packed valid length group gi ran at (i.e. the
         # validity BEFORE its following reducer) — exactly its cache length
         cache = qwen2.KVCache(
@@ -143,6 +186,7 @@ def build_prefill(
             lens=tuple(lens),
             pos_base=pos_base,
             budget_overflow=overflow if specs else None,
+            **scale_kw,
         )
         return logits, cache
 

@@ -270,3 +270,55 @@ def test_kv_int8_flat_prefix_batch():
         generate_batch_from_prefix(
             params, TINY, cache, sfx, lens, spec, gen, cascade=True,
             kv_int8=True)
+
+
+def test_inline_prefill_matches_handoff_bitwise():
+    """build_prefill(kv_int8=True) quantizes K/V inside the prefill scan;
+    its cache must equal quantize_kv_cache(bf16 prefill cache) BITWISE —
+    same per-layer bf16 values through the same quantize_kv, including the
+    1e-8 decode-tail scales. (The inline form is what makes int8's
+    capacity advantage real: the handoff held bf16 + int8 copies
+    simultaneously — runtime/prefill.py build_prefill docstring.)"""
+    from sttm_tpu.runtime.prefill import build_prefill
+
+    params, emb, valid, vs, spec = _case()
+    for sp in (None, spec):  # no-reducer and quadtree (two cache groups)
+        p_bf = build_prefill(TINY, sp, emb.shape[1], "xla")
+        p_i8 = build_prefill(TINY, sp, emb.shape[1], "xla", kv_int8=True)
+        lg_a, cache_bf = p_bf(params, emb, jnp.int32(valid), jnp.int32(vs))
+        lg_b, cache_i8 = p_i8(params, emb, jnp.int32(valid), jnp.int32(vs))
+        np.testing.assert_array_equal(np.asarray(lg_a), np.asarray(lg_b))
+        handoff = qwen2.quantize_kv_cache(jax.tree.map(jnp.copy, cache_bf))
+        assert cache_i8.k_scales is not None
+        for a, b in zip(cache_i8.ks, handoff.ks):
+            assert a.dtype == jnp.int8
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(cache_i8.vs, handoff.vs):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(cache_i8.k_scales, handoff.k_scales):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(cache_i8.v_scales, handoff.v_scales):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(cache_i8.merged_len) == int(handoff.merged_len)
+
+
+def test_inline_prefill_fastv_scores_exact():
+    """FastV (needs_scores) + inline kv_int8: the score group quantizes
+    AFTER the bf16 score einsum, so the merge decision (and therefore the
+    whole cache) matches the handoff path bitwise."""
+    from sttm_tpu.runtime.prefill import build_prefill
+
+    params, emb, valid, vs, _ = _case()
+    fastv = ReducerSpec(kind="fastv", layer_idx=2, t=4, h=4, w=4,
+                        video_budget=32)
+    p_bf = build_prefill(TINY, fastv, emb.shape[1], "xla")
+    p_i8 = build_prefill(TINY, fastv, emb.shape[1], "xla", kv_int8=True)
+    lg_a, cache_bf = p_bf(params, emb, jnp.int32(valid), jnp.int32(vs))
+    lg_b, cache_i8 = p_i8(params, emb, jnp.int32(valid), jnp.int32(vs))
+    np.testing.assert_array_equal(np.asarray(lg_a), np.asarray(lg_b))
+    handoff = qwen2.quantize_kv_cache(jax.tree.map(jnp.copy, cache_bf))
+    for a, b in zip(cache_i8.ks + cache_i8.vs, handoff.ks + handoff.vs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(cache_i8.k_scales + cache_i8.v_scales,
+                    handoff.k_scales + handoff.v_scales):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
