@@ -62,6 +62,11 @@ def main():
              "forward); dots: dots_with_no_batch_dims_saveable (GEMM "
              "outputs saved, only elementwise+attention recomputed — "
              "~0.4 GB/layer more HBM); none: no remat")
+    ap.add_argument(
+        "--tag", default=None,
+        help="merge this run under BENCH_TRAIN.json[tag] instead of the "
+             "top level / remat_<mode> key — for secondary geometries "
+             "(e.g. a full-vs-dots pair at a seq both modes fit)")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -200,15 +205,15 @@ def main():
                   f"mfu_hw={results['mfu_hw']:.3f}", flush=True)
         out = "BENCH_TRAIN.json"
 
-    if not args.tiny and mode != "full":
-        # non-default remat modes merge under a per-mode key so the
-        # headline full-remat record survives
+    if not args.tiny and (mode != "full" or args.tag):
+        # non-default remat modes / tagged secondary geometries merge under
+        # a key so the headline full-remat record survives
         try:
             with open(out) as fp:
                 merged = json.load(fp)
         except (OSError, json.JSONDecodeError):
             merged = {}
-        merged[f"remat_{mode}"] = results
+        merged[args.tag or f"remat_{mode}"] = results
         results = merged
     with open(out, "w") as fp:
         json.dump(results, fp, indent=2)
