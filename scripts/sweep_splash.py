@@ -77,10 +77,16 @@ def main():
             (2560, 1280, 256), (3200, 1280, 256),
             (1280, 3200, 640), (3200, 3200, 640), (640, 1280, 256),
         ]
-        for bq, bkv, bkc in combos:
+        combos = [(bq, bkv, bkc, "") for bq, bkv, bkc in combos]
+        # round 4: QKV layout axis on the best block combos — SEQ_MINOR
+        # K/V blocks run QK^T / PV with NN dim numbers (no in-kernel
+        # transpose; the XLA-side swap fuses with the producer)
+        for lay in ("kS", "vS", "kvS"):
+            combos += [(1280, 2560, 256, lay), (1280, 1280, 256, lay)]
+        for bq, bkv, bkc, lay in combos:
             if s % bq or s % bkv or bkv % bkc:
                 continue
-            key = f"{bq}/{bkv}/{bkc}"
+            key = f"{bq}/{bkv}/{bkc}" + (f"+{lay}" if lay else "")
             prev = prior.get(str(s), {}).get(key)
             if args.only_errors and prev is not None and (
                     "ms" in prev
@@ -91,10 +97,11 @@ def main():
                 grid[key] = prev
                 continue
 
-            def leg(bq=bq, bkv=bkv, bkc=bkc):
+            def leg(bq=bq, bkv=bkv, bkc=bkc, lay=lay):
                 f = jax.jit(lambda q, k, v, vl: _splash_mha(
                     q, k, v, vl, hd**-0.5,
-                    block_q=bq, block_kv=bkv, block_kv_compute=bkc))
+                    block_q=bq, block_kv=bkv, block_kv_compute=bkc,
+                    k_seq_minor="k" in lay, v_seq_minor="v" in lay))
                 np.asarray(f(q, k, v, vl))[0, 0, 0]  # warm
                 times = []
                 for _ in range(3):

@@ -85,7 +85,7 @@ def _pick_block(s: int, prefer: int) -> int:
 @functools.partial(jax.named_call, name="splash_mha")
 def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
                 block_q=1280, block_kv=2560, block_kv_compute=256,
-                q_transposed=False):
+                q_transposed=False, k_seq_minor=False, v_seq_minor=False):
     """GQA-native causal flash attention via the splash MQA kernel.
 
     Unlike the stock flash_attention path, K/V are NOT broadcast to all query
@@ -118,6 +118,13 @@ def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
         block_q=bq,
         block_kv=bkv,
         block_kv_compute=min(bkc, bkv),
+        # SEQ_MINOR makes the kernel read K/V blocks as [hd, bkv] (QK^T runs
+        # NN dim numbers — no in-kernel transpose); the kernel swaps axes on
+        # the XLA side itself, so callers still pass [Skv, hd].
+        k_layout=sk.QKVLayout.SEQ_MINOR if k_seq_minor
+        else sk.QKVLayout.HEAD_DIM_MINOR,
+        v_layout=sk.QKVLayout.SEQ_MINOR if v_seq_minor
+        else sk.QKVLayout.HEAD_DIM_MINOR,
     )
     kernel = sk.make_splash_mqa_single_device(mask, block_sizes=bs, interpret=interpret)
 

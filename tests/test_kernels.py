@@ -66,6 +66,28 @@ def test_splash_mha_kv_compute_subblock_matches():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
 
 
+def test_splash_mha_seq_minor_layouts_match():
+    """SEQ_MINOR K/V layouts (QK^T / PV with NN dim numbers — no in-kernel
+    transpose) are numerically identical to the default HEAD_DIM_MINOR."""
+    from sttm_tpu.ops.attention import _splash_mha, _xla_mha
+
+    rng = np.random.default_rng(2)
+    b, sq, hq, hkv, hd = 1, 256, 8, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, sq, hq, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, sq, hkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, sq, hkv, hd)), jnp.float32)
+    valid = jnp.int32(200)
+    sm_scale = hd**-0.5
+    ref = _xla_mha(q, k, v, valid, True, 0, sm_scale)
+    for ksm, vsm in ((True, False), (False, True), (True, True)):
+        out = _splash_mha(q, k, v, valid, sm_scale, interpret=True,
+                          block_q=128, block_kv=256, block_kv_compute=128,
+                          k_seq_minor=ksm, v_seq_minor=vsm)
+        np.testing.assert_allclose(
+            np.asarray(out)[:, :200], np.asarray(ref)[:, :200],
+            rtol=2e-3, atol=2e-3)
+
+
 def test_fuse_layer_projections_exact():
     """Fused wqkv/wgu (quant.fuse_layer_projections) must reproduce the
     unfused forward: same columns + same per-output-channel scales, so the
