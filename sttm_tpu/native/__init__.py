@@ -32,8 +32,13 @@ class VDInfo(ctypes.Structure):
 
 
 def _build() -> str | None:
+    # Compile to a per-pid temp path and rename into place: os.rename is
+    # atomic, so concurrent builders (e.g. pytest-xdist workers racing on a
+    # stale .so) each load a COMPLETE library instead of another process's
+    # half-written output.
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC,
+        "g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC,
         "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
     ]
     try:
@@ -41,7 +46,12 @@ def _build() -> str | None:
     except Exception as e:  # g++ missing etc.
         return str(e)
     if proc.returncode != 0:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return proc.stderr[-2000:]
+    os.rename(tmp, _SO)
     return None
 
 
