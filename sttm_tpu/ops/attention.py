@@ -85,7 +85,7 @@ def _pick_block(s: int, prefer: int) -> int:
 @functools.partial(jax.named_call, name="splash_mha")
 def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
                 block_q=1280, block_kv=2560, block_kv_compute=256,
-                q_transposed=False, k_seq_minor=False, v_seq_minor=False):
+                q_transposed=False, k_seq_minor=False, v_seq_minor=None):
     """GQA-native causal flash attention via the splash MQA kernel.
 
     Unlike the stock flash_attention path, K/V are NOT broadcast to all query
@@ -111,6 +111,13 @@ def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
     # compute sub-block measured 34.2 ms vs 41.7 ms for 1024/1024/full —
     # the small kv-compute block keeps the MXU fed while the next 2560-wide
     # K/V block streams in. Fallback: largest candidate dividing the seq.
+    if v_seq_minor is None:
+        # swept on v5e (BENCH_SPLASH_SWEEP.json, round 4): SEQ_MINOR V wins
+        # at the merged length (7.56 vs 8.40 ms, MFU 0.789 vs 0.710 at
+        # 12.8k) but loses at 25.6k (35.0 vs 30.7 ms) — shorter sequences
+        # have proportionally more diagonal/epilogue work, where the NN
+        # PV matmul's missing transpose matters most.
+        v_seq_minor = sq <= 12800
     bq = _pick_block(sq, block_q)
     bkv = _pick_block(skv, block_kv)
     bkc = block_kv_compute if bkv % block_kv_compute == 0 else bkv
