@@ -340,6 +340,12 @@ def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend,
     aq = cfg.act_quant
     x = x + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
     if fused:
+        # NOTE: folding this residual add into the quantize producer
+        # (ops.kernels.residual_rmsnorm_quantize_rows, bit-identical) was
+        # MEASURED NEUTRAL whole-model (merged leg 0.958 -> 0.967 s): the
+        # o-proj dequant that XLA fuses into this add for free must
+        # materialize separately to feed a custom call, cancelling the
+        # saved pass. Kept as the two-op XLA form on purpose.
         hq, hs = rmsnorm_quantize_rows(x, lp["ln2"], cfg.rms_eps, cfg.rms_offset)
         x = x + _mlp_block_pre(lp, hq, hs, cfg)
     else:

@@ -85,7 +85,8 @@ def _pick_block(s: int, prefer: int) -> int:
 @functools.partial(jax.named_call, name="splash_mha")
 def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
                 block_q=1280, block_kv=2560, block_kv_compute=256,
-                q_transposed=False, k_seq_minor=False, v_seq_minor=None):
+                q_transposed=False, k_seq_minor=None, v_seq_minor=None,
+                q_seq_minor=False):
     """GQA-native causal flash attention via the splash MQA kernel.
 
     Unlike the stock flash_attention path, K/V are NOT broadcast to all query
@@ -113,11 +114,16 @@ def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
     # K/V block streams in. Fallback: largest candidate dividing the seq.
     if v_seq_minor is None:
         # swept on v5e (BENCH_SPLASH_SWEEP.json, round 4): SEQ_MINOR V wins
-        # at the merged length (7.56 vs 8.40 ms, MFU 0.789 vs 0.710 at
-        # 12.8k) but loses at 25.6k (35.0 vs 30.7 ms) — shorter sequences
-        # have proportionally more diagonal/epilogue work, where the NN
-        # PV matmul's missing transpose matters most.
+        # at the merged length (7.3-7.6 vs 8.4 ms, MFU ~0.79-0.82 vs 0.710
+        # at 12.8k) but loses at 25.6k (35.0 vs 30.7 ms) — shorter
+        # sequences have proportionally more diagonal/epilogue work, where
+        # the NN PV matmul's missing in-kernel transpose matters most.
+        # K SEQ_MINOR ties vS isolated (7.16 vs 7.25 ms head-to-head) but
+        # measured WORSE in-model (splash 223.4 vs 220.2 ms over 26
+        # layers, whole-model merged 0.967 vs 0.958 s) — kept OFF.
         v_seq_minor = sq <= 12800
+    if k_seq_minor is None:
+        k_seq_minor = False
     bq = _pick_block(sq, block_q)
     bkv = _pick_block(skv, block_kv)
     bkc = block_kv_compute if bkv % block_kv_compute == 0 else bkv
@@ -128,6 +134,8 @@ def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
         # SEQ_MINOR makes the kernel read K/V blocks as [hd, bkv] (QK^T runs
         # NN dim numbers — no in-kernel transpose); the kernel swaps axes on
         # the XLA side itself, so callers still pass [Skv, hd].
+        q_layout=sk.QKVLayout.SEQ_MINOR if q_seq_minor
+        else sk.QKVLayout.HEAD_DIM_MINOR,
         k_layout=sk.QKVLayout.SEQ_MINOR if k_seq_minor
         else sk.QKVLayout.HEAD_DIM_MINOR,
         v_layout=sk.QKVLayout.SEQ_MINOR if v_seq_minor

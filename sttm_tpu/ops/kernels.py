@@ -328,6 +328,93 @@ def rmsnorm_quantize_rows(x: jnp.ndarray, weight: jnp.ndarray, eps: float,
     return q, s
 
 
+def _res_rmsq_kernel(x_ref, d_ref, g_ref, xo_ref, q_ref, s_ref, *, eps, offset):
+    xs = x_ref[:].astype(jnp.float32) + d_ref[:].astype(jnp.float32)
+    xo_ref[:] = xs.astype(xo_ref.dtype)
+    # norm the ROUNDED sum (not the f32 one): bit-identical codes to the
+    # unfused path (XLA bf16 add -> _rmsq_kernel), so swapping the fusion
+    # in cannot shift tokens
+    x = xo_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    if offset:
+        g = g + 1.0
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    h = x * jax.lax.rsqrt(var + eps) * g
+    amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q_ref[:] = jnp.clip(jnp.round(h * (1.0 / s)), -127, 127).astype(jnp.int8)
+    s_ref[:] = s
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "eps", "offset", "interpret"))
+def _res_rmsnorm_quantize_pallas(x, d, g, bs, eps, offset, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, k = x.shape
+    return pl.pallas_call(
+        functools.partial(_res_rmsq_kernel, eps=eps, offset=offset),
+        grid=(n // bs,),
+        in_specs=[
+            pl.BlockSpec((bs, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bs, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k), x.dtype),
+            jax.ShapeDtypeStruct((n, k), jnp.int8),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, d, g.reshape(1, k))
+
+
+def residual_rmsnorm_quantize_rows(x: jnp.ndarray, delta: jnp.ndarray,
+                                   weight: jnp.ndarray, eps: float,
+                                   offset: bool = False,
+                                   force: str | None = None):
+    """Residual add + fused RMSNorm + per-row int8 quantization in ONE HBM
+    pass: (x, delta) [..., K] -> (x+delta [..., K], int8 [..., K],
+    f32 scales [..., 1]).
+
+    MEASURED NEUTRAL whole-model and therefore NOT wired into the fused
+    prefill path (models/qwen2.py keeps the two-op XLA form): the o-proj
+    residual add looked like a slow standalone pass (~216 GB/s,
+    PROFILE_PREFILL.json fusion.375), but that fusion also absorbs the
+    o-GEMM's s32->bf16 dequant for free; feeding this custom call instead
+    forces the dequant to materialize separately (a Pallas call cannot
+    consume its producer in place — the same mechanism as the int4-GEMV
+    finding, CLAUDE.md), cancelling the saved pass (merged prefill leg
+    0.958 -> 0.967 s). Kept because it is bit-identical and useful where
+    the delta is NOT an int-GEMM output. Numerics: the kernel norms the
+    bf16-ROUNDED sum, so codes/scales are bit-identical to the two-op path
+    (tests/test_kernels.py)."""
+    lead, k = x.shape[:-1], x.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    bs = _quant_block_rows(n, k)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_kernel = force == "kernel" or (
+        force is None and on_tpu and bs is not None and k % 128 == 0
+    )
+    if use_kernel and bs is not None and k % 128 == 0:
+        xo, q, s = _res_rmsnorm_quantize_pallas(
+            x.reshape(n, k), delta.reshape(n, k).astype(x.dtype), weight,
+            bs, float(eps), bool(offset), interpret=not on_tpu,
+        )
+        return (xo.reshape(*lead, k), q.reshape(*lead, k),
+                s.reshape(*lead, 1))
+    xo = (x.astype(jnp.float32) + delta.astype(jnp.float32)).astype(x.dtype)
+    q, s = rmsnorm_quantize_rows(xo, weight, eps, offset, force=force)
+    return xo, q, s
+
+
 def _swigluq_kernel(g_ref, u_ref, q_ref, s_ref, *, act):
     g = g_ref[:].astype(jnp.float32)
     u = u_ref[:].astype(jnp.float32)

@@ -88,6 +88,36 @@ def test_splash_mha_seq_minor_layouts_match():
             rtol=2e-3, atol=2e-3)
 
 
+def test_residual_rmsq_bit_identical_to_unfused():
+    """residual_rmsnorm_quantize_rows (one HBM pass for x+delta -> ln ->
+    int8) must be BIT-identical to the two-op production path (bf16 add,
+    then the rmsq kernel on the sum) — the kernel norms the rounded sum on
+    purpose so swapping the fusion in cannot shift tokens."""
+    from sttm_tpu.ops.kernels import (residual_rmsnorm_quantize_rows,
+                                      rmsnorm_quantize_rows)
+
+    rng = np.random.default_rng(3)
+    n, k = 128, 512
+    x = jnp.asarray(rng.normal(size=(1, n, k)), jnp.bfloat16)
+    d = jnp.asarray(rng.normal(size=(1, n, k)) * 0.3, jnp.bfloat16)
+    g = jnp.asarray(rng.normal(size=(k,)) * 0.1 + 1.0, jnp.bfloat16)
+    for offset in (False, True):
+        xo, q, s = residual_rmsnorm_quantize_rows(
+            x, d, g, 1e-6, offset=offset, force="kernel")
+        q_ref, s_ref = rmsnorm_quantize_rows(
+            x + d, g, 1e-6, offset=offset, force="kernel")
+        assert bool(jnp.all(xo == (x + d)))
+        assert bool(jnp.all(q == q_ref))
+        assert bool(jnp.all(s == s_ref))
+    # XLA fallback path agrees within the documented +/-1-code class
+    xo_f, q_f, s_f = residual_rmsnorm_quantize_rows(
+        x, d, g, 1e-6, force="xla")
+    assert bool(jnp.all(xo_f == (x + d)))
+    q_k = residual_rmsnorm_quantize_rows(x, d, g, 1e-6, force="kernel")[1]
+    assert int(jnp.max(jnp.abs(q_f.astype(jnp.int32)
+                               - q_k.astype(jnp.int32)))) <= 1
+
+
 def test_fuse_layer_projections_exact():
     """Fused wqkv/wgu (quant.fuse_layer_projections) must reproduce the
     unfused forward: same columns + same per-output-channel scales, so the
