@@ -63,6 +63,10 @@ def main():
              "outputs saved, only elementwise+attention recomputed — "
              "~0.4 GB/layer more HBM); none: no remat")
     ap.add_argument(
+        "--attn", choices=["xla", "flash_train"], default="xla",
+        help="flash_train: splash-kernel attention with its fused backward "
+             "(no S^2 score buffers fwd or bwd)")
+    ap.add_argument(
         "--tag", default=None,
         help="merge this run under BENCH_TRAIN.json[tag] instead of the "
              "top level / remat_<mode> key — for secondary geometries "
@@ -99,7 +103,7 @@ def main():
     params = qwen2.init_params(cfg, key)
     tx = optax.adamw(1e-4 if args.tiny else 1e-5)
     opt_state = tx.init(params)
-    step = make_train_step(cfg, tx, remat=remat)
+    step = make_train_step(cfg, tx, remat=remat, attn_impl=args.attn)
 
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
@@ -129,7 +133,7 @@ def main():
     results = {
         "config": {"layers": cfg.num_layers, "hidden": cfg.hidden_size,
                    "vocab": cfg.vocab_size, "batch": b, "seq": s,
-                   "remat": mode, "dtype": "bf16"},
+                   "remat": mode, "attn": args.attn, "dtype": "bf16"},
     }
 
     if args.tiny:

@@ -86,7 +86,7 @@ def _pick_block(s: int, prefer: int) -> int:
 def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
                 block_q=1280, block_kv=2560, block_kv_compute=256,
                 q_transposed=False, k_seq_minor=None, v_seq_minor=None,
-                q_seq_minor=False):
+                q_seq_minor=False, bwd_blocks=False):
     """GQA-native causal flash attention via the splash MQA kernel.
 
     Unlike the stock flash_attention path, K/V are NOT broadcast to all query
@@ -127,10 +127,24 @@ def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
     bq = _pick_block(sq, block_q)
     bkv = _pick_block(skv, block_kv)
     bkc = block_kv_compute if bkv % block_kv_compute == 0 else bkv
+    bwd = {}
+    if bwd_blocks:
+        # training path: the kernel's fused backward (dq+dkv in one pass)
+        # needs its own block sizes; without them jax.grad raises "Need to
+        # specify backward blocks".
+        bq_d = _pick_block(sq, min(512, bq))
+        bkv_d = _pick_block(skv, min(1024, bkv))
+        bwd = dict(
+            block_q_dkv=bq_d,
+            block_kv_dkv=bkv_d,
+            block_kv_dkv_compute=bkv_d if bkv_d % 256 else 256,
+            use_fused_bwd_kernel=True,
+        )
     bs = sk.BlockSizes(
         block_q=bq,
         block_kv=bkv,
         block_kv_compute=min(bkc, bkv),
+        **bwd,
         # SEQ_MINOR makes the kernel read K/V blocks as [hd, bkv] (QK^T runs
         # NN dim numbers — no in-kernel transpose); the kernel swaps axes on
         # the XLA side itself, so callers still pass [Skv, hd].
@@ -354,12 +368,15 @@ def mha(
                         k_scale, v_scale)
     # The Pallas kernels need 128-tileable sequence lengths; odd sizes fall
     # back to the (correct, slower) XLA path rather than mis-tiling the tail.
-    if impl in ("flash", "flash_legacy") and q.shape[1] > 1 and causal \
-            and not (attn_sinks or attn_window) and kv_mask is None \
+    if impl in ("flash", "flash_legacy", "flash_train") and q.shape[1] > 1 \
+            and causal and not (attn_sinks or attn_window) and kv_mask is None \
             and q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0:
         if impl == "flash_legacy":  # stock kernel with KV broadcast to q heads
             return _flash_mha(q, k, v, kv_valid_len, causal, sm_scale)
-        return _splash_mha(q, k, v, kv_valid_len, sm_scale)
+        # flash_train: differentiable splash (fused-backward blocks set) for
+        # the training forward — no S^2 score materialization in fwd OR bwd
+        return _splash_mha(q, k, v, kv_valid_len, sm_scale,
+                           bwd_blocks=impl == "flash_train")
     return _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks, attn_window, kv_mask, kv_mask_per_head)
 
 

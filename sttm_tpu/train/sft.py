@@ -41,18 +41,25 @@ def masked_ce(logits, labels):
 
 
 def loss_fn(params, cfg: DecoderConfig, input_ids, labels,
-            remat: bool | str = False):
+            remat: bool | str = False, attn_impl: str = "xla"):
     """Mean next-token CE over non-ignored labels.
 
     input_ids/labels: [B, S] int32; labels already shifted HF-style
     (label[t] supervises logits[t-1]... we shift internally: predict t+1).
+
+    attn_impl="flash_train" runs the forward's attention through the
+    splash kernel with its fused backward (no [B, H, S, S] score
+    materialization in either direction); "xla" is the reference-exact
+    default. Requires S % 128 == 0 on TPU; other shapes fall back to XLA
+    inside the dispatcher.
     """
     x = qwen2.embed_tokens(params, input_ids, cfg)
     b, s, _ = x.shape
     pos = jnp.arange(s, dtype=jnp.int32)
     cos, sin = qwen2.rope_cos_sin(cfg, pos)
     x, _, _ = qwen2.prefill_layers(
-        params["layers"], 0, cfg.num_layers, x, cos, sin, s, cfg, "xla", remat=remat
+        params["layers"], 0, cfg.num_layers, x, cos, sin, s, cfg, attn_impl,
+        remat=remat
     )
     h = qwen2.rms_norm(x, params["norm"], cfg.rms_eps, cfg.rms_offset)
     logits = qwen2.lm_head(params, cfg, h)  # [B, S, V] fp32
@@ -194,17 +201,21 @@ def init_train_state(params, learning_rate: float = 1e-5, weight_decay: float = 
     return tx, tx.init(params)
 
 
-def make_train_step(cfg: DecoderConfig, tx, remat: bool | str = False):
+def make_train_step(cfg: DecoderConfig, tx, remat: bool | str = False,
+                    attn_impl: str = "xla"):
     """Returns a jittable (params, opt_state, input_ids, labels) ->
     (params, opt_state, loss) step. Callers jit it with shardings
     (see parallel/sharding.py and __graft_entry__.dryrun_multichip).
 
     remat: False | True (full per-layer checkpoint) | "dots" (save GEMM
     outputs, recompute only elementwise+attention — models/qwen2.py
-    ``_remat_policy``; measured in BENCH_TRAIN.json remat_dots)."""
+    ``_remat_policy``; measured in BENCH_TRAIN.json remat_dots).
+    attn_impl: "xla" | "flash_train" (splash fwd + fused splash bwd — see
+    loss_fn; measured in BENCH_TRAIN.json attn_flash)."""
 
     def step(params, opt_state, input_ids, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(params, cfg, input_ids, labels, remat)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, cfg, input_ids, labels, remat, attn_impl)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -88,6 +88,35 @@ def test_splash_mha_seq_minor_layouts_match():
             rtol=2e-3, atol=2e-3)
 
 
+def test_splash_mha_fused_backward_matches_xla_grads():
+    """bwd_blocks=True (the flash_train training path) must produce q/k/v
+    gradients matching the XLA attention backward — the kernel's fused
+    dq+dkv backward, no [H, S, S] score buffer in either direction."""
+    from sttm_tpu.ops.attention import _splash_mha, _xla_mha
+
+    rng = np.random.default_rng(4)
+    b, s, hq, hkv, hd = 1, 256, 8, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, s, hq, hd)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, hd)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, hkv, hd)) * 0.3, jnp.float32)
+    vl = jnp.int32(s)
+    sm = hd**-0.5
+
+    def f_splash(q, k, v):
+        o = _splash_mha(q, k, v, vl, sm, interpret=True, block_q=128,
+                        block_kv=128, block_kv_compute=128, bwd_blocks=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def f_xla(q, k, v):
+        return jnp.sum(_xla_mha(q, k, v, vl, True, 0, sm).astype(jnp.float32) ** 2)
+
+    g_s = jax.grad(f_splash, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_s, g_x):
+        err = float(jnp.max(jnp.abs(a - b_)) / (float(jnp.max(jnp.abs(b_))) + 1e-9))
+        assert err < 2e-3, err
+
+
 def test_residual_rmsq_bit_identical_to_unfused():
     """residual_rmsnorm_quantize_rows (one HBM pass for x+delta -> ln ->
     int8) must be BIT-identical to the two-op production path (bf16 add,
