@@ -148,13 +148,27 @@ def main():
                 "speedup_vs_plain": round(
                     (n_tok / rt["time_decoding"]) / plain_tok_s, 2),
             }
-            # cost-model consistency: realized speedup should track
-            # (1 + accepted_per_dispatch) / (dispatch_cost / step_cost)
+            # cost-model consistency (VERDICT r4 weak #6): dispatches run
+            # until the SLOWEST slot finishes (done slots ride along), so
+            # the batch-mean form (1+accepted)/cost under-predicts whenever
+            # per-slot acceptance varies. Predict the dispatch count from
+            # each slot's own accepted-per-active-dispatch trajectory —
+            # slot r needs ~ceil((n_dec-1)/(1+a_r)) dispatches, the batch
+            # needs the max — then speedup = plain_steps/pred_disp / cost.
             cost_ratio = leg["ms_per_dispatch"] / plain_ms_step
+            steps_plain = n_dec - 1
+            per_slot_a = [
+                h / max(dd, 1)
+                for h, dd in zip(rt["spec_accepted_per_slot"],
+                                 rt["spec_active_dispatches_per_slot"])
+            ]
+            pred_disp = max(
+                int(np.ceil(steps_plain / (1.0 + a))) for a in per_slot_a
+            )
             leg["model_predicted_speedup"] = round(
-                (1 + rt["spec_accepted"] / disp) / (b * cost_ratio), 2) \
-                if b > 1 else round((1 + rt["spec_accepted"] / disp)
-                                    / cost_ratio, 2)
+                (steps_plain / pred_disp) / cost_ratio, 2)
+            leg["model_predicted_dispatches"] = pred_disp
+            leg["accepted_per_slot"] = rt["spec_accepted_per_slot"]
             print(f"b={b} {label}: {leg['decode_tok_per_s']} tok/s, "
                   f"accept {leg['accept_rate']}, speedup "
                   f"{leg['speedup_vs_plain']}x (model "

@@ -368,7 +368,12 @@ def mha(
                         k_scale, v_scale)
     # The Pallas kernels need 128-tileable sequence lengths; odd sizes fall
     # back to the (correct, slower) XLA path rather than mis-tiling the tail.
-    if impl in ("flash", "flash_legacy", "flash_train") and q.shape[1] > 1 \
+    # Off-TPU, flash impls fall back to XLA too (the splash kernel only has
+    # a Mosaic lowering; the XLA path is the same math and differentiable,
+    # so CPU tests exercise flash/flash_train call sites end-to-end).
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if impl in ("flash", "flash_legacy", "flash_train") and on_tpu \
+            and q.shape[1] > 1 \
             and causal and not (attn_sinks or attn_window) and kv_mask is None \
             and q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0:
         if impl == "flash_legacy":  # stock kernel with KV broadcast to q heads
@@ -395,7 +400,8 @@ def mha_prefill_rope_q(q_unroped, k, v, cos, sin, *, kv_valid_len,
     sm_scale = 1.0 / (q_unroped.shape[-1] ** 0.5)
     hkv = k.shape[2]
     sq = q_unroped.shape[1]
-    if impl == "flash" and sq > 1 and not (attn_sinks or attn_window) \
+    if impl == "flash" and jax.default_backend() in ("tpu", "axon") \
+            and sq > 1 and not (attn_sinks or attn_window) \
             and sq % 128 == 0 and k.shape[1] % 128 == 0 and cos.ndim == 2 \
             and q_unroped.shape[-1] % 128 == 0:
         from .kernels import rope_scale_transpose

@@ -307,10 +307,16 @@ def rmsnorm_quantize_rows(x: jnp.ndarray, weight: jnp.ndarray, eps: float,
         n *= d
     bs = _quant_block_rows(n, k)
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    use_kernel = force == "kernel" or (
-        force is None and on_tpu and bs is not None and k % 128 == 0
-    )
-    if use_kernel and bs is not None and k % 128 == 0:
+    tiles = bs is not None and k % 128 == 0
+    if force == "kernel" and not tiles:
+        # a caller forcing the kernel (e.g. for bit-identity with another
+        # kernel-quantized path) must not silently get the ±1-code XLA
+        # numerics — reject, matching mha()'s explicit int8-KV impl reject
+        raise ValueError(
+            f"force='kernel' but shape (n={n}, k={k}) does not tile "
+            "(need a 32-multiple row block dividing n and k % 128 == 0)")
+    use_kernel = force == "kernel" or (force is None and on_tpu and tiles)
+    if use_kernel and tiles:
         q, s = _rmsnorm_quantize_pallas(
             x.reshape(n, k), weight, bs, float(eps), bool(offset),
             interpret=not on_tpu,
@@ -400,10 +406,13 @@ def residual_rmsnorm_quantize_rows(x: jnp.ndarray, delta: jnp.ndarray,
         n *= d
     bs = _quant_block_rows(n, k)
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    use_kernel = force == "kernel" or (
-        force is None and on_tpu and bs is not None and k % 128 == 0
-    )
-    if use_kernel and bs is not None and k % 128 == 0:
+    tiles = bs is not None and k % 128 == 0
+    if force == "kernel" and not tiles:
+        raise ValueError(
+            f"force='kernel' but shape (n={n}, k={k}) does not tile "
+            "(need a 32-multiple row block dividing n and k % 128 == 0)")
+    use_kernel = force == "kernel" or (force is None and on_tpu and tiles)
+    if use_kernel and tiles:
         xo, q, s = _res_rmsnorm_quantize_pallas(
             x.reshape(n, k), delta.reshape(n, k).astype(x.dtype), weight,
             bs, float(eps), bool(offset), interpret=not on_tpu,
@@ -476,10 +485,13 @@ def swiglu_quantize_rows(gate: jnp.ndarray, up: jnp.ndarray,
         n *= d
     bs = _quant_block_rows(n, k)
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    use_kernel = force == "kernel" or (
-        force is None and on_tpu and bs is not None and k % 128 == 0
-    )
-    if use_kernel and bs is not None and k % 128 == 0:
+    tiles = bs is not None and k % 128 == 0
+    if force == "kernel" and not tiles:
+        raise ValueError(
+            f"force='kernel' but shape (n={n}, k={k}) does not tile "
+            "(need a 32-multiple row block dividing n and k % 128 == 0)")
+    use_kernel = force == "kernel" or (force is None and on_tpu and tiles)
+    if use_kernel and tiles:
         q, s = _swiglu_quantize_pallas(
             gate.reshape(n, k), up.reshape(n, k), bs, act,
             interpret=not on_tpu,

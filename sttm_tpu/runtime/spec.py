@@ -379,6 +379,11 @@ def _batched_spec_decode(
     acc_counts = np.zeros(b, np.int64)
     acc_mask = jnp.zeros((b, tail_slots), bool)
     n_drafted = n_hit = 0
+    # per-slot accounting: dispatches are gated by the SLOWEST slot (done
+    # slots ride along with dummy drafts), so any cost model must see
+    # per-slot acceptance, not the batch mean (bench_spec_realistic.py)
+    hit_counts = np.zeros(b, np.int64)
+    disp_counts = np.zeros(b, np.int64)
     time_decoding = 0.0
     d = 0
     while not all(done) and (d + 1) * k <= tail_slots:
@@ -409,6 +414,8 @@ def _batched_spec_decode(
                 a += 1
             n_drafted += k - 1
             n_hit += a
+            hit_counts[r] += a
+            disp_counts[r] += 1
             e = 0
             for j in range(a + 1):
                 t = int(preds[r, j])
@@ -424,5 +431,7 @@ def _batched_spec_decode(
         d += 1
 
     stats = {"spec_drafted": n_drafted, "spec_accepted": n_hit,
-             "spec_dispatches": d}
+             "spec_dispatches": d,
+             "spec_accepted_per_slot": [int(x) for x in hit_counts],
+             "spec_active_dispatches_per_slot": [int(x) for x in disp_counts]}
     return ids, time_decoding, stats

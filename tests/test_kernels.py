@@ -99,22 +99,32 @@ def test_splash_mha_fused_backward_matches_xla_grads():
     q = jnp.asarray(rng.normal(size=(b, s, hq, hd)) * 0.3, jnp.float32)
     k = jnp.asarray(rng.normal(size=(b, s, hkv, hd)) * 0.3, jnp.float32)
     v = jnp.asarray(rng.normal(size=(b, s, hkv, hd)) * 0.3, jnp.float32)
-    vl = jnp.int32(s)
     sm = hd**-0.5
 
-    def f_splash(q, k, v):
-        o = _splash_mha(q, k, v, vl, sm, interpret=True, block_q=128,
-                        block_kv=128, block_kv_compute=128, bwd_blocks=True)
-        return jnp.sum(o.astype(jnp.float32) ** 2)
+    # full length AND a padded case (vl < s): the fused backward must respect
+    # the segment-id masking too — compare grads on the valid prefix only
+    # (pad-query grads are segment-masked and meaningless on both sides, and
+    # the loss below only sums valid rows so pad K/V grads are zero).
+    for valid in (s, 200):
+        vl = jnp.int32(valid)
 
-    def f_xla(q, k, v):
-        return jnp.sum(_xla_mha(q, k, v, vl, True, 0, sm).astype(jnp.float32) ** 2)
+        def f_splash(q, k, v):
+            o = _splash_mha(q, k, v, vl, sm, interpret=True, block_q=128,
+                            block_kv=128, block_kv_compute=128,
+                            bwd_blocks=True)
+            return jnp.sum(o.astype(jnp.float32)[:, :valid] ** 2)
 
-    g_s = jax.grad(f_splash, argnums=(0, 1, 2))(q, k, v)
-    g_x = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
-    for a, b_ in zip(g_s, g_x):
-        err = float(jnp.max(jnp.abs(a - b_)) / (float(jnp.max(jnp.abs(b_))) + 1e-9))
-        assert err < 2e-3, err
+        def f_xla(q, k, v):
+            o = _xla_mha(q, k, v, vl, True, 0, sm)
+            return jnp.sum(o.astype(jnp.float32)[:, :valid] ** 2)
+
+        g_s = jax.grad(f_splash, argnums=(0, 1, 2))(q, k, v)
+        g_x = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_s, g_x):
+            a, b_ = a[:, :valid], b_[:, :valid]
+            err = float(jnp.max(jnp.abs(a - b_))
+                        / (float(jnp.max(jnp.abs(b_))) + 1e-9))
+            assert err < 2e-3, (valid, err)
 
 
 def test_residual_rmsq_bit_identical_to_unfused():

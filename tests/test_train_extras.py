@@ -132,3 +132,36 @@ def test_remat_modes_equivalent():
                                       - np.asarray(b, np.float32)).max()),
             grads[False], grads[mode])
         assert max(jax.tree.leaves(diffs)) < 1e-5, (mode, diffs)
+
+
+def test_flash_train_step_runs_on_cpu():
+    """attn_impl="flash_train" end-to-end through the train step on CPU:
+    off-TPU the mha dispatcher falls back to the XLA attention (same math,
+    differentiable), so the training call site is exercised without Mosaic.
+    S=128 is kernel-tileable on purpose — on TPU this exact program takes
+    the splash fused-backward path (grad parity: test_kernels.py)."""
+    import optax
+
+    from sttm_tpu.train.sft import loss_fn, make_train_step
+
+    params = qwen2.init_params(TINY, jax.random.key(5))
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, TINY.vocab_size, (2, 128)), jnp.int32)
+
+    v_x, g_x = jax.value_and_grad(loss_fn)(params, TINY, ids, ids, False, "xla")
+    v_f, g_f = jax.value_and_grad(loss_fn)(
+        params, TINY, ids, ids, False, "flash_train")
+    assert float(v_f) == float(v_x)  # CPU fallback IS the xla path
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                  - np.asarray(b, np.float32)).max()),
+        g_x, g_f)
+    assert max(jax.tree.leaves(diffs)) == 0.0
+
+    tx = optax.sgd(1e-3)
+    step = jax.jit(make_train_step(TINY, tx, remat=True,
+                                   attn_impl="flash_train"))
+    params2, _, loss = step(params, tx.init(params), ids, ids)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(
+        float(jnp.sum(params2["embed"].astype(jnp.float32) ** 2)))
