@@ -216,6 +216,11 @@ def main():
                          "on one chip) + dynamic per-token activation quant running "
                          "matmuls on the int8 MXU (2x bf16 peak). int8 = weight-only; "
                          "--quant none --layers 16 for the bf16 run")
+    ap.add_argument("--merged_only", action="store_true",
+                    help="time ONLY the merged prefill leg and print its "
+                         "TTFT as one JSON line (no BENCH_DETAILS write) — "
+                         "the whole-model A/B harness for splash tuning "
+                         "(scripts/ab_merged_splash.py)")
     ap.add_argument("--budget_s", type=float, default=480.0,
                     help="wall-clock guard: if the measurement has not finished "
                          "by then (cache miss under the driver), print the last "
@@ -258,6 +263,14 @@ def main():
     merged_len = int(cache_m.len_b)
     del logits_m, cache_m
     stage("merged prefill warm done")
+    if args.merged_only:
+        ttft_merged = time_fn(lambda: merged_prefill(params, embeds, vl, vs))
+        stage("merged timing done")
+        if not args.tiny:
+            watchdog.cancel()
+        print(json.dumps({"ttft_merged_s": round(ttft_merged, 4),
+                          "merged_len": merged_len}))
+        return
     # Realized merge ratio on the raw features (what real checkpoint features
     # produce at these thresholds). The in-model ratio under random weights is
     # an artifact: attention with random projections homogenizes tokens and

@@ -100,6 +100,19 @@ def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
         splash_attention_mask as sm,
     )
 
+    # Tuning/debug knob for whole-model A/Bs (scripts/ab_merged_splash.py):
+    # STTM_SPLASH_BLOCKS="bq,bkv,bkc" overrides the block sizes and
+    # STTM_SPLASH_VSM="0"/"1" forces the V layout. Read at TRACE time — use
+    # from a fresh process only (module-level jit caches don't key on env).
+    import os as _os
+
+    _blk = _os.environ.get("STTM_SPLASH_BLOCKS")
+    if _blk:
+        block_q, block_kv, block_kv_compute = map(int, _blk.split(","))
+    _vsm = _os.environ.get("STTM_SPLASH_VSM")
+    if _vsm is not None and v_seq_minor is None:
+        v_seq_minor = bool(int(_vsm))
+
     if q_transposed:  # [B, Hkv, G, Sq, hd], already roped + sm_scaled
         b, hkv_t, g, sq, hd = q.shape
         hq = hkv_t * g
