@@ -47,7 +47,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default=None,
                     help="comma list: 'default', 'bq/bkv/bkc', "
-                         "'bq/bkv/bkc+noVS', 'noVS'")
+                         "'bq/bkv/bkc+noVS', 'noVS', 'ropeQK_off' "
+                         "(revert to the stock XLA K-rope)")
     ap.add_argument("--reps", type=int, default=1,
                     help="repeat each variant (fresh process each)")
     args = ap.parse_args()
@@ -76,6 +77,8 @@ def main():
             v = v[: -len("+noVS")]
         if v == "noVS":
             env["STTM_SPLASH_VSM"] = "0"
+        elif v == "ropeQK_off":
+            env["STTM_ROPE_QK"] = "0"
         elif v != "default":
             env["STTM_SPLASH_BLOCKS"] = v.replace("/", ",")
         for r in range(args.reps):

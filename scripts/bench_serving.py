@@ -159,6 +159,14 @@ def main():
                     )
 
                 st, out = retry_call(leg, attempts=4, label=f"serving b={b} {mode}")
+                if st == "transport" and out.get("attempts", 0) >= 4 \
+                        and "exit code 1" in out.get("error", ""):
+                    # all retries landed on different compile endpoints and
+                    # every one returned "tpu_compile_helper subprocess exit
+                    # code 1" — the compiler rejecting/dying on THIS program
+                    # deterministically, not a transient service failure
+                    # (the sweep_splash.py classification; VERDICT r4 #7)
+                    out["error_kind"] = "compile_failure_deterministic"
                 if st == "ok":
                     ids, rt = out
                     n_tok = sum(rt["num_dec_token"]) - b  # 1st token in ttft

@@ -308,7 +308,8 @@ def _use_fused_quant(lp: dict, cfg: DecoderConfig) -> bool:
 
 
 def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend,
-                return_q: bool = False, rope_q_in_attend: bool = False):
+                return_q: bool = False, rope_q_in_attend: bool = False,
+                rope_k_in_attend: bool = False):
     """One decoder layer; ``attend(q, k, v) -> o`` supplied by the caller.
 
     cfg.act_quant == "fused" selects the w8a8 prefill fast path: fused
@@ -335,8 +336,14 @@ def _layer_core(lp: dict, x, cos, sin, cfg: DecoderConfig, attend,
         q, k, v = qkv_proj(lp, h, cfg)
     if not rope_q_in_attend:
         q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    o = attend(q, k, v)
+    if rope_k_in_attend:
+        # attend ropes k itself (fused with q's rope+scale+transpose in ONE
+        # Pallas pass on the splash path — ops.attention.mha_prefill_rope_qk)
+        # and returns the roped k, which is what the cache stores
+        o, k = attend(q, k, v)
+    else:
+        k = apply_rope(k, cos, sin)
+        o = attend(q, k, v)
     aq = cfg.act_quant
     x = x + _mat(o.reshape(b, s, cfg.q_dim), lp["wo"], aq)
     if fused:
@@ -426,20 +433,38 @@ def prefill_layers(
             out += (jnp.zeros((0, b, cfg.num_heads, cfg.head_dim), x.dtype),)
         return out
 
-    from ..ops.attention import mha_prefill_rope_q
+    from ..ops.attention import mha_prefill_rope_q, mha_prefill_rope_qk
 
-    def attend(q_unroped, k, v):
-        # q's rope is applied inside (fused with sm_scale + the splash GQA
-        # transpose on the flash path; stock rope + mha elsewhere)
-        return mha_prefill_rope_q(
-            q_unroped, k, v, cos, sin, kv_valid_len=valid_len,
-            impl="xla" if (attn_sinks > 0 or attn_window > 0) else impl,
-            attn_sinks=attn_sinks, attn_window=attn_window)
+    import os as _os
+
+    # STTM_ROPE_QK=0 reverts to the stock XLA K-rope (whole-model A/B
+    # knob, scripts/ab_merged_splash.py); read at trace time.
+    rope_k = _os.environ.get("STTM_ROPE_QK", "1") != "0"
+    eff_impl = "xla" if (attn_sinks > 0 or attn_window > 0) else impl
+
+    if rope_k:
+        def attend(q_unroped, k_unroped, v):
+            # BOTH ropes applied inside (fused with sm_scale + the splash
+            # GQA transpose in one Pallas pass on the flash path; stock
+            # ropes + mha elsewhere — identical math). Returns
+            # (o, k_roped); k_roped is what the cache stores.
+            return mha_prefill_rope_qk(
+                q_unroped, k_unroped, v, cos, sin, kv_valid_len=valid_len,
+                impl=eff_impl, attn_sinks=attn_sinks,
+                attn_window=attn_window)
+    else:
+        def attend(q_unroped, k, v):
+            # q's rope applied inside; k arrives roped by _layer_core
+            return mha_prefill_rope_q(
+                q_unroped, k, v, cos, sin, kv_valid_len=valid_len,
+                impl=eff_impl, attn_sinks=attn_sinks,
+                attn_window=attn_window)
 
     def step(carry, li):
         lp = _take_layer(layers, li)
         y, k, v, q = _layer_core(lp, carry, cos, sin, cfg, attend,
-                                 return_q=True, rope_q_in_attend=True)
+                                 return_q=True, rope_q_in_attend=True,
+                                 rope_k_in_attend=rope_k)
         if kv_int8:
             kq, ksc = quantize_kv(k)
             vq, vsc = quantize_kv(v)

@@ -131,10 +131,14 @@ def _splash_mha(q, k, v, kv_valid_len, sm_scale, interpret=False,
         # at 12.8k) but loses at 25.6k (35.0 vs 30.7 ms) — shorter
         # sequences have proportionally more diagonal/epilogue work, where
         # the NN PV matmul's missing in-kernel transpose matters most.
+        # The crossover is placed by BENCH_VSM_CROSSOVER.json (round 5,
+        # ADVICE r4 #2): vS 1.036x at 15360, 1.012x at 17920, then 0.83x
+        # at 19200 and 0.79x at 23040 — threshold at the last winning
+        # length.
         # K SEQ_MINOR ties vS isolated (7.16 vs 7.25 ms head-to-head) but
         # measured WORSE in-model (splash 223.4 vs 220.2 ms over 26
         # layers, whole-model merged 0.967 vs 0.958 s) — kept OFF.
-        v_seq_minor = sq <= 12800
+        v_seq_minor = sq <= 17920
     if k_seq_minor is None:
         k_seq_minor = False
     bq = _pick_block(sq, block_q)
@@ -396,6 +400,49 @@ def mha(
         return _splash_mha(q, k, v, kv_valid_len, sm_scale,
                            bwd_blocks=impl == "flash_train")
     return _xla_mha(q, k, v, kv_valid_len, causal, q_offset, sm_scale, attn_sinks, attn_window, kv_mask, kv_mask_per_head)
+
+
+def mha_prefill_rope_qk(q_unroped, k_unroped, v, cos, sin, *, kv_valid_len,
+                        impl: str = "xla", attn_sinks: int = 0,
+                        attn_window: int = 0):
+    """Causal prefill attention that applies BOTH ropes itself; returns
+    (o, k_roped) — k_roped is what the KV cache stores.
+
+    On the splash path, q's rope + sm_scale + GQA transpose AND k's rope
+    run as ONE Pallas pass (ops.kernels.rope_qk_scale_transpose): the
+    stock XLA K-rope materializes f32 intermediates and re-reads the rope
+    tables per layer, DMA traffic that overlaps (and contends with) the
+    splash kernel's HBM streaming — the in-model-vs-isolated splash
+    penalty round 4 quantified at ~0.9 ms/layer (PROFILE_PREFILL.json;
+    whole-model block/layout A/Bs all measured neutral, pointing at the
+    operand side). Every other configuration applies the stock rope to
+    both and defers to mha() — identical math."""
+    sm_scale = 1.0 / (q_unroped.shape[-1] ** 0.5)
+    hkv = k_unroped.shape[2]
+    sq = q_unroped.shape[1]
+    if impl == "flash" and jax.default_backend() in ("tpu", "axon") \
+            and sq > 1 and not (attn_sinks or attn_window) \
+            and sq % 128 == 0 and k_unroped.shape[1] % 128 == 0 \
+            and cos.ndim == 2 and q_unroped.shape[-1] % 128 == 0:
+        from .kernels import rope_qk_scale_transpose
+
+        qf, k = rope_qk_scale_transpose(
+            q_unroped, k_unroped, cos, sin, hkv, sm_scale)
+        o = _splash_mha(qf, k, v, kv_valid_len, sm_scale, q_transposed=True)
+        return o, k
+    # stock rope on k (apply_rope semantics), then the rope-q dispatcher
+    x = k_unroped.astype(jnp.float32)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    if cos.ndim == 3:
+        c, s = cos[:, :, None, :], sin[:, :, None, :]
+    else:
+        c, s = cos[None, :, None, :], sin[None, :, None, :]
+    k = (x * c + rot * s).astype(k_unroped.dtype)
+    o = mha_prefill_rope_q(q_unroped, k, v, cos, sin,
+                           kv_valid_len=kv_valid_len, impl=impl,
+                           attn_sinks=attn_sinks, attn_window=attn_window)
+    return o, k
 
 
 def mha_prefill_rope_q(q_unroped, k, v, cos, sin, *, kv_valid_len,

@@ -555,6 +555,108 @@ def _rope_transpose_pallas(q, cos, sin, hkv, bs, scale, interpret=False):
     )(q, cos, sin)
 
 
+def _rope_qkt_kernel(q_ref, k_ref, c_ref, s_ref, oq_ref, ok_ref, *,
+                     scale, hkv):
+    c = c_ref[:][:, None, :]  # [bs, 1, hd]
+    s = s_ref[:][:, None, :]
+
+    def rot(x, sc):
+        hd2 = x.shape[-1] // 2
+        x1 = x[..., :hd2]
+        x2 = x[..., hd2:]
+        o1 = (x1 * c[..., :hd2] - x2 * s[..., :hd2]) * sc
+        o2 = (x2 * c[..., hd2:] + x1 * s[..., hd2:]) * sc
+        return jnp.concatenate([o1, o2], axis=-1)
+
+    xq = rot(q_ref[0].astype(jnp.float32), scale)  # [bs, H, hd]
+    bs, h, hd = xq.shape
+    oq_ref[0] = xq.transpose(1, 0, 2).reshape(
+        hkv, h // hkv, bs, hd).astype(oq_ref.dtype)
+    ok_ref[0] = rot(k_ref[0].astype(jnp.float32), 1.0).astype(ok_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("hkv", "bs", "scale", "interpret"))
+def _rope_qk_transpose_pallas(q, k, cos, sin, hkv, bs, scale,
+                              interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, sq, h, hd = q.shape
+    kvh = k.shape[2]
+    g = h // hkv
+    return pl.pallas_call(
+        functools.partial(_rope_qkt_kernel, scale=scale, hkv=hkv),
+        grid=(b, sq // bs),
+        in_specs=[
+            pl.BlockSpec((1, bs, h, hd), lambda ib, i: (ib, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, kvh, hd), lambda ib, i: (ib, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, hd), lambda ib, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, hd), lambda ib, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hkv, g, bs, hd), lambda ib, i: (ib, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, kvh, hd), lambda ib, i: (ib, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, g, sq, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, sq, kvh, hd), k.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, cos, sin)
+
+
+def rope_qk_scale_transpose(q: jnp.ndarray, k: jnp.ndarray,
+                            cos: jnp.ndarray, sin: jnp.ndarray,
+                            hkv: int, scale: float = 1.0,
+                            force: str | None = None):
+    """Fused RoPE over Q AND K + q's sm_scale + GQA transpose in ONE pass:
+    (q [B, S, H, hd], k [B, S, KV, hd]) -> (q' [B, Hkv, G, S, hd],
+    k_roped [B, S, KV, hd]).
+
+    Extends rope_scale_transpose to also rope K in the same kernel: the
+    stock XLA apply_rope on K materializes f32 intermediates and per-layer
+    async copies of the rope tables whose DMA traffic overlaps the splash
+    kernel's HBM streaming (PROFILE_PREFILL.json: the f32[S, hd/2] K-rope
+    copy-starts and 16 rope-table slice-starts per layer pair). Here the
+    tables are read once per block and K writes bf16 directly. Same
+    rotate-half f32 math as apply_rope; exact fallback off-TPU /
+    non-tiling shapes."""
+    b, sq, h, hd = q.shape
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    bs = None
+    for cand in (256, 128, 64, 32, 16, 8):
+        if sq % cand == 0:
+            bs = cand
+            break
+    use_kernel = force == "kernel" or (
+        force is None and on_tpu and cos.ndim == 2 and bs is not None
+        and hd % 128 == 0 and h % hkv == 0
+    )
+    if use_kernel and bs is not None:
+        return _rope_qk_transpose_pallas(
+            q, k, cos.astype(jnp.float32), sin.astype(jnp.float32),
+            hkv, bs, float(scale), interpret=not on_tpu)
+    # exact fallback: apply_rope convention on both, then q's transpose
+    def rot(x4):
+        x = x4.astype(jnp.float32)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        r = jnp.concatenate([-x2, x1], axis=-1)
+        return x * cos[None, :, None, :] + r * sin[None, :, None, :]
+
+    qf = (rot(q) * scale).astype(q.dtype)
+    g = h // hkv
+    qf = qf.reshape(b, sq, hkv, g, hd).transpose(0, 2, 3, 1, 4)
+    kf = rot(k).astype(k.dtype)
+    return qf, kf
+
+
 def rope_scale_transpose(q: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
                          hkv: int, scale: float = 1.0,
                          force: str | None = None) -> jnp.ndarray:

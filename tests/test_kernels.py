@@ -415,3 +415,32 @@ def test_rope_scale_transpose_parity():
     np.testing.assert_allclose(np.asarray(got_xla, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_rope_qk_scale_transpose_parity():
+    """Fused QK rope (one pass roping q AND k + q's scale/GQA transpose)
+    vs the stock apply_rope chains — q in the splash layout, k in the
+    cache layout, both exact."""
+    from sttm_tpu.models.qwen2 import apply_rope
+    from sttm_tpu.ops.kernels import rope_qk_scale_transpose
+
+    rng = np.random.default_rng(8)
+    b, s, h, hkv, hd = 2, 64, 8, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, s, h, hd)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, hd)), jnp.bfloat16)
+    ang = rng.normal(size=(s, hd // 2))
+    cos = jnp.asarray(np.cos(np.concatenate([ang, ang], -1)), jnp.float32)
+    sin = jnp.asarray(np.sin(np.concatenate([ang, ang], -1)), jnp.float32)
+    scale = hd ** -0.5
+    q_ref = (apply_rope(q, cos, sin) * scale).reshape(
+        b, s, hkv, h // hkv, hd).transpose(0, 2, 3, 1, 4)
+    k_ref = apply_rope(k, cos, sin)
+    for force in ("kernel", "xla"):
+        qf, kf = rope_qk_scale_transpose(q, k, cos, sin, hkv, scale,
+                                         force=force)
+        np.testing.assert_allclose(np.asarray(qf, np.float32),
+                                   np.asarray(q_ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(kf, np.float32),
+                                   np.asarray(k_ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
