@@ -96,16 +96,24 @@ def main():
 
     results = {"geometry": {"d": d, "e": e, "k": k, "fe": fe, "tokens": n}}
 
-    def slope(build, x0, lo=2, hi=8, reps=3):
+    def slope(build, args, lo=2, hi=8, reps=3):
         """Per-iteration time of a scan-chained body at two chain lengths;
-        the slope cancels dispatch RTT + output fetch (CLAUDE.md)."""
+        the slope cancels dispatch RTT + output fetch (CLAUDE.md).
+
+        ``build(iters)`` must return a jitted fn taking ``*args`` with the
+        WEIGHTS as explicit arguments — a builder that closes over the
+        expert stack bakes it into the program as constants, and the
+        serialized module (hundreds of MB of weight bytes) blows the
+        remote-compile request limit (HTTP 413 "length limit exceeded" —
+        the actual mechanism behind round 3/4's "E=60 compiles wedged the
+        tunnel")."""
         f_lo, f_hi = build(lo), build(hi)
 
         def timed(f):
             ts = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                out = f(x0)
+                out = f(*args)
                 np.asarray(out.ravel()[:8])
                 ts.append(time.perf_counter() - t0)
             return float(np.median(ts))
@@ -135,15 +143,18 @@ def main():
             continue
 
         def build(iters, mode=mode):
-            def body(x, _):
-                y = moe_mlp(lp, x, cfg, mode=mode)
-                return x + jnp.bfloat16(1e-20) * y.astype(x.dtype), None
+            def run(lp, x):
+                def body(x, _):
+                    y = moe_mlp(lp, x, cfg, mode=mode)
+                    return x + jnp.bfloat16(1e-20) * y.astype(x.dtype), None
 
-            return jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
+                return jax.lax.scan(body, x, None, length=iters)[0]
+
+            return jax.jit(run)
 
         from chiputil import retry_call
 
-        st, out = retry_call(lambda: slope(build, h), attempts=4,
+        st, out = retry_call(lambda: slope(build, (lp, h)), attempts=4,
                              label=f"moe/{mode}")
         if st != "ok":
             results[f"block_{mode}"] = out
@@ -170,13 +181,20 @@ def main():
 
     if not args.tiny and not args.skip_ragged:
         def b_ragged(iters):
-            def body(x, _):
-                y = jax.lax.ragged_dot(x, w, group_sizes)
-                return x + jnp.bfloat16(1e-20) * y[:, :d], None
+            def run(w, x):
+                def body(x, _):
+                    y = jax.lax.ragged_dot(x, w, group_sizes)
+                    # carried data dependence; fe < d at this geometry, so
+                    # fold y into x's first fe columns
+                    c = min(d, y.shape[1])
+                    return x.at[:, :c].add(
+                        jnp.bfloat16(1e-20) * y[:, :c]), None
 
-            return jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
+                return jax.lax.scan(body, x, None, length=iters)[0]
 
-        sec = slope(b_ragged, xs)
+            return jax.jit(run)
+
+        sec = slope(b_ragged, (w, xs))
         results["gemm_ragged_dot"] = {
             "ms": round(sec * 1e3, 2),
             "tflop_s": round(gemm_flops / sec / 1e12, 1),
@@ -200,15 +218,20 @@ def main():
             continue
 
         def b_gmm(iters, tile_group=tile_group, tm=tm):
-            def body(x, _):
-                y = gmm(x, w, tile_group, tm)
-                return x + jnp.bfloat16(1e-20) * y[:, :d], None
+            def run(w, x):
+                def body(x, _):
+                    y = gmm(x, w, tile_group, tm)
+                    c = min(d, y.shape[1])
+                    return x.at[:, :c].add(
+                        jnp.bfloat16(1e-20) * y[:, :c]), None
 
-            return jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
+                return jax.lax.scan(body, x, None, length=iters)[0]
+
+            return jax.jit(run)
 
         from chiputil import retry_call
 
-        st, out = retry_call(lambda b=b_gmm, x=xp: slope(b, x), attempts=4,
+        st, out = retry_call(lambda b=b_gmm: slope(b, (w, xp)), attempts=4,
                              label=f"gmm_tm{tm}")
         if st != "ok":
             results[f"gemm_gmm_tm{tm}"] = out
