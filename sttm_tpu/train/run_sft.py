@@ -30,6 +30,15 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--attn_impl", default="auto",
+                   choices=["auto", "xla", "flash_train"],
+                   help="auto: the splash kernel with its fused backward on "
+                        "TPU (dominates every measured point — "
+                        "BENCH_TRAIN.json flash_* rows: 1.4-1.65x over XLA "
+                        "attention and it un-OOMs the S=4096 dots / L=4 "
+                        "frontiers), XLA attention elsewhere. The "
+                        "dispatcher falls back to XLA per-call for "
+                        "non-128-multiple sequence lengths either way.")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the layer scan (memory for FLOPs)")
     p.add_argument("--multimodal", action="store_true",
@@ -123,10 +132,17 @@ def main(argv=None):
     tx, opt_state = init_train_state(
         params, args.learning_rate, args.weight_decay, module_lrs=module_lrs
     )
+    import jax
+
+    attn = args.attn_impl
+    if attn == "auto":
+        attn = ("flash_train"
+                if jax.default_backend() in ("tpu", "axon") else "xla")
     if args.multimodal:
-        step_fn = make_mm_train_step(lcfg, tx, remat=args.remat)
+        step_fn = make_mm_train_step(lcfg, tx, remat=args.remat,
+                                     attn_impl=attn)
     else:
-        step_fn = make_train_step(cfg, tx, remat=args.remat)
+        step_fn = make_train_step(cfg, tx, remat=args.remat, attn_impl=attn)
 
     def ckpt_path(step):
         return os.path.abspath(os.path.join(args.output_dir, f"checkpoint_{step}"))

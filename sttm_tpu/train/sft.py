@@ -68,7 +68,8 @@ def loss_fn(params, cfg: DecoderConfig, input_ids, labels,
 
 def mm_forward(params, lcfg, input_ids, video_feats, video_start, has_video,
                remat: bool | str = False, tower_cfg=None, pixels=None,
-               image_feats=None, image_starts=None, image_mask=None):
+               image_feats=None, image_starts=None, image_mask=None,
+               attn_impl: str = "xla"):
     """Multimodal training forward: vision features -> mm_projector ->
     (videos: 2D pool + newline policy) -> splice into the text embeddings at
     the (host-expanded) media spans -> trunk -> logits [B, S, V].
@@ -148,13 +149,15 @@ def mm_forward(params, lcfg, input_ids, video_feats, video_start, has_video,
     b, s, _ = x.shape
     cos, sin = qwen2.rope_cos_sin(cfg, jnp.arange(s, dtype=jnp.int32))
     x, _, _ = qwen2.prefill_layers(
-        lm["layers"], 0, cfg.num_layers, x, cos, sin, s, cfg, "xla", remat=remat
+        lm["layers"], 0, cfg.num_layers, x, cos, sin, s, cfg, attn_impl,
+        remat=remat
     )
     h = qwen2.rms_norm(x, lm["norm"], cfg.rms_eps, cfg.rms_offset)
     return qwen2.lm_head(lm, cfg, h)
 
 
-def mm_loss_fn(params, lcfg, batch, remat: bool | str = False, tower_cfg=None):
+def mm_loss_fn(params, lcfg, batch, remat: bool | str = False, tower_cfg=None,
+               attn_impl: str = "xla"):
     """Multimodal CE loss over a ``dataset.mm_collate`` batch dict."""
     logits = mm_forward(
         params, lcfg, batch["input_ids"], batch.get("video_feats"),
@@ -162,17 +165,22 @@ def mm_loss_fn(params, lcfg, batch, remat: bool | str = False, tower_cfg=None):
         batch.get("pixels"),
         batch.get("image_feats"), batch.get("image_starts"),
         batch.get("image_mask"),
+        attn_impl=attn_impl,
     )
     return masked_ce(logits, batch["labels"])
 
 
-def make_mm_train_step(lcfg, tx, remat: bool | str = False, tower_cfg=None):
+def make_mm_train_step(lcfg, tx, remat: bool | str = False, tower_cfg=None,
+                       attn_impl: str = "xla"):
     """(params, opt_state, batch) -> (params, opt_state, loss) over the
-    multimodal forward; params = {"lm", "mm"[, "tower"]}."""
+    multimodal forward; params = {"lm", "mm"[, "tower"]}.
+    attn_impl as in make_train_step ("flash_train" = splash fwd + fused
+    splash bwd on TPU; the dispatcher falls back to XLA per-call for
+    non-tiling sequence lengths)."""
 
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(mm_loss_fn)(
-            params, lcfg, batch, remat, tower_cfg
+            params, lcfg, batch, remat, tower_cfg, attn_impl
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
