@@ -467,3 +467,28 @@ def test_padded_merged_buffer_token_exact(hf_pair):
     ids_pad, rt_pad = generate(params, TINY, jnp.asarray(embeds), valid, sys_len, spec_pad, gcfg)
     assert ids_pad == ids_ref
     assert rt_pad["merged_len"] == rt_ref["merged_len"]
+
+
+def test_rope_qk_route_matches_stock_k_rope(monkeypatch):
+    """prefill_layers' fused-QK-rope attend route (STTM_ROPE_QK=1, the
+    default) must be bit-identical to the stock per-op K-rope route
+    (STTM_ROPE_QK=0) on CPU — both resolve to the same apply_rope math in
+    the fallback, so ANY divergence means the routing rewired semantics,
+    not just scheduling. The TPU kernel itself is parity-tested in
+    test_kernels.test_rope_qk_scale_transpose_parity."""
+    params = qwen2.init_params(TINY, jax.random.key(2))
+    rng = np.random.default_rng(5)
+    b, s = 2, 64
+    x0 = jnp.asarray(rng.normal(size=(b, s, TINY.hidden_size)) * 0.1,
+                     jnp.float32)
+    cos, sin = qwen2.rope_cos_sin(TINY, jnp.arange(s, dtype=jnp.int32))
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("STTM_ROPE_QK", flag)
+        y, k, v = qwen2.prefill_layers(
+            params["layers"], 0, TINY.num_layers, x0, cos, sin, s, TINY,
+            "xla")
+        outs[flag] = (np.asarray(y), np.asarray(k), np.asarray(v))
+    for a, b_ in zip(outs["1"], outs["0"]):
+        np.testing.assert_array_equal(a, b_)
