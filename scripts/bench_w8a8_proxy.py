@@ -106,9 +106,16 @@ def main():
     # CE floor ~ 0.85*ln(1/0.85-ish) + 0.15*ln(240) ≈ 1.0; random ~ ln(240)=5.5
     print(f"train CE {loss0:.3f} -> {loss:.3f}", flush=True)
 
-    # -- 2. quantize ------------------------------------------------------
-    cfg_q = dataclasses.replace(cfg, act_quant=True)
-    params_q = quantize_params(params, host=True, bits=8)
+    # -- 2. quantize: the headline w8a8 mode plus the two weight-only
+    # serving modes (int8 = the 1.96x point; int4 = the capacity mode) so
+    # the flip-rate statement covers every shipped quantization tier ----
+    params_q8 = quantize_params(params, host=True, bits=8)
+    modes = {
+        "int8w8a": (params_q8, dataclasses.replace(cfg, act_quant=True)),
+        "int8_weight_only": (params_q8, cfg),
+        "int4_weight_only": (quantize_params(params, host=True, bits=4),
+                             cfg),
+    }
 
     def logits_fn(p, c, ids):
         x = qwen2.embed_tokens(p, ids, c)
@@ -120,10 +127,9 @@ def main():
         return qwen2.lm_head(p, c, h)  # [B, S, V] fp32
 
     f_bf = jax.jit(lambda ids: logits_fn(params, cfg, ids))
-    f_q = jax.jit(lambda ids: logits_fn(params_q, cfg_q, ids))
 
     # -- 3. teacher-forced flip-vs-margin ---------------------------------
-    def flips_on(contexts, from_pos):
+    def flips_on(f_q, contexts, from_pos):
         lg_bf = np.asarray(f_bf(jnp.asarray(contexts)))
         lg_q = np.asarray(f_q(jnp.asarray(contexts)))
         pos = slice(from_pos, contexts.shape[1] - 1)
@@ -151,46 +157,57 @@ def main():
             "by_margin": rows,
         }
 
-    # data-distribution contexts: every margin regime appears
+    # shared contexts across modes (same prompts -> comparable numbers)
     data_seqs = sample_seqs(args.n_prompts, args.prompt_len + args.gen_len)
-    tf_data = bucketize(*flips_on(data_seqs, args.prompt_len - 1))
-
-    # serving-distribution contexts: the model's own greedy chains
     prompts = sample_seqs(args.n_prompts, args.prompt_len)
     ctx = np.asarray(prompts)
     for _ in range(args.gen_len):  # batched greedy rollout of the base model
         lg = np.asarray(f_bf(jnp.asarray(ctx))[:, -1])
         ctx = np.concatenate([ctx, lg.argmax(-1)[:, None].astype(np.int32)], 1)
     chains = ctx  # [N, prompt+gen]
-    tf_chain = bucketize(*flips_on(chains, args.prompt_len - 1))
 
-    # -- 4. free-running divergence ---------------------------------------
-    ctx_q = np.asarray(prompts)
-    for _ in range(args.gen_len):
-        lg = np.asarray(f_q(jnp.asarray(ctx_q))[:, -1])
-        ctx_q = np.concatenate(
-            [ctx_q, lg.argmax(-1)[:, None].astype(np.int32)], 1)
-    gen_bf = chains[:, args.prompt_len:]
-    gen_q = ctx_q[:, args.prompt_len:]
-    agree = gen_bf == gen_q
-    exact = agree.all(axis=1)
-    first_div = np.where(exact, args.gen_len, agree.argmin(axis=1))
+    per_mode = {}
+    for mode, (p_q, c_q) in modes.items():
+        f_q = jax.jit(lambda ids, p_q=p_q, c_q=c_q: logits_fn(p_q, c_q, ids))
+        tf_data = bucketize(*flips_on(f_q, data_seqs, args.prompt_len - 1))
+        tf_chain = bucketize(*flips_on(f_q, chains, args.prompt_len - 1))
+
+        # -- 4. free-running divergence -----------------------------------
+        ctx_q = np.asarray(prompts)
+        for _ in range(args.gen_len):
+            lg = np.asarray(f_q(jnp.asarray(ctx_q))[:, -1])
+            ctx_q = np.concatenate(
+                [ctx_q, lg.argmax(-1)[:, None].astype(np.int32)], 1)
+        gen_bf = chains[:, args.prompt_len:]
+        gen_q = ctx_q[:, args.prompt_len:]
+        agree = gen_bf == gen_q
+        exact = agree.all(axis=1)
+        first_div = np.where(exact, args.gen_len, agree.argmin(axis=1))
+        per_mode[mode] = {
+            "teacher_forced_data_dist": tf_data,
+            "teacher_forced_greedy_chains": tf_chain,
+            "free_running": {
+                "exact_32tok_match_rate": round(float(exact.mean()), 4),
+                "mean_first_divergence_pos": round(float(first_div.mean()), 2),
+                "median_first_divergence_pos": float(np.median(first_div)),
+            },
+        }
+        print(mode, "flip", per_mode[mode]["teacher_forced_data_dist"][
+            "overall_flip_rate"], "exact32",
+            per_mode[mode]["free_running"]["exact_32tok_match_rate"],
+            flush=True)
 
     results = {
-        "protocol": "TINY distilled on synthetic bigram language; w8a8 via "
-                    "quantize_params + act_quant trunk (the headline code "
-                    "path); teacher-forced flips bucketed by bf16 top1-top2 "
-                    "logit margin + free-running greedy divergence",
+        "protocol": "TINY distilled on synthetic two-permutation language; "
+                    "each shipped quantization tier (int8w8a headline, int8 "
+                    "weight-only, int4 weight-only) vs the bf16 model on "
+                    "the SAME prompts: teacher-forced flips bucketed by "
+                    "bf16 top1-top2 logit margin + free-running greedy "
+                    "divergence",
         "config": {"model": "TINY", "steps": args.steps,
                    "n_prompts": args.n_prompts, "gen_len": args.gen_len},
         "train_ce": {"first": round(loss0, 3), "final": round(loss, 3)},
-        "teacher_forced_data_dist": tf_data,
-        "teacher_forced_greedy_chains": tf_chain,
-        "free_running": {
-            "exact_32tok_match_rate": round(float(exact.mean()), 4),
-            "mean_first_divergence_pos": round(float(first_div.mean()), 2),
-            "median_first_divergence_pos": float(np.median(first_div)),
-        },
+        "modes": per_mode,
     }
     with open("BENCH_W8A8_PROXY_TINY.json", "w") as fp:
         json.dump(results, fp, indent=2)
