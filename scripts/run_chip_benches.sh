@@ -20,10 +20,14 @@ timeout 3000 python scripts/bench_kv_int8.py || echo "bench_kv_int8 FAILED"
 echo "== SFT train step (tokens/s + MFU) -> BENCH_TRAIN.json"
 timeout 3000 python scripts/bench_train.py || echo "bench_train FAILED"
 
-echo "== MoE dispatch tiers -> BENCH_MOE.json (dense's E=60 scan has"
-echo "   repeatedly broken the remote-compile tunnel; skip it)"
-timeout 3000 python scripts/bench_moe.py --modes sort gmm gmm_fused \
-  || echo "bench_moe FAILED"
+echo "== MoE dispatch tiers (E=16 fallback geometry) -> BENCH_MOE.json"
+timeout 3000 python scripts/bench_moe.py \
+  --modes sort gmm gmm_fused --experts 16 || echo "bench_moe FAILED"
+
+echo "== MoE full E=60 geometry -> BENCH_MOE_E60.json (compiles fine since"
+echo "   the weights-as-arguments fix; the old wedge was constant upload)"
+timeout 3000 python scripts/bench_moe.py --modes sort gmm_fused \
+  --skip_ragged --out BENCH_MOE_E60.json || echo "bench_moe E60 FAILED"
 
 echo "== headline -> stdout JSON line"
 timeout 1800 python bench.py || echo "bench FAILED"
