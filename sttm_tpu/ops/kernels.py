@@ -627,7 +627,10 @@ def rope_qk_scale_transpose(q: jnp.ndarray, k: jnp.ndarray,
     copy-starts and 16 rope-table slice-starts per layer pair). Here the
     tables are read once per block and K writes bf16 directly. Same
     rotate-half f32 math as apply_rope; exact fallback off-TPU /
-    non-tiling shapes."""
+    non-tiling shapes. Unlike the quantize kernels, force="kernel" on a
+    non-tiling shape falls back WITHOUT raising: the rope fallback is the
+    identical f32 math (tested equal), so there is no numerics contract
+    to protect — the raise convention only guards divergent fallbacks."""
     b, sq, h, hd = q.shape
     on_tpu = jax.default_backend() in ("tpu", "axon")
     bs = None
