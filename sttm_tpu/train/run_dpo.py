@@ -34,6 +34,15 @@ def parse_args(argv=None):
     p.add_argument("--feature_dir", default="",
                    help="dir of per-video {vid}.npy features; smoke synthesizes")
     p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--remat", action="store_true",
+                   help="per-layer checkpointing — DPO runs four trunk "
+                        "forwards per step, so this is what fits 7B-width "
+                        "pairs on one chip")
+    p.add_argument("--attn_impl", default="auto",
+                   choices=["auto", "xla", "flash_train"],
+                   help="auto: splash attention + fused backward on TPU "
+                        "(run_sft's default; BENCH_TRAIN.json), XLA "
+                        "elsewhere")
     p.add_argument("--save_every", type=int, default=50)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
@@ -112,10 +121,18 @@ def main(argv=None):
     rank0_print(f"loaded {len(data)} preference pairs")
 
     tx, opt_state = init_train_state(params, args.learning_rate)
+    import jax
+
+    attn = args.attn_impl
+    if attn == "auto":
+        attn = ("flash_train"
+                if jax.default_backend() in ("tpu", "axon") else "xla")
     if args.multimodal:
-        step_fn = make_mm_dpo_train_step(lcfg, tx, beta=args.beta)
+        step_fn = make_mm_dpo_train_step(lcfg, tx, beta=args.beta,
+                                         remat=args.remat, attn_impl=attn)
     else:
-        step_fn = make_dpo_train_step(cfg, tx, beta=args.beta)
+        step_fn = make_dpo_train_step(cfg, tx, beta=args.beta,
+                                      remat=args.remat, attn_impl=attn)
     if mesh is not None:
         def to_sharding(tree):
             def rec(s):

@@ -165,3 +165,29 @@ def test_flash_train_step_runs_on_cpu():
     assert np.isfinite(float(loss))
     assert np.isfinite(
         float(jnp.sum(params2["embed"].astype(jnp.float32) ** 2)))
+
+
+def test_dpo_remat_and_flash_modes_equivalent():
+    """dpo_loss with remat=True and/or attn_impl="flash_train" is the same
+    math as the plain form (CPU: flash falls back to XLA, remat only
+    changes the backward schedule) — DPO runs four trunk forwards per
+    step, so these are the knobs that fit 7B pairs on one chip."""
+    from sttm_tpu.train.dpo import dpo_loss
+
+    params = qwen2.init_params(TINY, jax.random.key(0))
+    ref = qwen2.init_params(TINY, jax.random.key(1))
+    rng = np.random.default_rng(9)
+    b, s = 2, 128
+    ids = {k: jnp.asarray(rng.integers(0, TINY.vocab_size, (b, s)), jnp.int32)
+           for k in ("ci", "cl", "ri", "rl")}
+
+    def lf(remat, attn):
+        loss, acc = dpo_loss(params, ref, TINY, ids["ci"], ids["cl"],
+                             ids["ri"], ids["rl"], 0.1, remat, attn)
+        return float(loss), float(acc)
+
+    base = lf(False, "xla")
+    for remat, attn in ((True, "xla"), (False, "flash_train"),
+                        (True, "flash_train")):
+        got = lf(remat, attn)
+        assert got == base, (remat, attn, got, base)
