@@ -133,6 +133,11 @@ def main():
         except Exception as e:  # pragma: no cover - informational only
             results["memory_analysis_gb"] = {"error": str(e)[:200]}
 
+        # The timed phase inits FRESH params/opt per rep (donation!); the
+        # main-level copies would otherwise sit on device adding ~params+opt
+        # of dead weight to every rep's peak (L=4 OOMed from exactly this).
+        del params, opt_state
+
         def timed(f, reps=3):
             ts = []
             for _ in range(reps):
