@@ -162,6 +162,13 @@ def main():
         except Exception as e:  # pragma: no cover - informational only
             results["memory_analysis_gb"] = {"error": str(e)[:200]}
 
+        # The timed phase inits FRESH params/opt per rep (donation!); keeping
+        # the main-level copies alive added ~aliased_state of dead device
+        # weight to every rep's peak, turning fit-on-paper points into OOMs
+        # (the bench_dpo L=4 lesson, round 5). Frontier claims below are only
+        # honest with these freed.
+        del params, opt_state
+
         def timed(f, n, reps=3):
             ts = []
             for _ in range(reps):
