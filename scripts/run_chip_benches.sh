@@ -20,6 +20,10 @@ timeout 3000 python scripts/bench_kv_int8.py || echo "bench_kv_int8 FAILED"
 echo "== SFT train step (tokens/s + MFU) -> BENCH_TRAIN.json"
 timeout 3000 python scripts/bench_train.py || echo "bench_train FAILED"
 
+echo "== DPO train step (pair-tok/s + MFU, flash + full remat) -> BENCH_DPO.json"
+timeout 3000 python scripts/bench_dpo.py --tag flash_full \
+  || echo "bench_dpo FAILED"
+
 echo "== MoE dispatch tiers (E=16 fallback geometry) -> BENCH_MOE.json"
 timeout 3000 python scripts/bench_moe.py \
   --modes sort gmm gmm_fused --experts 16 || echo "bench_moe FAILED"
