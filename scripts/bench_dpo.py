@@ -38,7 +38,8 @@ def main():
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--seq", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--remat_mode", choices=["full", "none"], default="full")
+    ap.add_argument("--remat_mode", choices=["full", "dots", "none"],
+                    default="full")
     ap.add_argument("--attn", choices=["xla", "flash_train"],
                     default="flash_train")
     ap.add_argument("--tag", default=None)
@@ -61,7 +62,7 @@ def main():
     from sttm_tpu.train.dpo import make_dpo_train_step
     from sttm_tpu.train.sft import IGNORE_INDEX
 
-    remat = args.remat_mode == "full"
+    remat = {"full": True, "dots": "dots", "none": False}[args.remat_mode]
     if args.tiny:
         cfg = mcfg.TINY
         b, s = 2, 64
